@@ -1,0 +1,102 @@
+"""Reference-equivalent exact-duplicate cascade.
+
+Stage semantics mirror the reference pipeline
+(src/main.rs:122-130 → process_matches.rs):
+
+  stage 1  group by size              (GetFiles,            :65-241)
+  stage 2  refine by short checksum   (GroupByShortChecksum, :243-265)
+  stage 3  refine by full checksum    (GroupByFullChecksum,  :267-288)
+  stage 4  emit duplicate groups      (PrintMatches,         :604-705)
+
+with singleton pruning between every stage (:51-61). Here each prune is a
+narrow count-aggregate + broadcast semi-filter (see exchange.py) so the
+text payload never enters a shuffle; the only row movement is the final
+per-group emission, and even that is a broadcast count lookup.
+
+Keys refine exactly as the reference's groups do:
+  stage-2 key ``short_hash`` already mixes in size (ingest.py), so equal
+  short keys imply equal sizes; stage-3 key ``doc_hash`` is the full
+  content hash (equal content ⇒ equal size+prefix trivially).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+from .config import DedupConfig
+from .exchange import dup_keys, key_counts, semi_filter
+from .ingest import ingest
+
+
+def exact_survivors(ingested: Dataset, cfg: DedupConfig) -> Dataset:
+    """Rows that survive all three pruning stages: their doc_hash occurs
+    more than once. Returns the filtered ingested dataset (url, text, ...,
+    doc_hash)."""
+    sizes = dup_keys(ingested, "size_bytes")
+    s1 = semi_filter(ingested, "size_bytes", sizes)
+    shorts = dup_keys(s1, "short_hash")
+    s2 = semi_filter(s1, "short_hash", shorts)
+    fulls = dup_keys(s2, "doc_hash")
+    s3 = semi_filter(s2, "doc_hash", fulls)
+    return s3
+
+
+def exact_clusters(pages: Dataset, cfg: DedupConfig | None = None) -> Dataset:
+    """Full cascade: pages → clusters table
+    (url, doc_hash, cluster_id, cluster_size, size_bytes, redundant_bytes).
+
+    ``cluster_id`` = doc_hash (content identity); ``redundant_bytes`` per
+    member row is the group's reclaimable bytes (n-1)×size, matching
+    DuplicateGroup::redundant_bytes (duplicate_group.rs:51-54) under the
+    url≅hard-link mapping (every url beyond the first is redundant).
+    """
+    cfg = cfg or DedupConfig()
+    ing = ingest(pages, cfg)
+    surv = exact_survivors(ing, cfg)
+
+    # per-doc_hash counts of survivors (narrow aggregate, then broadcast)
+    counts = key_counts(surv, "doc_hash")
+    ct = pa.concat_tables(
+        list(counts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        or [pa.table({"doc_hash": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})]
+    )
+    keys = ct.column("doc_hash").to_numpy(zero_copy_only=False)
+    cnts = ct.column("cnt").to_numpy(zero_copy_only=False)
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], cnts[order]))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        k_sorted, c_sorted = ray.get(ref)
+        dh = batch.column("doc_hash").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(k_sorted, dh)
+        n = c_sorted[np.minimum(idx, len(k_sorted) - 1)] if len(k_sorted) else np.zeros(len(dh), np.int64)
+        sz = batch.column("size_bytes").to_numpy(zero_copy_only=False)
+        keep = n > 1
+        out = pa.table(
+            {
+                "url": batch.column("url"),
+                "doc_hash": batch.column("doc_hash"),
+                "cluster_id": batch.column("doc_hash"),
+                "cluster_size": pa.array(n, pa.int64()),
+                "size_bytes": batch.column("size_bytes"),
+                "redundant_bytes": pa.array((n - 1) * sz, pa.int64()),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return surv.map_batches(emit, batch_format="pyarrow")
+
+
+def total_redundant_bytes(clusters: Dataset) -> int:
+    """Global reclaimable bytes (≅ the reference's end-of-run sum,
+    process_matches.rs:674-675,701): Σ over clusters of (n−1)×size =
+    Σ over member rows beyond the first of size. Computed from the member
+    table: total bytes − bytes of one representative per cluster."""
+    df = clusters.select_columns(["cluster_id", "size_bytes"]).to_pandas()
+    if df.empty:
+        return 0
+    per = df.groupby("cluster_id")["size_bytes"]
+    return int(per.sum().sum() - per.first().sum())

@@ -1,0 +1,66 @@
+"""Pipeline configuration (≅ the reference's Options struct,
+/root/reference/src/options.rs:21-163, and its validate() implication rules
+at options.rs:184-265)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- size gates (≅ --min-size/--max-size, options.rs:38-45).
+    # Reference defaults are 4096 B / 1e11 B; web text documents are
+    # routinely < 4 KiB so our default min is lower, but the reference
+    # defaults are available for cascade-equivalence runs.
+    min_size: int = 1
+    max_size: int = 0  # 0 = no max (reference sentinel semantics)
+
+    # --- exact cascade
+    short_prefix: int = 4096  # SHORT_CHUNK_SIZE, process_matches.rs:35
+    hash_seed: int = 0
+
+    # --- MinHash / LSH (north-rule config: 5-gram shingles, 128 perms)
+    shingle_k: int = 5
+    num_perm: int = 128
+    bands: int = 32
+    rows_per_band: int = 4
+    minhash_seed: int = 42
+    # candidate-pair verification: estimated Jaccard (fraction of agreeing
+    # signature slots) must reach this; 0 disables verification.
+    verify_threshold: float = 0.5
+    # skew guard: an LSH bucket larger than this is salted/capped
+    max_bucket: int = 2000
+
+    # --- execution
+    batch_size: int = 4096
+    signer_concurrency: int = 4  # MinHash actor pool size
+    join_buckets: int = 32  # partitions for bucketed hash joins
+
+    # --- url filters (≅ exclude globs, options.rs:186-204)
+    exclude_url_regex: str | None = None
+    lang_filter: tuple[str, ...] | None = None
+
+    def __post_init__(self):
+        if self.num_perm != self.bands * self.rows_per_band:
+            raise ValueError(
+                f"num_perm ({self.num_perm}) must equal bands*rows_per_band "
+                f"({self.bands}x{self.rows_per_band})"
+            )
+        if self.max_size and self.max_size < self.min_size:
+            raise ValueError("max_size < min_size")
+        if self.shingle_k < 1:
+            raise ValueError("shingle_k must be >= 1")
+
+    def fingerprint(self) -> str:
+        """Stable hash of the config — stored in checkpoint manifests so a
+        resume with a different config invalidates the checkpoint (≅ the
+        reference's invalidate-checksums-on-size-change, file_db.rs:311-342).
+        """
+        blob = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+DEFAULT = DedupConfig()

@@ -1,0 +1,203 @@
+"""Shuffle-minimizing exchange primitives.
+
+The reference prunes candidate groups between stages by dropping singleton
+groups (process_matches.rs:51-61) — the whole cascade's performance model.
+At Ray scale a naive ``groupby(key).map_groups(drop-singletons)`` shuffles
+every row (text payloads included). These helpers keep the wide exchange on
+**narrow columns only**:
+
+- ``dup_keys``: per-batch partial counts (combiner) → tiny groupby over
+  (key, partial_count) → keys whose global count > 1. Only 16-byte rows
+  shuffle; the text never moves.
+- ``semi_filter``: broadcast the (small) surviving key set once via
+  ``ray.put`` and filter inside ``map_batches`` with a sorted-array
+  ``searchsorted`` membership test. No join shuffle.
+- ``bucketed_join``: explicit partitioned hash join (add ``bucket =
+  mix(key) % B`` to both sides, union with a side tag, groupby bucket,
+  pandas merge per bucket) for when both sides are large.
+
+At 100 TB the broadcast set can exceed driver memory only when the number
+of *duplicate-involved* keys itself is huge; ``semi_filter`` falls back to
+``bucketed_join`` semantics in that regime (caller picks via
+``len(keys)``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from .hashing import fmix64
+
+
+def _batch_key_counts(key_col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        keys, counts = np.unique(
+            batch.column(key_col).to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({key_col: keys, "partial_cnt": counts.astype(np.int64)})
+
+    return fn
+
+
+def key_counts(ds: Dataset, key_col: str) -> Dataset:
+    """Global count per key value with per-batch pre-aggregation.
+
+    Shuffles only (key, partial_count) rows. Output columns: key_col, cnt.
+    """
+    partial = ds.map_batches(_batch_key_counts(key_col), batch_format="pyarrow")
+    agg = partial.groupby(key_col).aggregate(Sum("partial_cnt", alias_name="cnt"))
+    return agg
+
+
+def dup_keys(ds: Dataset, key_col: str) -> np.ndarray:
+    """Sorted array of key values occurring more than once (global).
+
+    ≅ singleton-group pruning (process_matches.rs:51-61) expressed as a
+    narrow aggregate. Result materializes on the driver — bounded by the
+    number of *duplicated* keys, not rows.
+    """
+    agg = key_counts(ds, key_col)
+    dup = agg.filter(expr="cnt > 1")
+    tbl = pa.concat_tables(
+        [b for b in dup.iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
+        or [pa.table({key_col: pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})]
+    )
+    keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+    return np.sort(keys)
+
+
+def semi_filter(ds: Dataset, key_col: str, keys_sorted: np.ndarray, keep: bool = True) -> Dataset:
+    """Keep (or drop) rows whose key is in the broadcast sorted key set."""
+    ref = ray.put(keys_sorted)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        col = batch.column(key_col).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, col)
+        idx = np.minimum(idx, max(len(ks) - 1, 0))
+        member = (ks[idx] == col) if len(ks) else np.zeros(len(col), dtype=bool)
+        mask = member if keep else ~member
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def broadcast_map_i64(ds: Dataset, key_col: str, mapping_keys: np.ndarray,
+                      mapping_vals: np.ndarray, out_col: str,
+                      default_identity: bool = True) -> Dataset:
+    """Add ``out_col`` = mapping[key] via a broadcast sorted-key lookup.
+
+    Keys absent from the mapping get their own key value (identity) when
+    ``default_identity`` — e.g. a doc outside any duplicate component is its
+    own cluster.
+    """
+    order = np.argsort(mapping_keys)
+    ref = ray.put((mapping_keys[order], mapping_vals[order]))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mk, mv = ray.get(ref)
+        col = batch.column(key_col).to_numpy(zero_copy_only=False)
+        out = col.copy() if default_identity else np.zeros_like(col)
+        if len(mk):
+            idx = np.searchsorted(mk, col)
+            idx_c = np.minimum(idx, len(mk) - 1)
+            hit = mk[idx_c] == col
+            out[hit] = mv[idx_c[hit]]
+        return batch.append_column(out_col, pa.array(out, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _add_bucket(ds: Dataset, key_col: str, n_buckets: int) -> Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(key_col).to_numpy(zero_copy_only=False)
+        col = col.view(np.uint64) if col.dtype == np.int64 else col.astype(np.uint64)
+        b = (fmix64(col) % np.uint64(n_buckets)).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bucketed_join(
+    left: Dataset,
+    right: Dataset,
+    left_on: str,
+    right_on: str,
+    n_buckets: int = 32,
+    how: str = "inner",
+) -> Dataset:
+    """Partitioned hash join: both sides hash-bucketed on the key, unioned
+    with a side tag, grouped by bucket, merged per bucket with pandas.
+
+    Both sides shuffle once on narrow bucketed blocks; no broadcast. Skewed
+    keys: the bucket count spreads distinct keys; a single pathological key
+    still lands in one bucket (callers pre-aggregate such keys — see
+    lsh.candidate_pairs salting).
+    """
+    lb = _add_bucket(left, left_on, n_buckets)
+    rb = _add_bucket(right, right_on, n_buckets)
+
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    overlap = (set(lcols) & set(rcols)) - ({left_on} if left_on == right_on else set())
+    if overlap:
+        raise ValueError(f"column collision in join: {overlap}")
+
+    # union needs one schema: every block carries all columns (nulls for the
+    # other side's), plus __bucket and a side tag.
+    fields = list(lschema) + [f for f in rschema if f.name not in lcols]
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = {}
+            for f in fields:
+                if f.name in batch.column_names:
+                    cols[f.name] = batch.column(f.name)
+                else:
+                    cols[f.name] = pa.nulls(n, f.type)
+            cols["__bucket"] = batch.column("__bucket")
+            cols["__side"] = pa.array([side] * n)
+            return pa.table(cols)
+
+        return fn
+
+    both = lb.map_batches(tag("l"), batch_format="pyarrow").union(
+        rb.map_batches(tag("r"), batch_format="pyarrow")
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == "l"][lcols]
+        r = group[group["__side"] == "r"][rcols]
+        out = l.merge(r, left_on=left_on, right_on=right_on, how=how)
+        return out
+
+    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def collect_table(ds: Dataset, limit_rows: int | None = None) -> pa.Table:
+    """Stream a (small) dataset to one Arrow table on the driver."""
+    batches = []
+    n = 0
+    for b in ds.iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
+        batches.append(b)
+        n += len(b)
+        if limit_rows is not None and n >= limit_rows:
+            break
+    if not batches:
+        empty = pa.schema([])  # caller handles empties via schema of ds
+        try:
+            return pa.Table.from_batches([], schema=pa.schema(ds.schema().base_schema))
+        except Exception:
+            return pa.table({})
+    return pa.concat_tables(batches)

@@ -1,0 +1,96 @@
+"""Stage 1 — ingest (≅ GetFiles walk+stat, process_matches.rs:65-241).
+
+Parquet fragment discovery plays the directory walk; this stage adds the
+identity columns and applies the per-record gates:
+
+- ``size_bytes`` = utf8 byte length of ``text`` (≅ file Size cheap key)
+- ``doc_hash``   = xxhash64(text)            (≅ full checksum identity)
+- ``short_hash`` = xxhash64(text[:4096 bytes]) (≅ SHORT_CHUNK_SIZE partial
+  checksum, process_matches.rs:35) mixed with size so stage-2 groups refine
+  stage-1 groups exactly as the reference refines within size groups
+- min/max size gate (≅ --min-size/--max-size, options.rs:38-45)
+- url exclude regex (≅ exclude globs, options.rs:186-204) — applied ONCE
+  here; the reference re-applies at every read only because its DB can be
+  stale
+- lang filter (row-validity analogue of the irregular-file skip,
+  process_matches.rs:183-187)
+
+``html`` (wide binary) is projected away immediately — identity columns are
+all later stages need; the invariant "byte-identical extracted text per
+url" holds because ``text`` is never rewritten anywhere downstream.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from .config import DedupConfig
+from .hashing import fmix64, xxh64_arrow, utf8_lengths
+
+_KEEP = ["url", "text", "lang"]
+
+
+class Ingester:
+    """Callable for ``map_batches`` (stateless-cheap, but compiled regex is
+    per-actor state → actor pool friendly)."""
+
+    def __init__(self, cfg: DedupConfig):
+        self.cfg = cfg
+        self.url_re = re.compile(cfg.exclude_url_regex) if cfg.exclude_url_regex else None
+        self.langs = set(cfg.lang_filter) if cfg.lang_filter else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        cols = {n: batch.column(n) for n in _KEEP if n in batch.column_names}
+        t = pa.table(cols)
+        text = t.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        size = utf8_lengths(text)
+        mask = size >= cfg.min_size
+        if cfg.max_size:
+            mask &= size <= cfg.max_size
+        if self.langs is not None and "lang" in t.column_names:
+            lang_ok = pc.is_in(
+                pc.fill_null(t.column("lang"), ""), value_set=pa.array(sorted(self.langs))
+            )
+            mask &= lang_ok.to_numpy(zero_copy_only=False).astype(bool)
+        if self.url_re is not None:
+            urls = t.column("url").to_pylist()
+            mask &= np.array([self.url_re.search(u or "") is None for u in urls])
+        t = t.filter(pa.array(mask))
+        text = t.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        size = utf8_lengths(text)
+        doc_hash = xxh64_arrow(text, seed=cfg.hash_seed)
+        short = xxh64_arrow(text, seed=cfg.hash_seed, prefix=cfg.short_prefix)
+        with np.errstate(over="ignore"):
+            short_key = fmix64(short ^ size.astype(np.uint64))
+        # hashes travel as int64 bit-patterns: Ray's groupby key path round-
+        # trips through Python ints and breaks on uint64 > int64 max.
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "text": t.column("text"),
+                "lang": t.column("lang") if "lang" in t.column_names else pa.nulls(len(t), pa.string()),
+                "size_bytes": pa.array(size, pa.int64()),
+                "doc_hash": pa.array(doc_hash.view(np.int64), pa.int64()),
+                "short_hash": pa.array(short_key.view(np.int64), pa.int64()),
+            }
+        )
+
+
+def ingest(pages: Dataset, cfg: DedupConfig) -> Dataset:
+    return pages.map_batches(
+        Ingester(cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.signer_concurrency,
+        zero_copy_batch=True,
+    )

@@ -1,0 +1,83 @@
+"""Arrow schemas for every stage table.
+
+All 64-bit hash values travel as **int64 bit-patterns** (Ray Data groupby
+keys round-trip through Python ints and overflow on uint64 > 2^63).
+
+Input per BASELINE.json input_hint; intermediate/output tables per
+SURVEY.md §1.4 (file record ↔ page row, FileIdent ↔ doc_hash,
+DuplicateGroup ↔ clusters table).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+SCHEMA_VERSION = 1  # ≅ reference SCHEMA_VERSION=3, file_db.rs:26
+
+PAGES = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+# ingest output (P1): pages + identity columns (html projected away — wide
+# binary payloads must not ride through the shuffle stages)
+INGESTED = pa.schema(
+    [
+        ("url", pa.string()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("size_bytes", pa.int64()),
+        ("doc_hash", pa.int64()),
+        ("short_hash", pa.int64()),
+    ]
+)
+
+# MinHash signatures (P3): one row per distinct doc_hash
+SIGNATURES = pa.schema(
+    [
+        ("doc_hash", pa.int64()),
+        ("sig", pa.list_(pa.int64())),  # len == num_perm (u64 bit-patterns)
+        ("n_shingles", pa.int64()),
+    ]
+)
+
+# LSH band rows (P4 input)
+BANDS = pa.schema(
+    [
+        ("doc_hash", pa.int64()),
+        ("band_idx", pa.int32()),
+        ("band_hash", pa.int64()),
+    ]
+)
+
+# candidate / verified pairs
+PAIRS = pa.schema(
+    [
+        ("a", pa.int64()),  # doc_hash, a < b
+        ("b", pa.int64()),
+    ]
+)
+
+VERIFIED_PAIRS = pa.schema(
+    [
+        ("a", pa.int64()),
+        ("b", pa.int64()),
+        ("sim", pa.float64()),  # estimated Jaccard (signature agreement)
+    ]
+)
+
+# final output (≅ DuplicateGroup, duplicate_group.rs:21-25):
+CLUSTERS = pa.schema(
+    [
+        ("url", pa.string()),
+        ("doc_hash", pa.int64()),
+        ("cluster_id", pa.int64()),  # min doc_hash in the component
+        ("cluster_size", pa.int64()),  # urls in cluster
+        ("size_bytes", pa.int64()),
+    ]
+)
