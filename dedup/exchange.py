@@ -176,13 +176,58 @@ def bucketed_join(
         rb.map_batches(tag("r"), batch_format="pyarrow")
     )
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group["__side"] == "l"][lcols]
-        r = group[group["__side"] == "r"][rcols]
+    # group arrives as Arrow; each side's own columns are null-free, so the
+    # per-side pandas conversion keeps int64 exact (a whole-group pandas
+    # conversion would turn the union's null padding into float64 and
+    # corrupt 64-bit keys)
+    def merge(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        lmask = pa.array(side == "l")
+        l = group.filter(lmask).select(lcols).to_pandas()
+        r = group.filter(pc.invert(lmask)).select(rcols).to_pandas()
         out = l.merge(r, left_on=left_on, right_on=right_on, how=how)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def min_by_key(ds: Dataset, key_col: str, val_col: str, n_buckets: int = 32) -> Dataset:
+    """Exact global min(val) per key → Dataset(key, val).
+
+    Ray's built-in Min aggregate seeds with a float and corrupts int64
+    extremes (observed on encoded u64 labels); this uses the bucketed
+    pattern instead — per-batch vectorized partial mins (sort + reduceat),
+    then a low-cardinality groupby over ``n_buckets`` with a vectorized
+    pandas reduction per bucket. Only (key, val) rows shuffle.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        v = batch.column(val_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        if len(k) == 0:
+            return pa.table({key_col: pa.array([], pa.int64()), val_col: pa.array([], pa.int64())})
+        starts = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
+        return pa.table(
+            {
+                key_col: pa.array(k[starts], pa.int64()),
+                val_col: pa.array(np.minimum.reduceat(v, starts), pa.int64()),
+            }
+        )
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    bucketed = _add_bucket(part, key_col, n_buckets)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key_col, sort=False, as_index=False)[val_col].min()
         return out
 
-    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+    return (
+        bucketed.groupby("__bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .map_batches(lambda t: t.select([key_col, val_col]), batch_format="pyarrow")
+    )
 
 
 def collect_table(ds: Dataset, limit_rows: int | None = None) -> pa.Table:

@@ -87,10 +87,11 @@ class Ingester:
 
 
 def ingest(pages: Dataset, cfg: DedupConfig) -> Dataset:
+    # an Ingester INSTANCE is a plain callable → stateless tasks (elastic,
+    # no reserved pool); regex compile cost is trivial per task
     return pages.map_batches(
         Ingester(cfg),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=cfg.signer_concurrency,
         zero_copy_batch=True,
     )

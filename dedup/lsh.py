@@ -1,0 +1,165 @@
+"""LSH banding → candidate pairs (north rule: b×r band hashing shuffled to
+emit candidate pairs, with explicit skew handling).
+
+Band rows are the *only* thing that shuffles widely, and they're 16 bytes
+each — (doc_hash, bkey). Signatures stay in the signature checkpoint and
+are re-attached to candidate pairs for verification.
+
+Pair emission is **sort-based, never per-group Python**: a range-
+partitioning ``sort("bkey")`` makes every bucket contiguous in the sorted
+stream; each batch then emits star edges (bucket-local min → member) with
+pure numpy segment ops (``reduceat``). A bucket that straddles a batch
+boundary yields one local representative per fragment; those boundary
+records (≤2 per batch — only a batch's first and last bucket can straddle)
+are chained on the driver so fragments stay connected. This also IS the
+hot-band skew handling: a boilerplate bucket with 10^6 members just spans
+more sorted batches — work stays linear, no O(g²) blowup, no salting
+special case. (Earlier revision used ``groupby(bucket).map_groups``; with
+~1 bucket per doc per band that is millions of tiny per-group Python calls
+— unusable. Rule of thumb encoded here: map_groups only on low-cardinality
+keys.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+from .config import DedupConfig
+from .hashing import U64, fmix64
+
+_BANDC = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+class Bander:
+    """signatures → (doc_hash, bkey) band rows; one fused key per band."""
+
+    def __init__(self, cfg: DedupConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = len(batch)
+        empty = pa.table(
+            {"doc_hash": pa.array([], pa.int64()), "bkey": pa.array([], pa.int64())}
+        )
+        if n == 0:
+            return empty
+        sig_col = batch.column("sig")
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        flat = sig_col.flatten().to_numpy(zero_copy_only=False).view(U64)
+        sig = flat.reshape(n, cfg.num_perm)
+        # docs with no shingles (all-sentinel signature) never band
+        has = batch.column("n_shingles").to_numpy(zero_copy_only=False) > 0
+        sig = sig[has]
+        dh = batch.column("doc_hash").to_numpy(zero_copy_only=False)[has]
+        m = len(sig)
+        if m == 0:
+            return empty
+        with np.errstate(over="ignore"):
+            bands = sig.reshape(m, cfg.bands, cfg.rows_per_band)
+            acc = np.zeros((m, cfg.bands), dtype=U64)
+            for j in range(cfg.rows_per_band):
+                acc = acc * _BANDC + bands[:, :, j]
+            # mix the band index in so equal r-row slices in different bands
+            # don't share a bucket
+            acc ^= (np.arange(cfg.bands, dtype=U64) + np.uint64(1)) * _BANDC
+            bkey = fmix64(acc.reshape(-1))
+        return pa.table(
+            {
+                "doc_hash": pa.array(np.repeat(dh, cfg.bands), pa.int64()),
+                "bkey": pa.array(bkey.view(np.int64), pa.int64()),
+            }
+        )
+
+
+def band_rows(signatures: Dataset, cfg: DedupConfig) -> Dataset:
+    return signatures.map_batches(
+        Bander(cfg), batch_format="pyarrow",
+        batch_size=cfg.batch_size, zero_copy_batch=True,
+    )
+
+
+def _emit_star(batch: pa.Table) -> pa.Table:
+    """One sorted batch → star edges + boundary records.
+
+    Output columns: a, b, boundary(int8). Boundary rows carry
+    (a=bkey, b=local_rep) for the batch's first and last bucket.
+    """
+    bk = batch.column("bkey").to_numpy(zero_copy_only=False)
+    dh = batch.column("doc_hash").to_numpy(zero_copy_only=False)
+    n = len(bk)
+    if n == 0:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "boundary": pa.array([], pa.int8())}
+        )
+    order = np.argsort(bk, kind="stable")  # defensive; stream is sorted
+    bk = bk[order]
+    dh = dh[order]
+    du = dh.view(U64)
+    seg_starts = np.concatenate([[0], np.flatnonzero(bk[1:] != bk[:-1]) + 1])
+    rep_u = np.minimum.reduceat(du, seg_starts)
+    seg_id = np.cumsum(np.concatenate([[0], (bk[1:] != bk[:-1]).astype(np.int8)]))
+    rep_per_row = rep_u[seg_id].view(np.int64)
+    is_member = dh != rep_per_row
+    edges_a = rep_per_row[is_member]
+    edges_b = dh[is_member]
+    # boundary records for first and last segment
+    rep_i = rep_u.view(np.int64)
+    brec_a = [int(bk[0]), int(bk[-1])]
+    brec_b = [int(rep_i[0]), int(rep_i[-1])]
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate([edges_a, np.array(brec_a, np.int64)]), pa.int64()),
+            "b": pa.array(np.concatenate([edges_b, np.array(brec_b, np.int64)]), pa.int64()),
+            "boundary": pa.array(
+                np.concatenate([np.zeros(len(edges_a), np.int8), np.ones(2, np.int8)]),
+                pa.int8(),
+            ),
+        }
+    )
+
+
+def candidate_pairs(bands: Dataset, cfg: DedupConfig) -> tuple[Dataset, pa.Table]:
+    """band rows → (star-edge Dataset(a,b), boundary-chain edges table).
+
+    Star edges are connectivity-equivalent to all-pairs within each bucket.
+    The returned boundary table (driver-side, ≤2 rows per sorted batch) is
+    already chained into extra edges connecting straddled bucket fragments.
+    """
+    sorted_bands = bands.sort("bkey")
+    out = sorted_bands.map_batches(_emit_star, batch_format="pyarrow", batch_size=None)
+    edges = out.filter(expr="boundary == 0").select_columns(["a", "b"])
+
+    btbl = pa.concat_tables(
+        list(
+            out.filter(expr="boundary == 1")
+            .select_columns(["a", "b"])
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        )
+        or [pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})]
+    )
+    # chain local reps sharing a bkey (fragmented buckets only)
+    bkeys = btbl.column("a").to_numpy(zero_copy_only=False)
+    reps = btbl.column("b").to_numpy(zero_copy_only=False)
+    chain_a, chain_b = [], []
+    if len(bkeys):
+        order = np.lexsort((reps.view(U64), bkeys))
+        bks, rps = bkeys[order], reps[order]
+        seg = np.concatenate([[0], np.flatnonzero(bks[1:] != bks[:-1]) + 1, [len(bks)]])
+        for i in range(len(seg) - 1):
+            s, e = seg[i], seg[i + 1]
+            frag = np.unique(rps[s:e])
+            if len(frag) > 1:
+                chain_a.append(frag[:-1])
+                chain_b.append(frag[1:])
+    chain = pa.table(
+        {
+            "a": pa.array(np.concatenate(chain_a) if chain_a else np.array([], np.int64), pa.int64()),
+            "b": pa.array(np.concatenate(chain_b) if chain_b else np.array([], np.int64), pa.int64()),
+        }
+    )
+    return edges, chain

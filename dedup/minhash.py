@@ -1,0 +1,164 @@
+"""Shingling + MinHash signatures (stage 2 generalization per north rule).
+
+The reference's stage-2 partial fingerprint (first-4096-bytes blake3,
+process_matches.rs:243-265) generalizes to a 5-gram shingled
+128-permutation MinHash signature computed per distinct content identity.
+
+Vectorization strategy (no Python in the per-token hot path):
+
+1. tokenize the whole batch in Arrow: utf8_lower → split_pattern_regex on
+   ``\\W+`` → flatten to one token array (token counts from list offsets)
+2. hash every token with the vectorized XXH64 kernel (hashing.py)
+3. shingle hashes = degree-(k-1) polynomial combine of k consecutive token
+   hashes (shifted-slice loop, k numpy ops), masked at document boundaries
+4. per-permutation hash h_i(s) = xorshift-mix(s * a_i) with 128 seeded odd
+   multipliers (multiply-shift family); per-doc minimum via
+   ``np.minimum.reduceat`` over the flat shingle array
+
+Docs with fewer than k tokens fall back to a single whole-token-sequence
+shingle; docs with zero tokens get an all-sentinel signature and never
+enter LSH (they can only be exact dups, which the cascade already catches).
+
+This is a stateful stage: the multiplier table and compiled patterns are
+built once per actor (``__init__``), work happens per batch (``__call__``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from .config import DedupConfig
+from .hashing import U64, fmix64, xxh64_arrow
+
+SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+_POLY = np.uint64(0x9E3779B185EBCA87)  # odd combine constant
+
+
+def _token_lists(text: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """text column → (flat token hashes, tokens-per-doc counts)."""
+    lowered = pc.utf8_lower(text)
+    toks = pc.split_pattern_regex(lowered, r"\W+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()  # may contain empty strings at split boundaries
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    # drop empty tokens; recompute per-doc counts from the keep-mask prefix sum
+    lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+    keep = lens > 0
+    cs = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
+    counts = cs[offsets[1:]] - cs[offsets[:-1]]
+    flat_kept = flat.filter(pa.array(keep)) if not keep.all() else flat
+    th = xxh64_arrow(flat_kept) if len(flat_kept) else np.empty(0, U64)
+    return th, counts
+
+
+def shingle_hashes(th: np.ndarray, counts: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Flat shingle-hash array + shingles-per-doc.
+
+    k-gram rolling combine; docs with 1..k-1 tokens contribute one shingle
+    over all their tokens; docs with 0 tokens contribute none.
+    """
+    n_docs = len(counts)
+    doc_end = np.cumsum(counts)
+    doc_start = doc_end - counts
+    n_sh = np.where(counts >= k, counts - k + 1, np.where(counts > 0, 1, 0)).astype(np.int64)
+    total = int(n_sh.sum())
+    out = np.empty(total, dtype=U64)
+    out_end = np.cumsum(n_sh)
+    out_start = out_end - n_sh
+
+    with np.errstate(over="ignore"):
+        # full k-gram shingles, vectorized over the whole flat array
+        big = counts >= k
+        if big.any():
+            T = len(th)
+            if T >= k:
+                acc = np.zeros(T - k + 1, dtype=U64)
+                for j in range(k):
+                    acc = acc * _POLY + th[j : T - k + 1 + j]
+                acc = fmix64(acc)
+                # valid shingle start positions: doc_start..doc_start+cnt-k
+                starts_b = doc_start[big]
+                counts_b = counts[big]
+                m = counts_b - k + 1
+                row_of = np.repeat(np.arange(len(starts_b)), m)
+                pos = np.arange(int(m.sum()), dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+                src = starts_b[row_of] + pos
+                dst = out_start[big][row_of] + pos
+                out[dst] = acc[src]
+        # short docs: one shingle over all tokens
+        short = (counts > 0) & (counts < k)
+        if short.any():
+            idxs = np.nonzero(short)[0]
+            for i in idxs:  # few rows; cheap
+                seg = th[doc_start[i] : doc_end[i]]
+                a = np.uint64(0)
+                for v in seg:
+                    a = a * _POLY + v
+                out[out_start[i]] = fmix64(np.array([a], dtype=U64))[0]
+    return out, n_sh
+
+
+class MinHashSigner:
+    """Actor-pool callable: distinct-content rows → signatures.
+
+    Input batch columns: doc_hash (int64), text (string).
+    Output: doc_hash, sig (fixed_size_list<int64>[num_perm]), n_shingles.
+    """
+
+    def __init__(self, cfg: DedupConfig):
+        self.cfg = cfg
+        rng = np.random.default_rng(cfg.minhash_seed)
+        a = rng.integers(1, 1 << 63, size=cfg.num_perm, dtype=np.uint64)
+        self.mult = (a << np.uint64(1)) | np.uint64(1)  # odd multipliers
+        self.shift = np.uint64(31)
+
+    def signatures(self, text: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        """(n_docs, num_perm) uint64 signature matrix + shingle counts."""
+        cfg = self.cfg
+        th, counts = _token_lists(text)
+        sh, n_sh = shingle_hashes(th, counts, cfg.shingle_k)
+        n_docs = len(counts)
+        sig = np.full((n_docs, cfg.num_perm), SENTINEL, dtype=U64)
+        nz = n_sh > 0
+        if nz.any():
+            starts = (np.cumsum(n_sh) - n_sh)[nz].astype(np.int64)
+            with np.errstate(over="ignore"):
+                buf = np.empty_like(sh)
+                for p in range(cfg.num_perm):
+                    np.multiply(sh, self.mult[p], out=buf)
+                    buf ^= buf >> self.shift
+                    sig[nz, p] = np.minimum.reduceat(buf, starts)
+        return sig, n_sh
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        sig, n_sh = self.signatures(text)
+        flat = pa.array(sig.reshape(-1).view(np.int64), pa.int64())
+        sig_col = pa.FixedSizeListArray.from_arrays(flat, self.cfg.num_perm)
+        return pa.table(
+            {
+                "doc_hash": batch.column("doc_hash"),
+                "sig": sig_col,
+                "n_shingles": pa.array(n_sh, pa.int64()),
+            }
+        )
+
+
+def sign(reps: Dataset, cfg: DedupConfig) -> Dataset:
+    """Distinct-content representatives → signature table (P3)."""
+    # autoscaling actor pool (min 1) — a fixed pool equal to the CPU count
+    # deadlocks against other stages on small clusters
+    return reps.map_batches(
+        MinHashSigner,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=(1, cfg.signer_concurrency),
+        zero_copy_batch=True,
+    )

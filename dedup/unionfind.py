@@ -1,0 +1,173 @@
+"""Connected components over verified candidate pairs.
+
+Two implementations:
+
+- ``UnionFind`` + ``components_from_pairs``: driver-side streaming
+  union-find (path compression + union by size). Edges stream in batches
+  from the (already heavily pruned) verified-pair dataset; memory is
+  O(nodes touched by an edge) — duplicate-involved docs only, not the
+  corpus. Mirrors the reference's single-process final grouping
+  (process_matches.rs:395-401); right tool up to ~10^8 edges.
+
+- ``label_propagation``: distributed min-label propagation over Ray Data
+  for the 10^12-doc scale path. Each round: labels join onto edges (two
+  bucketed hash joins on narrow 16-byte rows), every node takes the min
+  label among itself and its neighbors, repeat to fixpoint. Round count is
+  O(component diameter); star-shaped LSH edges keep diameters small. A
+  BTS-style balanced union-find actor fleet (PAPERS.md) is the next
+  refinement if rounds ever dominate.
+
+Cluster ids are the uint64-min member of each component in both paths, so
+they agree bit-for-bit (asserted in tests/test_unionfind.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+from .exchange import bucketed_join, min_by_key
+from .hashing import fmix64
+
+_SIGN = np.uint64(1 << 63)
+
+
+def _enc_np(x: np.ndarray) -> np.ndarray:
+    """int64 bit-pattern of u64 → order-preserving int64 (for Min aggs)."""
+    return (x.view(np.uint64) ^ _SIGN).view(np.int64)
+
+
+def _dec_np(x: np.ndarray) -> np.ndarray:
+    return (x.view(np.uint64) ^ _SIGN).view(np.int64)
+
+
+class UnionFind:
+    __slots__ = ("parent", "size")
+
+    def __init__(self):
+        self.parent: dict[int, int] = {}
+        self.size: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent
+        if x not in p:
+            p[x] = x
+            self.size[x] = 1
+            return x
+        root = x
+        while p[root] != root:
+            root = p[root]
+        while p[x] != root:  # path compression
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        if self.size[ra] < self.size[rb]:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+        self.size[ra] += self.size[rb]
+
+    def component_map(self) -> tuple[np.ndarray, np.ndarray]:
+        """(keys, cluster_ids); cluster id = uint64-min member —
+        deterministic regardless of edge order."""
+        if not self.parent:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        keys = np.fromiter(self.parent.keys(), dtype=np.int64, count=len(self.parent))
+        roots = np.fromiter(
+            (self.find(int(k)) for k in keys), dtype=np.int64, count=len(keys)
+        )
+        min_of_root: dict[int, int] = {}
+        order = np.argsort(keys.view(np.uint64), kind="stable")
+        for k, r in zip(keys[order].tolist(), roots[order].tolist()):
+            if r not in min_of_root:
+                min_of_root[r] = k
+        cids = np.fromiter(
+            (min_of_root[int(r)] for r in roots), dtype=np.int64, count=len(roots)
+        )
+        return keys, cids
+
+
+def components_from_pairs(pairs: Dataset) -> tuple[np.ndarray, np.ndarray]:
+    """Stream (a, b) edges into a driver union-find → (keys, cluster_ids)."""
+    uf = UnionFind()
+    for batch in pairs.iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        for x, y in zip(a.tolist(), b.tolist()):
+            uf.union(x, y)
+    return uf.component_map()
+
+
+def label_propagation(
+    pairs: Dataset, n_buckets: int = 32, max_iter: int = 30
+) -> Dataset:
+    """Distributed connected components → Dataset(node, label) where label
+    is the uint64-min member of the node's component (int64 bit-pattern)."""
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        lo = _enc_np(np.minimum(a.view(np.uint64), b.view(np.uint64)).view(np.int64))
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                "label": pa.array(np.concatenate([lo, lo]), pa.int64()),
+            }
+        )
+
+    labels = min_by_key(
+        pairs.map_batches(init_labels, batch_format="pyarrow"),
+        "node", "label", n_buckets=n_buckets,
+    ).materialize()
+    edges = pairs.materialize()
+
+    def checksum(lds: Dataset) -> int:
+        tot = 0
+        for b in lds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            n = b.column("node").to_numpy(zero_copy_only=False).view(np.uint64)
+            l = b.column("label").to_numpy(zero_copy_only=False).view(np.uint64)
+            with np.errstate(over="ignore"):
+                tot = (tot + int(fmix64(n ^ l).sum(dtype=np.uint64))) & ((1 << 64) - 1)
+        return tot
+
+    prev = checksum(labels)
+    for _ in range(max_iter):
+        msgs = []
+        for end, other in (("a", "b"), ("b", "a")):
+            j = bucketed_join(
+                edges,
+                labels.map_batches(
+                    lambda t, e=end: pa.table(
+                        {f"__n_{e}": t.column("node"), f"__l_{e}": t.column("label")}
+                    ),
+                    batch_format="pyarrow",
+                ),
+                left_on=end,
+                right_on=f"__n_{end}",
+                n_buckets=n_buckets,
+            )
+            msgs.append(
+                j.map_batches(
+                    lambda t, e=end, o=other: pa.table(
+                        {"node": t.column(o), "label": t.column(f"__l_{e}")}
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+        labels = min_by_key(
+            labels.union(*msgs), "node", "label", n_buckets=n_buckets
+        ).materialize()
+        cur = checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+
+    def dec(batch: pa.Table) -> pa.Table:
+        lab = _dec_np(batch.column("label").to_numpy(zero_copy_only=False))
+        return pa.table({"node": batch.column("node"), "label": pa.array(lab, pa.int64())})
+
+    return labels.map_batches(dec, batch_format="pyarrow")

@@ -1,0 +1,113 @@
+"""End-to-end near-dup pipeline: planted recall + negative controls."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from dedup.config import DedupConfig
+from dedup.pipeline import cluster_partition, near_dup_pipeline
+from dedup.synth import make_pages
+from dedup.unionfind import UnionFind, components_from_pairs, label_propagation
+
+
+def _url_cluster_map(clusters_ds):
+    df = clusters_ds.to_pandas()
+    return dict(zip(df["url"], df["cluster_id"]))
+
+
+def test_near_dup_recall_and_precision():
+    table, exp = make_pages()
+    ds = rd.from_arrow(table)
+    res = near_dup_pipeline(ds, DedupConfig(min_size=1))
+    cmap = _url_cluster_map(res.clusters)
+
+    # recall over planted near-dup pairs (target ≥0.99 with margin here)
+    pairs = exp.near_dup_pairs
+    hits = sum(1 for u, v in pairs if u in cmap and v in cmap and cmap[u] == cmap[v])
+    recall = hits / len(pairs)
+    assert recall >= 0.99, f"near-dup pair recall {recall:.3f} < 0.99"
+
+    # exact groups must also cluster
+    for g in exp.exact_groups:
+        ids = {cmap.get(u) for u in g}
+        assert len(ids) == 1 and None not in ids, f"exact group split: {g}"
+
+    # negative controls (J ≤ 0.3) must NOT cluster together
+    for u, v in exp.negative_pairs:
+        if u in cmap and v in cmap:
+            assert cmap[u] != cmap[v], f"negatives clustered: {u} {v}"
+
+    # singletons must not appear at all
+    for u in exp.singleton_urls:
+        assert u not in cmap
+
+
+def test_pipeline_never_mutates_text():
+    # per-row invariant: byte-identical extracted text per url
+    table, _ = make_pages(n_exact_groups=3, n_near_groups=3, n_singletons=10)
+    ds = rd.from_arrow(table)
+    from dedup.ingest import ingest
+
+    ing = ingest(ds, DedupConfig(min_size=0))
+    got = ing.select_columns(["url", "text"]).to_pandas().set_index("url")["text"]
+    want = dict(zip(table.column("url").to_pylist(), table.column("text").to_pylist()))
+    for url, text in want.items():
+        assert got[url] == text
+
+
+def test_exact_dups_share_cluster_even_without_lsh_edges():
+    # two identical docs under min token count for shingling (short text)
+    t = pa.table(
+        {
+            "url": pa.array(["u1", "u2", "u3"]),
+            "warc_ts": pa.array([0, 1, 2], pa.timestamp("us")),
+            "html": pa.array([b""] * 3, pa.binary()),
+            "text": pa.array(["tiny doc", "tiny doc", "other thing"]),
+            "lang": pa.array(["en"] * 3),
+        }
+    )
+    res = near_dup_pipeline(rd.from_arrow(t), DedupConfig(min_size=1))
+    assert cluster_partition(res.clusters) == [["u1", "u2"]]
+
+
+def test_unionfind_component_map():
+    uf = UnionFind()
+    uf.union(5, 3)
+    uf.union(7, 9)
+    uf.union(3, 9)
+    uf.union(100, 200)
+    keys, cids = uf.component_map()
+    m = dict(zip(keys.tolist(), cids.tolist()))
+    assert m[5] == m[3] == m[7] == m[9] == 3
+    assert m[100] == m[200] == 100
+
+
+def test_unionfind_uint64_min_rule():
+    uf = UnionFind()
+    # -1 as int64 is the LARGEST uint64 value; min must pick 1
+    uf.union(-1, 1)
+    keys, cids = uf.component_map()
+    m = dict(zip(keys.tolist(), cids.tolist()))
+    assert m[-1] == 1 and m[1] == 1
+
+
+def test_label_propagation_matches_driver_unionfind():
+    rng = np.random.default_rng(3)
+    # random graph: 3 chains + isolated pairs
+    edges = []
+    base = 0
+    for chain_len in (5, 8, 3):
+        nodes = (rng.permutation(1000)[:chain_len] + base * 1000 + 1).tolist()
+        edges += list(zip(nodes[:-1], nodes[1:]))
+        base += 1
+    edges += [(5001, 5002), (6001, 6002)]
+    et = pa.table(
+        {"a": pa.array([a for a, _ in edges], pa.int64()),
+         "b": pa.array([b for _, b in edges], pa.int64())}
+    )
+    ds = rd.from_arrow(et)
+    keys, cids = components_from_pairs(ds)
+    want = dict(zip(keys.tolist(), cids.tolist()))
+    lp = label_propagation(ds, n_buckets=4).to_pandas()
+    got = dict(zip(lp["node"], lp["label"]))
+    assert got == want
