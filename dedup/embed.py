@@ -1,0 +1,290 @@
+"""Embedding-space operators: cosine KNN search and near-duplicate
+clustering over a ``list<float>`` embedding column.
+
+Patterns (per the build brief's similarity-search requirement):
+
+- ``knn_cosine``: brute-force exact top-k. The (small) query matrix is
+  broadcast once via ``ray.put``; every batch computes a float64 GEMM
+  against it and emits its **local** top-k per query (the combiner);
+  the driver merges the tiny per-batch candidate sets into the global
+  top-k. Wall-clock is one streaming pass; nothing wide shuffles.
+
+- ``cosine_near_dup_pairs``: all-pairs cosine ≥ threshold. Exact path
+  tiles the corpus: batches stream against a broadcast normalized matrix
+  (O(n·m) FLOPs but vectorized GEMM; right answer for verification and
+  for corpora that fit a broadcast). The scale path is
+  ``lsh_bucketed_pairs``: random-hyperplane sign buckets → pairs only
+  within buckets (recall < 1, tunable by n_planes/n_tables).
+
+- ``EmbeddingIndexer``: actor-pool stage holding the normalized matrix
+  once per actor (build in ``__init__``, query per batch) — the
+  stateful-stage shape for repeated query workloads.
+
+Reference anchor: no embedding ops exist in the reference (it is a file
+dedup CLI); this module is part of the training-data-pipeline surface
+the brief requires beyond reference parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+from .hashing import U64, fmix64
+
+
+def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix (copy; compute dtype)."""
+    c = batch.column(col)
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    flat = c.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(batch), -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_cosine(
+    embeddings: Dataset,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact cosine top-k: → DataFrame(query_id, neighbor_id, rank).
+
+    Self-matches are excluded; ties break on ascending neighbor id
+    (deterministic, matches the oracle's ORDER BY sim DESC, id ASC).
+    """
+    qset = sorted(set(int(q) for q in query_ids))
+    qtbl_batches = []
+    for b in embeddings.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, qset)
+        if mask.any():
+            qtbl_batches.append(b.filter(pa.array(mask)))
+    if not qtbl_batches:
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []})
+    qt = pa.concat_tables(qtbl_batches)
+    q_ids = qt.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(q_ids)
+    q_ids = q_ids[order]
+    Q = _normalize(_emb_matrix(qt, emb_col))[order]  # (m, d)
+    ref = ray.put((q_ids, Q))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, Qm = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        X = _normalize(_emb_matrix(batch, emb_col))
+        sims = X @ Qm.T  # (n, m)
+        out_q, out_n, out_s = [], [], []
+        for j in range(len(qids)):
+            s = sims[:, j]
+            valid = ids != qids[j]
+            cand = np.nonzero(valid)[0]
+            if len(cand) == 0:
+                continue
+            kk = min(k, len(cand))
+            top = cand[np.argpartition(-s[cand], kk - 1)[:kk]]
+            out_q.append(np.full(kk, qids[j], np.int64))
+            out_n.append(ids[top].astype(np.int64))
+            out_s.append(s[top])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    parts = embeddings.map_batches(local_topk, batch_format="pyarrow")
+    df = parts.to_pandas()  # ≤ k rows per (batch, query) — tiny
+    if df.empty:
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []})
+    df = df.sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+    )
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    out = df[df["rank"] <= k][["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+    return out.astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
+
+
+class EmbeddingIndexer:
+    """Actor-pool stage: holds the normalized reference matrix once per
+    actor (``__init__``), answers batch queries in ``__call__``.
+
+    ``index_ref`` is a ``ray.put`` handle to (ids, normalized matrix) —
+    shipped to each actor once, not per batch.
+    """
+
+    def __init__(self, index_ref, k: int = 5):
+        self.ids, self.M = ray.get(index_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        X = _normalize(_emb_matrix(batch))
+        sims = X @ self.M.T
+        np.put_along_axis(
+            sims,
+            np.searchsorted(self.ids, ids)[:, None].clip(0, len(self.ids) - 1),
+            -np.inf,
+            axis=1,
+        )  # mask self where present
+        kk = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(ids, kk)
+        cols = self.ids[top].reshape(-1)
+        s = np.take_along_axis(sims, top, axis=1).reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(rows, pa.int64()),
+                "neighbor_id": pa.array(cols.astype(np.int64), pa.int64()),
+                "sim": pa.array(s, pa.float64()),
+            }
+        )
+
+
+def cosine_near_dup_pairs(
+    embeddings: Dataset, threshold: float = 0.9, id_col: str = "vec_id"
+) -> pa.Table:
+    """Exact all-pairs cosine ≥ threshold → Arrow table (a, b, sim), a<b.
+
+    Streams batches against a broadcast normalized matrix — O(n·m) GEMM,
+    exact; use ``lsh_bucketed_pairs`` when the matrix outgrows broadcast.
+    """
+    full = pa.concat_tables(
+        list(embeddings.iter_batches(batch_size=1 << 16, batch_format="pyarrow"))
+    )
+    ids_all = full.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    M = _normalize(_emb_matrix(full))
+    ref = ray.put((ids_all, M))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        aid, Ma = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        X = _normalize(_emb_matrix(batch))
+        sims = X @ Ma.T
+        r, c = np.nonzero(sims >= threshold)
+        keep = ids[r] < aid[c]  # canonical orientation, drops self
+        r, c = r[keep], c[keep]
+        return pa.table(
+            {
+                "a": pa.array(ids[r], pa.int64()),
+                "b": pa.array(aid[c], pa.int64()),
+                "sim": pa.array(sims[r, c], pa.float64()),
+            }
+        )
+
+    return pa.concat_tables(
+        list(
+            embeddings.map_batches(pairs, batch_format="pyarrow").iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"
+            )
+        )
+        or [pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "sim": pa.array([], pa.float64())})]
+    )
+
+
+def lsh_bucketed_pairs(
+    embeddings: Dataset,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Approximate near-dup pairs via random-hyperplane LSH.
+
+    Each of ``n_tables`` tables hashes every vector to a ``n_planes``-bit
+    sign bucket; candidate pairs share a bucket in ≥1 table; candidates
+    are verified exactly. Collision prob per table = (1 - θ/π)^planes —
+    the scale path (no O(n·m) GEMM, only bucket-local work).
+    """
+    # plane matrix is seeded and broadcast once
+    first = next(iter(embeddings.iter_batches(batch_size=1, batch_format="pyarrow")))
+    d = len(first.column("embedding")[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, d))
+    pref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        P = ray.get(pref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        X = _normalize(_emb_matrix(batch))
+        out_key, out_id = [], []
+        for t in range(P.shape[0]):
+            bits = (X @ P[t].T) > 0  # (n, planes)
+            key = np.zeros(len(ids), dtype=U64)
+            for j in range(P.shape[1]):
+                key = (key << np.uint64(1)) | bits[:, j].astype(U64)
+            with np.errstate(over="ignore"):
+                key = fmix64(key ^ (U64(t) << np.uint64(56)))
+            out_key.append(key.view(np.int64))
+            out_id.append(ids)
+        return pa.table(
+            {
+                "bkey": pa.array(np.concatenate(out_key), pa.int64()),
+                "vid": pa.array(np.concatenate(out_id), pa.int64()),
+            }
+        )
+
+    rows = embeddings.map_batches(bucketize, batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        list(rows.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    bk = tbl.column("bkey").to_numpy(zero_copy_only=False)
+    vid = tbl.column("vid").to_numpy(zero_copy_only=False)
+    order = np.lexsort((vid, bk))
+    bk, vid = bk[order], vid[order]
+    seg = np.concatenate([[0], np.flatnonzero(bk[1:] != bk[:-1]) + 1, [len(bk)]])
+    pa_, pb_ = [], []
+    for i in range(len(seg) - 1):
+        s, e = seg[i], seg[i + 1]
+        if e - s < 2:
+            continue
+        g = np.unique(vid[s:e])
+        if len(g) < 2:
+            continue
+        iu, ju = np.triu_indices(len(g), k=1)
+        pa_.append(g[iu])
+        pb_.append(g[ju])
+    if not pa_:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    cand = np.unique(
+        np.stack([np.concatenate(pa_), np.concatenate(pb_)], axis=1), axis=0
+    )
+
+    # exact verification of the (small) candidate set
+    full = pa.concat_tables(
+        list(embeddings.iter_batches(batch_size=1 << 16, batch_format="pyarrow"))
+    )
+    ids_all = full.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    M = _normalize(_emb_matrix(full))
+    o = np.argsort(ids_all)
+    ids_s, M_s = ids_all[o], M[o]
+    ia = np.searchsorted(ids_s, cand[:, 0])
+    ib = np.searchsorted(ids_s, cand[:, 1])
+    sim = np.einsum("ij,ij->i", M_s[ia], M_s[ib])
+    keep = sim >= threshold
+    return pa.table(
+        {
+            "a": pa.array(cand[keep, 0], pa.int64()),
+            "b": pa.array(cand[keep, 1], pa.int64()),
+            "sim": pa.array(sim[keep], pa.float64()),
+        }
+    )

@@ -1,0 +1,381 @@
+"""Query registry: named Ray Data pipelines + DuckDB oracle SQL.
+
+Each entry in ``QUERIES`` is a callable ``(sf_dir) -> Dataset | DataFrame
+| pa.Table``; SQL-expressible ones have a matching entry in ``ORACLES``
+runnable by DuckDB over the same parquet tables (views ``documents``,
+``embeddings`` etc. are pre-registered by the driver). Column names and
+types match exactly — the driver's value-hash compare sorts columns by
+name. SQL that depends on shared semantics (tokenizer regex, stopword
+lists, planted-dup rule) is **generated from the same Python constants**
+used by the Ray operators, so the two sides cannot drift.
+
+Operator coverage map (SURVEY.md §2 → query):
+  S1/F1-F6/H1-H5/G1-G5/K1  exact_dup_clusters, cascade_stage_counts,
+                           top_clusters (cascade + grouping + sinks)
+  north-rule MinHash/LSH    minhash_lsh_clusters (rows-only: not SQL-
+                            expressible), ngram_jaccard_pairs (exact
+                            set-similarity oracle)
+  SimHash                   simhash_clusters (rows-only)
+  text analysis             doc_text_stats, lang_quality, lang_summary,
+                            token_freq_top20
+  similarity search         knn_cosine (oracle), embedding_near_dup
+                            (rows-only), ann_lsh_near_dup (rows-only)
+  multimodal plumbing       media_features (oracle on the derived
+                            html column)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from .adapters import pages_from_documents
+from .cascade import exact_survivors
+from .config import DedupConfig
+from .exchange import dup_keys, semi_filter
+from .ingest import ingest
+from .textstats import LANGS, QUALITY_MIN_TOKENS, QUALITY_STOP_DEN, QUALITY_STOP_NUM, STOPWORDS, text_stats, token_frequencies
+
+CFG = DedupConfig()
+
+# ---------------------------------------------------------------- SQL pieces
+# pages CTE mirroring adapters.pages_from_documents (planted-dup rule)
+PAGES_SQL = """
+pages AS (
+  SELECT 'doc://' || source || '/' || CAST(doc_id AS VARCHAR) AS url, text, lang FROM documents
+  UNION ALL
+  SELECT 'doc://' || source || '/' || CAST(doc_id AS VARCHAR) || '#dup1', text, lang FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT 'doc://' || source || '/' || CAST(doc_id AS VARCHAR) || '#dup2', text, lang FROM documents WHERE doc_id % 20 = 0
+)
+""".strip()
+
+# token list expression mirroring textstats._tokenize (ASCII corpus)
+TOKENS_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')"
+)
+
+
+def _stop_list_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+    return f"len(list_filter(ts, x -> list_contains([{words}], x)))"
+
+
+# -------------------------------------------------------------- Ray queries
+def q_exact_dup_clusters(sf_dir: str):
+    """Exact-duplicate clusters over planted pages (the reference cascade,
+    SURVEY §2.2-2.4). cluster_id = lexicographic-min member url."""
+    pages = pages_from_documents(sf_dir)
+    surv = exact_survivors(ingest(pages, CFG), CFG)
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame(
+                {"url": pd.Series([], dtype=object),
+                 "cluster_id": pd.Series([], dtype=object),
+                 "cluster_size": pd.Series([], dtype="int64"),
+                 "redundant_bytes": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {
+                "url": g["url"],
+                "cluster_id": g["url"].min(),
+                "cluster_size": np.int64(n),
+                "redundant_bytes": ((n - 1) * g["size_bytes"]).astype("int64"),
+            }
+        )
+
+    return (
+        surv.select_columns(["url", "doc_hash", "size_bytes"])
+        .groupby("doc_hash")
+        .map_groups(emit, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+
+
+def q_top_clusters(sf_dir: str):
+    """Largest exact clusters: sort + limit (≅ reporting sink K1/K2)."""
+    pages = pages_from_documents(sf_dir)
+    surv = exact_survivors(ingest(pages, CFG), CFG)
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame(
+                {"cluster_id": pd.Series([], dtype=object),
+                 "cluster_size": pd.Series([], dtype="int64"),
+                 "total_bytes": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {
+                "cluster_id": [g["url"].min()],
+                "cluster_size": np.array([n], dtype="int64"),
+                "total_bytes": np.array([g["size_bytes"].sum()], dtype="int64"),
+            }
+        )
+
+    groups = (
+        surv.select_columns(["url", "doc_hash", "size_bytes"])
+        .groupby("doc_hash")
+        .map_groups(emit, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+    return groups.sort(["cluster_size", "cluster_id"], descending=[True, False]).limit(10)
+
+
+def q_cascade_stage_counts(sf_dir: str):
+    """Survivor counts after each cascade stage (size → short → full);
+    pins the staged-pruning semantics (process_matches.rs:51-61)."""
+    pages = pages_from_documents(sf_dir)
+    ing = ingest(pages, CFG)
+    sizes = dup_keys(ing, "size_bytes")
+    s1 = semi_filter(ing, "size_bytes", sizes)
+    n1 = s1.count()
+    shorts = dup_keys(s1, "short_hash")
+    s2 = semi_filter(s1, "short_hash", shorts)
+    n2 = s2.count()
+    fulls = dup_keys(s2, "doc_hash")
+    s3 = semi_filter(s2, "doc_hash", fulls)
+    n3 = s3.count()
+    return pa.table(
+        {
+            "stage": pa.array(["size", "short", "full"], pa.string()),
+            "survivors": pa.array([n1, n2, n3], pa.int64()),
+        }
+    )
+
+
+def q_doc_text_stats(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return text_stats(ds).select_columns(
+        ["doc_id", "n_bytes", "n_tokens", "n_shingles", "n_distinct_tokens"]
+    )
+
+
+def q_lang_quality(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cols = ["doc_id", "n_tokens"] + [f"n_stop_{l}" for l in LANGS] + ["pred_lang", "is_quality"]
+    return text_stats(ds).select_columns(cols)
+
+
+def q_lang_summary(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from .hashing import utf8_lengths
+
+        nb = utf8_lengths(batch.column("text"))
+        df = pd.DataFrame(
+            {"lang": batch.column("lang").to_pylist(), "nb": nb}
+        ).groupby("lang", as_index=False).agg(pn=("nb", "size"), pb=("nb", "sum"))
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"], pa.string()),
+                "pn": pa.array(df["pn"].astype("int64"), pa.int64()),
+                "pb": pa.array(df["pb"].astype("int64"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("pn", alias_name="n_docs"), Sum("pb", alias_name="total_bytes"))
+    )
+
+
+def q_token_freq_top20(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return token_frequencies(ds, top_k=20)
+
+
+def q_knn_cosine(sf_dir: str):
+    from .embed import knn_cosine
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_cosine(emb, query_ids=list(range(10)), k=5)
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    from .jaccard import jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return jaccard_pairs(ds, id_col="doc_id", k=5, threshold_num=1, threshold_den=2)
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing smoke: derived binary column → typed metadata."""
+    from .media import media_features
+
+    pages = pages_from_documents(sf_dir, plant_dups=False)
+    return media_features(pages)
+
+
+# ------------------------------------------------- rows-only (non-SQL) queries
+def q_minhash_lsh_clusters(sf_dir: str):
+    from .pipeline import near_dup_pipeline
+
+    pages = pages_from_documents(sf_dir)
+    return near_dup_pipeline(pages, CFG).clusters
+
+
+def q_simhash_clusters(sf_dir: str):
+    from .simhash import simhash_clusters
+
+    pages = pages_from_documents(sf_dir)
+    return simhash_clusters(pages, CFG, hamming_max=3)
+
+
+def q_embedding_near_dup(sf_dir: str):
+    from .embed import cosine_near_dup_pairs
+    from .unionfind import UnionFind
+
+    # the synthetic embeddings are near-orthogonal (max cos ≈ 0.48);
+    # 0.35 exercises real pair flow on them
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = cosine_near_dup_pairs(emb, threshold=0.35)
+    uf = UnionFind()
+    for x, y in zip(
+        pairs.column("a").to_numpy(zero_copy_only=False).tolist(),
+        pairs.column("b").to_numpy(zero_copy_only=False).tolist(),
+    ):
+        uf.union(x, y)
+    keys, cids = uf.component_map()
+    df = pd.DataFrame({"vec_id": keys, "cluster_id": cids}).sort_values("vec_id")
+    return df.reset_index(drop=True)
+
+
+def q_ann_lsh_near_dup(sf_dir: str):
+    from .embed import lsh_bucketed_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    t = lsh_bucketed_pairs(emb, threshold=0.35, n_planes=8, n_tables=8)
+    return t.select(["a", "b"])
+
+
+QUERIES = {
+    "exact_dup_clusters": q_exact_dup_clusters,
+    "top_clusters": q_top_clusters,
+    "cascade_stage_counts": q_cascade_stage_counts,
+    "doc_text_stats": q_doc_text_stats,
+    "lang_quality": q_lang_quality,
+    "lang_summary": q_lang_summary,
+    "token_freq_top20": q_token_freq_top20,
+    "knn_cosine": q_knn_cosine,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "media_features": q_media_features,
+    "minhash_lsh_clusters": q_minhash_lsh_clusters,
+    "simhash_clusters": q_simhash_clusters,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_lsh_near_dup": q_ann_lsh_near_dup,
+}
+
+
+# ------------------------------------------------------------------- oracles
+def _oracle_lang_quality() -> str:
+    stops = {l: _stop_list_sql(l) for l in LANGS}
+    ge = {
+        l: " AND ".join(
+            f"n_stop_{l} >= n_stop_{o}" for o in LANGS if o != l
+        )
+        for l in LANGS
+    }
+    # alphabetical first-max tie-break: CASE tests langs in sorted order
+    case = "CASE WHEN greatest(" + ", ".join(f"n_stop_{l}" for l in LANGS) + ") = 0 THEN 'unknown'\n"
+    remaining = list(LANGS)
+    while len(remaining) > 1:
+        l = remaining.pop(0)
+        cond = " AND ".join(f"n_stop_{l} >= n_stop_{o}" for o in remaining)
+        case += f"  WHEN {cond} THEN '{l}'\n"
+    case += f"  ELSE '{remaining[0]}' END"
+    return f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS ts FROM documents),
+s AS (SELECT doc_id, len(ts) AS n_tokens,
+  {", ".join(f"{stops[l]} AS n_stop_{l}" for l in LANGS)}
+  FROM t)
+SELECT doc_id, n_tokens, {", ".join(f"n_stop_{l}" for l in LANGS)},
+  {case} AS pred_lang,
+  CAST(n_tokens >= {QUALITY_MIN_TOKENS}
+       AND greatest({", ".join(f"n_stop_{l}" for l in LANGS)}) * {QUALITY_STOP_DEN}
+           >= n_tokens * {QUALITY_STOP_NUM} AS BIGINT) AS is_quality
+FROM s
+""".strip()
+
+
+ORACLES = {
+    "exact_dup_clusters": f"""
+WITH {PAGES_SQL},
+g AS (SELECT text, MIN(url) AS cluster_id, COUNT(*) AS cluster_size
+      FROM pages GROUP BY text HAVING COUNT(*) > 1)
+SELECT p.url, g.cluster_id, g.cluster_size,
+       (g.cluster_size - 1) * strlen(p.text) AS redundant_bytes
+FROM pages p JOIN g ON p.text = g.text
+""".strip(),
+    "top_clusters": f"""
+WITH {PAGES_SQL}
+SELECT MIN(url) AS cluster_id, COUNT(*) AS cluster_size,
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
+FROM pages GROUP BY text HAVING COUNT(*) > 1
+ORDER BY cluster_size DESC, cluster_id LIMIT 10
+""".strip(),
+    "cascade_stage_counts": f"""
+WITH {PAGES_SQL}
+SELECT 'size' AS stage, COUNT(*) AS survivors FROM
+  (SELECT COUNT(*) OVER (PARTITION BY strlen(text)) AS c FROM pages) WHERE c > 1
+UNION ALL
+SELECT 'short', COUNT(*) FROM
+  (SELECT COUNT(*) OVER (PARTITION BY strlen(text), substr(text, 1, 4096)) AS c FROM pages) WHERE c > 1
+UNION ALL
+SELECT 'full', COUNT(*) FROM
+  (SELECT COUNT(*) OVER (PARTITION BY text) AS c FROM pages) WHERE c > 1
+""".strip(),
+    "doc_text_stats": f"""
+WITH t AS (SELECT doc_id, strlen(text) AS n_bytes, {TOKENS_SQL} AS ts FROM documents)
+SELECT doc_id, n_bytes, len(ts) AS n_tokens,
+  CASE WHEN len(ts) >= 5 THEN len(ts) - 4 WHEN len(ts) > 0 THEN 1 ELSE 0 END AS n_shingles,
+  len(list_distinct(ts)) AS n_distinct_tokens
+FROM t
+""".strip(),
+    "lang_quality": _oracle_lang_quality(),
+    "lang_summary": """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
+FROM documents GROUP BY lang
+""".strip(),
+    "token_freq_top20": f"""
+WITH t AS (SELECT {TOKENS_SQL} AS ts FROM documents)
+SELECT u.tok AS token, COUNT(*) AS cnt FROM t, UNNEST(t.ts) AS u(tok)
+GROUP BY u.tok ORDER BY cnt DESC, token LIMIT 20
+""".strip(),
+    "knn_cosine": """
+SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+  row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])) DESC,
+             e.vec_id) AS rank
+FROM embeddings q, embeddings e
+WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+QUALIFY rank <= 5
+""".strip(),
+    "ngram_jaccard_pairs": f"""
+WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(ts, i, i + 4), ' ') AS s
+       FROM toks, UNNEST(range(1, len(ts) - 3)) AS r(i) WHERE len(ts) >= 5),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS n_common
+          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+SELECT i.a_id, i.b_id, i.n_common, ca.n AS n_a, cb.n AS n_b
+FROM inter i JOIN cnt ca ON ca.doc_id = i.a_id JOIN cnt cb ON cb.doc_id = i.b_id
+WHERE 2 * i.n_common >= (ca.n + cb.n - i.n_common)
+""".strip(),
+    "media_features": """
+SELECT 'doc://' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+       strlen(text) + 26 AS media_bytes,
+       'text/html' AS media_type
+FROM documents
+""".strip(),
+}

@@ -1,0 +1,189 @@
+"""Text-analysis operators for training-data pipelines.
+
+Token counting, per-document stats, stopword-based quality signals, a
+deterministic language-ID heuristic, and global token frequencies — all
+vectorized per batch (Arrow compute + numpy segment ops; no per-row
+Python) so they hold up at 100 TB.
+
+Everything here is definitionally mirrored by the DuckDB oracle SQL in
+``dedup/queries.py`` — the SQL is *generated from the same constants*
+(``TOKEN_SPLIT_RE``, ``STOPWORDS``) so the two can't drift.
+
+Reference anchor: the reference computes only file-size "stats"
+(/root/reference/src/types.rs:27-47); these operators are the web-text
+generalization of its per-record cheap keys, per the build brief's
+training-data-pipeline requirements.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+# Shared token definition (ASCII word chars on lowered text). DuckDB's
+# regexp_split_to_array with the same pattern yields identical tokens for
+# ASCII text; keep the class explicit (not \W) so semantics match exactly.
+TOKEN_SPLIT_RE = r"[^a-z0-9_]+"
+
+# frozen stopword lists (alphabetical language order matters: argmax
+# tie-break is first-in-alphabetical-order)
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "en": ("the", "a", "an", "of", "and", "to", "in", "is", "it", "that"),
+    "es": ("el", "los", "las", "y", "es", "un", "una", "en", "de", "que"),
+    "fr": ("le", "la", "les", "et", "est", "une", "des", "du", "que", "il"),
+}
+LANGS = tuple(sorted(STOPWORDS))  # ("de", "en", "es", "fr")
+
+# quality gate constants (integer comparisons only — oracle-safe)
+QUALITY_MIN_TOKENS = 20
+QUALITY_STOP_NUM = 1  # quality requires n_stop_best * DEN >= n_tokens * NUM
+QUALITY_STOP_DEN = 20  # i.e. best-language stopword ratio >= 1/20
+
+
+def _tokenize(text: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """text column → (flat non-empty lowered tokens, tokens-per-doc)."""
+    lowered = pc.utf8_lower(pc.fill_null(text, ""))
+    toks = pc.split_pattern_regex(lowered, TOKEN_SPLIT_RE)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+    keep = lens > 0
+    cs = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
+    counts = cs[offsets[1:]] - cs[offsets[:-1]]
+    flat_kept = flat.filter(pa.array(keep)) if not keep.all() else flat
+    return flat_kept, counts
+
+
+def _segment_sum(flags: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Sum boolean/int ``flags`` (aligned with flat tokens) per document."""
+    out = np.zeros(len(counts), dtype=np.int64)
+    nz = counts > 0
+    if nz.any():
+        starts = (np.cumsum(counts) - counts)[nz]
+        out[nz] = np.add.reduceat(flags.astype(np.int64), starts)
+    return out
+
+
+def _segment_nunique(token_hashes: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Distinct-token count per document (vectorized: one global sort of
+    (doc, hash) pairs, then boundary counting)."""
+    n_docs = len(counts)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    order = np.lexsort((token_hashes, doc_of))
+    d = doc_of[order]
+    h = token_hashes[order]
+    new = np.ones(len(d), dtype=np.int64)
+    if len(d) > 1:
+        new[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+    out = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(out, d, new)
+    return out
+
+
+class TextStatser:
+    """map_batches callable: per-doc token/byte/shingle/stopword stats.
+
+    Input: (id_col, text). Output: id_col, n_bytes, n_tokens, n_shingles,
+    n_distinct_tokens, plus n_stop_<lang> per language, pred_lang, and an
+    integer quality flag.
+    """
+
+    def __init__(self, id_col: str = "doc_id", shingle_k: int = 5):
+        from .hashing import xxh64_arrow  # local import keeps pickling light
+
+        self.id_col = id_col
+        self.k = shingle_k
+        self._hash = xxh64_arrow
+        self.stop_arrays = {
+            lang: pa.array(sorted(words)) for lang, words in STOPWORDS.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        from .hashing import utf8_lengths
+
+        n_bytes = utf8_lengths(text)
+        flat, counts = _tokenize(text)
+        k = self.k
+        n_shingles = np.where(
+            counts >= k, counts - k + 1, np.where(counts > 0, 1, 0)
+        ).astype(np.int64)
+        th = (
+            self._hash(flat).view(np.int64)
+            if len(flat)
+            else np.empty(0, np.int64)
+        )
+        n_distinct = _segment_nunique(th, counts)
+
+        cols = {
+            self.id_col: batch.column(self.id_col),
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+            "n_tokens": pa.array(counts, pa.int64()),
+            "n_shingles": pa.array(n_shingles, pa.int64()),
+            "n_distinct_tokens": pa.array(n_distinct, pa.int64()),
+        }
+        scores = np.zeros((len(LANGS), len(counts)), dtype=np.int64)
+        for i, lang in enumerate(LANGS):
+            hit = pc.is_in(flat, value_set=self.stop_arrays[lang])
+            hits = hit.to_numpy(zero_copy_only=False).astype(bool)
+            scores[i] = _segment_sum(hits, counts)
+            cols[f"n_stop_{lang}"] = pa.array(scores[i], pa.int64())
+
+        best = np.argmax(scores, axis=0)  # first max = alphabetical tie-break
+        best_score = scores[best, np.arange(scores.shape[1])]
+        pred = np.array(LANGS, dtype=object)[best]
+        pred[best_score == 0] = "unknown"
+        cols["pred_lang"] = pa.array(pred.tolist(), pa.string())
+        quality = (counts >= QUALITY_MIN_TOKENS) & (
+            best_score * QUALITY_STOP_DEN >= counts * QUALITY_STOP_NUM
+        )
+        cols["is_quality"] = pa.array(quality.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+
+def text_stats(ds: Dataset, id_col: str = "doc_id", shingle_k: int = 5) -> Dataset:
+    """Per-document stats table (narrow output; text never leaves the map)."""
+    return ds.map_batches(
+        TextStatser(id_col, shingle_k), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def token_frequencies(ds: Dataset, top_k: int = 20) -> Dataset:
+    """Global token frequencies, top_k by (count desc, token asc).
+
+    Per-batch partial counts (Arrow value_counts — the combiner) → small
+    groupby over distinct tokens → sort + limit. Only (token, partial)
+    rows shuffle; at web scale distinct-token cardinality ≪ corpus size.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat, _ = _tokenize(text)
+        if len(flat) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "partial": pa.array([], pa.int64())}
+            )
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "partial": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("partial", alias_name="cnt"))
+    )
+    return agg.sort(["cnt", "token"], descending=[True, False]).limit(top_k)

@@ -1,0 +1,133 @@
+"""SimHash, n-gram Jaccard, and embedding similarity-search tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from dedup.config import DedupConfig
+from dedup.embed import cosine_near_dup_pairs, knn_cosine, lsh_bucketed_pairs
+from dedup.jaccard import jaccard_pairs
+from dedup.simhash import SimHasher, _hamming, simhash_clusters
+from dedup.synth import make_pages
+
+
+def _emb_ds(M, ids=None):
+    n, d = M.shape
+    ids = ids if ids is not None else list(range(n))
+    flat = pa.array(M.astype(np.float32).reshape(-1), pa.float32())
+    col = pa.FixedSizeListArray.from_arrays(flat, d).cast(pa.list_(pa.float32()))
+    return rd.from_arrow(
+        pa.table({"vec_id": pa.array(ids, pa.int64()), "embedding": col})
+    )
+
+
+def test_knn_exact_matches_numpy():
+    rng = np.random.default_rng(0)
+    M = rng.standard_normal((200, 16))
+    ds = _emb_ds(M)
+    out = knn_cosine(ds, query_ids=[0, 1, 2], k=4)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    for q in [0, 1, 2]:
+        s = S[q].copy()
+        s[q] = -np.inf
+        expect = np.argsort(-s, kind="stable")[:4].tolist()
+        got = out[out.query_id == q].sort_values("rank")["neighbor_id"].tolist()
+        assert got == expect
+
+
+def test_cosine_near_dup_planted():
+    rng = np.random.default_rng(1)
+    M = rng.standard_normal((100, 32))
+    M[7] = M[3] + 0.01 * rng.standard_normal(32)  # planted near-dup pair
+    out = cosine_near_dup_pairs(_emb_ds(M), threshold=0.95)
+    pairs = set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
+    assert (3, 7) in pairs
+
+
+def test_lsh_bucketed_finds_planted_dup():
+    rng = np.random.default_rng(2)
+    M = rng.standard_normal((300, 32))
+    for i in range(0, 30, 3):
+        M[i + 1] = M[i] + 0.005 * rng.standard_normal(32)
+    out = lsh_bucketed_pairs(_emb_ds(M), threshold=0.99, n_planes=8, n_tables=8)
+    pairs = set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
+    found = sum((i, i + 1) in pairs for i in range(0, 30, 3))
+    assert found >= 8  # near-identical vectors collide in ≥1 of 8 tables
+
+
+def test_jaccard_exact_small():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d e f g h",      # shingles: abcde..defgh (4)
+                    "a b c d e f g x",      # shares 3 of its 4
+                    "q r s t u v w z",      # disjoint
+                ]
+            ),
+        }
+    )
+    out = jaccard_pairs(rd.from_arrow(t), k=5, threshold_num=1, threshold_den=2)
+    assert out.column("a_id").to_pylist() == [1]
+    assert out.column("b_id").to_pylist() == [2]
+    # doc1: shingles {abcde,bcdef,cdefg,defgh}; doc2: {abcde,bcdef,cdefg,defgx}
+    assert out.column("n_common").to_pylist() == [3]
+    assert out.column("n_a").to_pylist() == [4]
+    assert out.column("n_b").to_pylist() == [4]
+
+
+def test_jaccard_short_docs_no_shingles():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a b c", "a b c"]),  # < k tokens → empty sets
+        }
+    )
+    out = jaccard_pairs(rd.from_arrow(t), k=5)
+    assert len(out) == 0
+
+
+def test_simhash_identical_and_perturbed():
+    cfg = DedupConfig()
+    hasher = SimHasher(cfg)
+    base = " ".join(f"w{i}" for i in range(300))
+    toks = base.split()
+    toks[5] = "CHANGED"
+    near = " ".join(toks)
+    far = " ".join(f"z{i}" for i in range(300))
+    batch = pa.table(
+        {
+            "doc_hash": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([base, near, far]),
+        }
+    )
+    out = hasher(batch)
+    h = out.column("simhash").to_numpy(zero_copy_only=False)
+    d_near = _hamming(h[0:1], h[1:2])[0]
+    d_far = _hamming(h[0:1], h[2:3])[0]
+    assert d_near <= 6
+    assert d_far >= 20
+
+
+def test_simhash_clusters_on_fixture():
+    pages_tbl, exp = make_pages(
+        n_exact_groups=5, n_near_groups=8, n_singletons=40,
+        n_negative_pairs=5, n_short_split_pairs=0,
+        edit_rate_range=(0.005, 0.01),
+    )
+    clusters = simhash_clusters(rd.from_arrow(pages_tbl), DedupConfig(), hamming_max=3)
+    df = clusters.to_pandas()
+    part = {}
+    for cid, grp in df.groupby("cluster_id"):
+        for u in grp["url"]:
+            part[u] = cid
+    # exact groups must co-cluster (identical text → identical simhash)
+    for g in exp.exact_groups:
+        cids = {part.get(u) for u in g}
+        assert len(cids) == 1 and None not in cids
+    # negative pairs must not co-cluster
+    for u1, u2 in exp.negative_pairs:
+        assert part.get(u1) is None or part.get(u1) != part.get(u2)

@@ -1,0 +1,68 @@
+"""Text-analysis operator tests (token counts, lang-ID, quality,
+frequencies) — semantics pinned against hand-computed values."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from dedup.textstats import (
+    LANGS,
+    TextStatser,
+    _tokenize,
+    text_stats,
+    token_frequencies,
+)
+
+
+def _ds(rows):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(rows))), pa.int64()),
+                "text": pa.array(rows, pa.string()),
+            }
+        )
+    )
+
+
+def test_tokenize_basic():
+    flat, counts = _tokenize(pa.array(["Hello, World! foo_bar", "", "  a  b "]))
+    assert counts.tolist() == [3, 0, 2]
+    assert flat.to_pylist() == ["hello", "world", "foo_bar", "a", "b"]
+
+
+def test_stats_counts():
+    out = text_stats(_ds(["one two three four five six", "a a a a a", "", "x"])).to_pandas()
+    out = out.sort_values("doc_id")
+    assert out["n_tokens"].tolist() == [6, 5, 0, 1]
+    # k=5 shingles: 6 tokens → 2; 5 → 1; 0 → 0; 1 (<k) → 1 (fallback)
+    assert out["n_shingles"].tolist() == [2, 1, 0, 1]
+    assert out["n_distinct_tokens"].tolist() == [6, 1, 0, 1]
+    assert out["n_bytes"].tolist() == [27, 9, 0, 1]
+
+
+def test_langid_and_quality():
+    en = "the cat is in the hat and the dog is of it " * 3  # stopword-rich EN
+    de = "der hund und die katze ist ein tier mit fell " * 3
+    none = "zzz qqq www"
+    out = text_stats(_ds([en, de, none])).to_pandas().sort_values("doc_id")
+    assert out["pred_lang"].tolist()[:2] == ["en", "de"]
+    assert out["pred_lang"].tolist()[2] == "unknown"
+    assert out["is_quality"].tolist() == [1, 1, 0]
+
+
+def test_langid_tiebreak_alphabetical():
+    # 'es' list contains 'en' and 'de' words? construct exact tie: one
+    # stopword from each of two langs → first alphabetical wins
+    t = "und le"  # und→de(1), le→fr(1), tie → 'de'
+    out = text_stats(_ds([t])).to_pandas()
+    assert out["n_stop_de"][0] == 1 and out["n_stop_fr"][0] == 1
+    assert out["pred_lang"][0] == "de"
+
+
+def test_token_frequencies_topk():
+    ds = _ds(["a b a", "b a c", "d"])
+    out = token_frequencies(ds, top_k=3).to_pandas()
+    assert out["token"].tolist() == ["a", "b", "c"]  # counts 3,2,1 (c<d tie? no: c=1,d=1 → token asc)
+    assert out["cnt"].tolist() == [3, 2, 1]
