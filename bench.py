@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Default mode: runs the headline pipelines in one Ray session and prints
+ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+--scaling: runs the flagship near-dup pipeline twice in FRESH processes
+(num_cpus=8 then num_cpus=32 by default — standing in for N vs 4N nodes
+per the north rule) on the same input and reports both throughputs plus
+scaling efficiency.
+
+The workload is the sf documents corpus deterministically expanded
+(dedup.adapters.expanded_pages) into EXPAND_FACTOR near-dup variants per
+doc — a pages table with planted clusters of size EXPAND_FACTOR.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+EXPAND_FACTOR = int(os.environ.get("BENCH_EXPAND", "20"))
+
+
+def _sf_of(path: str) -> float:
+    try:
+        return float(path.rstrip("/").rsplit("sf", 1)[1])
+    except Exception:
+        return -1.0
+
+
+def _consume(ds) -> int:
+    """Stream a Dataset to completion; return row count."""
+    n = 0
+    for b in ds.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        n += len(b)
+    return n
+
+
+def _build_pages(sf_dir: str):
+    from dedup.adapters import expanded_pages
+
+    return expanded_pages(sf_dir, factor=EXPAND_FACTOR).materialize()
+
+
+def run_headline(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    import ray.data as rd
+
+    from dedup.cascade import exact_clusters
+    from dedup.config import DedupConfig
+    from dedup.embed import knn_cosine
+    from dedup.pipeline import near_dup_pipeline
+    from dedup.simhash import simhash_clusters
+    from dedup.textstats import text_stats
+
+    cfg = DedupConfig()
+    pages = _build_pages(sf_dir)
+    n_docs = pages.count()
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {"n_docs": n_docs}
+
+    t0 = time.monotonic()
+    n = _consume(exact_clusters(pages, cfg))
+    queries["exact_cascade"] = round(time.monotonic() - t0, 3)
+    extras["exact_cluster_rows"] = n
+
+    t0 = time.monotonic()
+    res = near_dup_pipeline(pages, cfg)
+    n = _consume(res.clusters)
+    queries["minhash_lsh"] = round(time.monotonic() - t0, 3)
+    extras["near_dup_cluster_rows"] = n
+    extras["docs_per_sec"] = round(n_docs / queries["minhash_lsh"], 1)
+
+    t0 = time.monotonic()
+    _consume(simhash_clusters(pages, cfg))
+    queries["simhash"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _consume(
+        text_stats(
+            pages.map_batches(
+                lambda b: b.select(["url", "text"]).rename_columns(["doc_id", "text"]),
+                batch_format="pyarrow",
+            ),
+            id_col="doc_id",
+        )
+    )
+    queries["text_stats"] = round(time.monotonic() - t0, 3)
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    if os.path.exists(emb_path):
+        t0 = time.monotonic()
+        emb = rd.read_parquet(emb_path)
+        knn_cosine(emb, query_ids=list(range(32)), k=10)
+        queries["knn_cosine"] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "dedup_headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_of(sf_dir),
+        "num_cpus": num_cpus,
+        **extras,
+    }
+
+
+def child_throughput(sf_dir: str, num_cpus: int) -> None:
+    """Subprocess entry: flagship pipeline once, print docs/sec JSON."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    from dedup.config import DedupConfig
+    from dedup.pipeline import near_dup_pipeline
+
+    pages = _build_pages(sf_dir)
+    n_docs = pages.count()
+    t0 = time.monotonic()
+    _consume(near_dup_pipeline(pages, DedupConfig()).clusters)
+    dt = time.monotonic() - t0
+    print(json.dumps({"num_cpus": num_cpus, "sec": round(dt, 3),
+                      "docs_per_sec": round(n_docs / dt, 1), "n_docs": n_docs}))
+    ray.shutdown()
+
+
+def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
+    """Same job at two parallelism levels in fresh processes (sandbox
+    stand-in for the N vs 4N node criterion)."""
+    out = {}
+    for c in (cpus_lo, cpus_hi):
+        env = dict(os.environ)
+        env.pop("RAY_ADDRESS", None)
+        r = subprocess.run(
+            [sys.executable, __file__, "--child-throughput", str(c)],
+            capture_output=True, text=True, env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+        if not line:
+            raise RuntimeError(f"child {c} cpus failed: {r.stderr[-2000:]}")
+        out[c] = json.loads(line[-1])
+    lo, hi = out[cpus_lo], out[cpus_hi]
+    ratio = cpus_hi / cpus_lo
+    speedup = lo["sec"] / hi["sec"]
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(speedup / ratio, 3),
+        "unit": "fraction",
+        "cpus_lo": cpus_lo,
+        "cpus_hi": cpus_hi,
+        "sec_lo": lo["sec"],
+        "sec_hi": hi["sec"],
+        "docs_per_sec_lo": lo["docs_per_sec"],
+        "docs_per_sec_hi": hi["docs_per_sec"],
+        "speedup": round(speedup, 3),
+        "sf": _sf_of(sf_dir),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--child-throughput", type=int, default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    ap.add_argument("--num-cpus", type=int, default=NUM_CPUS)
+    args = ap.parse_args()
+
+    if args.child_throughput is not None:
+        child_throughput(args.sf_dir, args.child_throughput)
+        return
+    if args.scaling:
+        print(json.dumps(run_scaling(args.sf_dir)))
+        return
+    import ray
+
+    result = run_headline(args.sf_dir, args.num_cpus)
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -98,7 +98,7 @@ def expanded_pages(sf_dir: str, factor: int, seed: int = 42) -> Dataset:
         for i in range(len(batch)):
             toks = texts[i].split(" ")
             for j in range(factor):
-                if j == 0:
+                if j % 4 <= 1:  # j%4 in {0,1}: verbatim → exact-dup work too
                     t = texts[i]
                 else:
                     rng = np.random.default_rng(seed * 1_000_003 + int(doc_id[i]) * 64 + j)

@@ -138,7 +138,8 @@ def _xxh64_chunk(Z: np.ndarray, lengths: np.ndarray, seed: int) -> np.ndarray:
     # gather tail (last len%32 bytes; all bytes when len<32) into (n, 32)
     tail_start = (lengths // 32) * 32
     rem = (lengths - tail_start).astype(np.int64)
-    T = np.zeros((n, 32), dtype=np.uint8)
+    T = _scratch("xxh_tail", n * 32, np.uint8).reshape(n, 32)
+    T.fill(0)
     total_t = int(rem.sum())
     if total_t:
         row_of = np.repeat(np.arange(n, dtype=np.int64), rem)
@@ -178,7 +179,23 @@ def _xxh64_chunk(Z: np.ndarray, lengths: np.ndarray, seed: int) -> np.ndarray:
     return h
 
 
-_PAD_BUDGET = 64 * 1024 * 1024  # max padded-matrix bytes per chunk
+_PAD_BUDGET = 16 * 1024 * 1024  # max padded-matrix bytes per chunk
+
+# Reusable per-process scratch (first-touch page faults are ~40x the
+# steady-state write cost on some hosts — fresh np.zeros per batch was
+# the dominant cost of the whole kernel; a touched, reused buffer makes
+# the zeroing a 7 GB/s memset instead).
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch(name: str, count: int, dtype) -> np.ndarray:
+    """Flat reusable array of ``count`` elements (NOT zeroed on reuse)."""
+    need = count * np.dtype(dtype).itemsize
+    buf = _SCRATCH.get(name)
+    if buf is None or buf.nbytes < need:
+        buf = np.zeros(max(need, _PAD_BUDGET), np.uint8)
+        _SCRATCH[name] = buf
+    return buf[:need].view(dtype)
 
 
 def xxh64_bytes_many(
@@ -217,7 +234,8 @@ def xxh64_bytes_many(
             cn = j - i
             cl = sl[i:j]
             cs = ss[i:j]
-            Z = np.zeros((cn, width), dtype=np.uint8)
+            Z = _scratch("xxh_pad", cn * width, np.uint8).reshape(cn, width)
+            Z.fill(0)
             total = int(cl.sum())
             if total:
                 row_of = np.repeat(np.arange(cn, dtype=np.int64), cl)

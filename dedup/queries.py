@@ -215,6 +215,23 @@ def q_media_features(sf_dir: str):
     return media_features(pages)
 
 
+def q_consolidation_plan(sf_dir: str):
+    """Representative-selection action table (≅ consolidation dry-run,
+    consolidation.rs:25-173)."""
+    from .consolidate import consolidation_plan
+
+    pages = pages_from_documents(sf_dir)
+    return consolidation_plan(pages, CFG, policy="min_url")
+
+
+def q_filter_gates(sf_dir: str):
+    """Ingest gates: min/max size + lang filter (F1/F2/F3 analogues,
+    options.rs:38-45, 186-204). Rows passing all gates."""
+    pages = pages_from_documents(sf_dir)
+    cfg = DedupConfig(min_size=150, max_size=400, lang_filter=("en", "de"))
+    return ingest(pages, cfg).select_columns(["url", "size_bytes", "lang"])
+
+
 # ------------------------------------------------- rows-only (non-SQL) queries
 def q_minhash_lsh_clusters(sf_dir: str):
     from .pipeline import near_dup_pipeline
@@ -257,6 +274,20 @@ def q_ann_lsh_near_dup(sf_dir: str):
     return t.select(["a", "b"])
 
 
+def q_fingerprint_stats(sf_dir: str):
+    from .fingerprint import fingerprint_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return fingerprint_stats(ds, id_col="doc_id", k=5, w=4)
+
+
+def q_long_repeated_spans(sf_dir: str):
+    from .suffix import long_span_pairs
+
+    pages = pages_from_documents(sf_dir)
+    return long_span_pairs(pages, CFG, min_span=64)
+
+
 QUERIES = {
     "exact_dup_clusters": q_exact_dup_clusters,
     "top_clusters": q_top_clusters,
@@ -268,6 +299,10 @@ QUERIES = {
     "knn_cosine": q_knn_cosine,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "media_features": q_media_features,
+    "consolidation_plan": q_consolidation_plan,
+    "filter_gates": q_filter_gates,
+    "fingerprint_stats": q_fingerprint_stats,
+    "long_repeated_spans": q_long_repeated_spans,
     "minhash_lsh_clusters": q_minhash_lsh_clusters,
     "simhash_clusters": q_simhash_clusters,
     "embedding_near_dup": q_embedding_near_dup,
@@ -377,5 +412,21 @@ SELECT 'doc://' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
        strlen(text) + 26 AS media_bytes,
        'text/html' AS media_type
 FROM documents
+""".strip(),
+    "consolidation_plan": f"""
+WITH {PAGES_SQL},
+g AS (SELECT text, MIN(url) AS rep, COUNT(*) AS n
+      FROM pages GROUP BY text HAVING COUNT(*) > 1)
+SELECT p.url,
+       CASE WHEN p.url = g.rep THEN 'keep' ELSE 'link' END AS action,
+       g.rep AS target_url,
+       CASE WHEN p.url = g.rep THEN 0 ELSE strlen(p.text) END AS reclaimed_bytes
+FROM pages p JOIN g ON p.text = g.text
+""".strip(),
+    "filter_gates": f"""
+WITH {PAGES_SQL}
+SELECT url, strlen(text) AS size_bytes, lang
+FROM pages
+WHERE strlen(text) >= 150 AND strlen(text) <= 400 AND lang IN ('en', 'de')
 """.strip(),
 }

@@ -47,13 +47,19 @@ def verify_pairs(
     a = pt.column("a").to_numpy(zero_copy_only=False)
     b = pt.column("b").to_numpy(zero_copy_only=False)
     # canonicalize (a<b in uint64 order), drop self-pairs, global dedup —
-    # the same pair arrives once per shared band
+    # the same pair arrives once per shared band. lexsort+boundary mask
+    # beats np.unique(axis=0) ~3x (no void-dtype comparisons)
     au, bu = a.view(np.uint64), b.view(np.uint64)
     lo, hi = np.minimum(au, bu), np.maximum(au, bu)
-    keep = lo != hi
-    packed = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
-    a = packed[:, 0].view(np.int64)
-    b = packed[:, 1].view(np.int64)
+    keepm = lo != hi
+    lo, hi = lo[keepm], hi[keepm]
+    order = np.lexsort((hi, lo))
+    lo, hi = lo[order], hi[order]
+    first = np.ones(len(lo), dtype=bool)
+    if len(lo) > 1:
+        first[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+    a = lo[first].view(np.int64)
+    b = hi[first].view(np.int64)
     pt = pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
     if len(pt) == 0:
         return pa.table(
@@ -76,7 +82,22 @@ def verify_pairs(
     ib = np.minimum(ib, len(ids_s) - 1)
     ok &= (ids_s[ia] == a) & (ids_s[ib] == b)
     sim = np.zeros(len(a))
-    sim[ok] = (mat_s[ia[ok]] == mat_s[ib[ok]]).mean(axis=1)
+    # chunked gather+compare with reused scratch buffers: fresh (n,128)
+    # temporaries pay first-touch page faults far exceeding the compute
+    from .hashing import _scratch
+
+    ia_ok, ib_ok = ia[ok], ib[ok]
+    sim_ok = np.empty(len(ia_ok))
+    CH = 16384
+    np_ = cfg.num_perm
+    ga = _scratch("verify_ga", CH * np_, np.int64).reshape(CH, np_)
+    gb = _scratch("verify_gb", CH * np_, np.int64).reshape(CH, np_)
+    for s in range(0, len(ia_ok), CH):
+        e = min(s + CH, len(ia_ok))
+        np.take(mat_s, ia_ok[s:e], axis=0, out=ga[: e - s])
+        np.take(mat_s, ib_ok[s:e], axis=0, out=gb[: e - s])
+        sim_ok[s:e] = np.count_nonzero(ga[: e - s] == gb[: e - s], axis=1) / np_
+    sim[ok] = sim_ok
     keep = sim >= cfg.verify_threshold
     return pa.table(
         {

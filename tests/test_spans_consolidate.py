@@ -1,0 +1,109 @@
+"""Winnowing fingerprints, LCS span pass, consolidation planning."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from dedup.config import DedupConfig
+from dedup.consolidate import consolidation_plan, total_reclaimed
+from dedup.fingerprint import fingerprint_rows, fingerprint_stats
+from dedup.suffix import lcs_length, long_span_pairs
+from dedup.synth import make_pages
+
+
+def test_lcs_basic():
+    assert lcs_length(b"", b"abc") == 0
+    assert lcs_length(b"abc", b"abc") == 3
+    assert lcs_length(b"xxabcyy", b"zzabcqq") == 3
+    assert lcs_length(b"abcd", b"efgh") == 0
+
+
+def test_lcs_long_shared_run():
+    rng = np.random.default_rng(3)
+    base = bytes(rng.integers(65, 91, size=500).astype(np.uint8))
+    a = b"AAA" + base + b"BBB"
+    b = b"CCCC" + base + b"D"
+    assert lcs_length(a, b) == 500
+
+
+def test_winnowing_shared_run_shares_fingerprint():
+    base = " ".join(f"w{i}" for i in range(100))
+    docs = [base + " tailone extra", "prefix other " + base]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": pa.array(docs)})
+    )
+    rows = fingerprint_rows(ds, k=5, w=4).to_pandas()
+    f1 = set(rows[rows.doc_id == 1]["fingerprint"])
+    f2 = set(rows[rows.doc_id == 2]["fingerprint"])
+    assert f1 & f2  # long shared token run → shared fingerprint
+    stats = fingerprint_stats(ds, k=5, w=4).to_pandas().sort_values("doc_id")
+    assert (stats["n_fingerprints"] > 0).all()
+    # stats and rows agree
+    assert stats["n_fingerprints"].tolist() == [len(f1), len(f2)]
+    assert stats["min_fingerprint"].tolist() == [min(f1), min(f2)]
+
+
+def test_winnowing_disjoint_docs_share_nothing():
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(
+                    [" ".join(f"a{i}" for i in range(50)), " ".join(f"b{i}" for i in range(50))]
+                ),
+            }
+        )
+    )
+    rows = fingerprint_rows(ds).to_pandas()
+    f1 = set(rows[rows.doc_id == 1]["fingerprint"])
+    f2 = set(rows[rows.doc_id == 2]["fingerprint"])
+    assert not (f1 & f2)
+
+
+def test_long_span_pairs_on_fixture():
+    pages_tbl, exp = make_pages(
+        n_exact_groups=2, n_near_groups=6, n_singletons=30,
+        n_negative_pairs=3, n_short_split_pairs=0,
+    )
+    out = long_span_pairs(rd.from_arrow(pages_tbl), DedupConfig(), min_span=32)
+    df = out.to_pandas()
+    # near-dup variants share long verbatim runs → spans found
+    assert len(df) > 0
+    assert (df["lcs_len"] >= 32).all()
+
+
+def test_consolidation_plan_exact_groups():
+    pages_tbl, exp = make_pages(
+        n_exact_groups=6, n_near_groups=0, n_singletons=20,
+        n_negative_pairs=0, n_short_split_pairs=0,
+    )
+    plan = consolidation_plan(rd.from_arrow(pages_tbl), DedupConfig())
+    df = plan.to_pandas()
+    # every exact group: one keep + (n-1) links to the min url
+    for g in exp.exact_groups:
+        sub = df[df.url.isin(g)].sort_values("url")
+        assert len(sub) == len(g)
+        rep = min(g)
+        assert (sub["target_url"] == rep).all()
+        assert sub[sub.url == rep]["action"].tolist() == ["keep"]
+        assert (sub[sub.url != rep]["action"] == "link").all()
+        assert (sub[sub.url != rep]["reclaimed_bytes"] > 0).all()
+    # singletons never appear
+    assert not df.url.isin(exp.singleton_urls).any()
+    assert total_reclaimed(plan) == df["reclaimed_bytes"].sum()
+
+
+def test_consolidation_max_size_policy():
+    t = pa.table(
+        {
+            "url": pa.array(["u/a", "u/b", "u/c"]),
+            "warc_ts": pa.array([0, 1, 2], pa.timestamp("us")),
+            "html": pa.array([b"x", b"y", b"z"], pa.binary()),
+            "text": pa.array(["same same", "same same", "same same"]),
+            "lang": pa.array(["en"] * 3),
+        }
+    )
+    plan = consolidation_plan(rd.from_arrow(t), DedupConfig(), policy="max_size").to_pandas()
+    # equal sizes → min-url tie-break
+    assert (plan["target_url"] == "u/a").all()
