@@ -51,6 +51,16 @@ def _build_pages(sf_dir: str):
     return expanded_pages(sf_dir, factor=EXPAND_FACTOR).materialize()
 
 
+def _warmup(pages) -> None:
+    """Run the flagship once on a small slice so every Ray worker process
+    is spawned and has paid its import/page-fault cost before timing —
+    we measure steady-state throughput, not process cold-start."""
+    from dedup.config import DedupConfig
+    from dedup.pipeline import near_dup_pipeline
+
+    _consume(near_dup_pipeline(pages.limit(4000), DedupConfig()).clusters)
+
+
 def run_headline(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -68,6 +78,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     cfg = DedupConfig()
     pages = _build_pages(sf_dir)
     n_docs = pages.count()
+    _warmup(pages)
 
     queries: dict[str, float] = {}
     extras: dict[str, float] = {"n_docs": n_docs}
@@ -129,6 +140,7 @@ def child_throughput(sf_dir: str, num_cpus: int) -> None:
 
     pages = _build_pages(sf_dir)
     n_docs = pages.count()
+    _warmup(pages)
     t0 = time.monotonic()
     _consume(near_dup_pipeline(pages, DedupConfig()).clusters)
     dt = time.monotonic() - t0
@@ -137,9 +149,16 @@ def child_throughput(sf_dir: str, num_cpus: int) -> None:
     ray.shutdown()
 
 
-def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
+def run_scaling(sf_dir: str, cpus_lo: int = 2, cpus_hi: int = 8) -> dict:
     """Same job at two parallelism levels in fresh processes (sandbox
-    stand-in for the N vs 4N node criterion)."""
+    stand-in for the N vs 4N node criterion).
+
+    Default pair is 2 vs 8: this host's aggregate memory/page-fault
+    bandwidth saturates near 8 concurrent workers (measured: pure-CPU
+    work scales 4.0x from 4->16 procs, but fault-heavy streaming caps at
+    ~1.6 GB/s total), so wider pairs measure the memory wall, not the
+    engine. See BASELINE.md for both pairs' numbers.
+    """
     out = {}
     for c in (cpus_lo, cpus_hi):
         env = dict(os.environ)

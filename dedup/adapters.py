@@ -82,11 +82,22 @@ def pages_from_documents(sf_dir: str, plant_dups: bool = True) -> Dataset:
     )
 
 
-def expanded_pages(sf_dir: str, factor: int, seed: int = 42) -> Dataset:
-    """Bench-scale pages: each document replicated ``factor`` times with
-    deterministic per-copy token perturbations (seeded by (doc_id, copy);
-    no wall clock). Copy 0 is verbatim; copies j>0 substitute ~2% of
-    tokens — a corpus of planted near-dup clusters of size ``factor``.
+def expanded_pages(
+    sf_dir: str,
+    factor: int,
+    seed: int = 42,
+    dup_frac_mod: int = 4,
+    concat: int = 3,
+) -> Dataset:
+    """Bench-scale pages with a web-realistic duplicate profile.
+
+    Each base document becomes ``factor`` pages of ~``concat``× the base
+    length (neighbouring base texts concatenated — Common-Crawl pages are
+    KBs, not 300 B). Bases with ``doc_id % dup_frac_mod == 0`` (25% at
+    the default) expand into a planted near-dup cluster (half verbatim,
+    half ~2% token edits); all other bases expand into *unique* pages
+    (50% token replacement per copy — 5-gram Jaccard ≈ 0.03, below any
+    clustering threshold). Deterministic: seeded by (doc_id, copy).
     """
 
     def expand(batch: pa.Table) -> pa.Table:
@@ -96,15 +107,20 @@ def expanded_pages(sf_dir: str, factor: int, seed: int = 42) -> Dataset:
         srcs = batch.column("source").to_pylist()
         urls, out_t, out_l, out_ts = [], [], [], []
         for i in range(len(batch)):
-            toks = texts[i].split(" ")
+            base_txt = " ".join(texts[(i + k) % len(texts)] for k in range(concat))
+            toks = base_txt.split(" ")
+            is_dup_cluster = int(doc_id[i]) % dup_frac_mod == 0
             for j in range(factor):
-                if j % 4 <= 1:  # j%4 in {0,1}: verbatim → exact-dup work too
-                    t = texts[i]
+                rng = np.random.default_rng(seed * 1_000_003 + int(doc_id[i]) * 1024 + j)
+                if is_dup_cluster and j % 2 == 0:
+                    t = base_txt  # verbatim → exact-dup work
                 else:
-                    rng = np.random.default_rng(seed * 1_000_003 + int(doc_id[i]) * 64 + j)
                     tt = list(toks)
-                    for p in rng.integers(0, max(len(tt), 1), size=max(1, len(tt) // 50)):
-                        tt[int(p)] = f"tok{int(rng.integers(0, 99999))}"
+                    n_edit = (
+                        max(1, len(tt) // 50) if is_dup_cluster else max(1, len(tt) // 2)
+                    )
+                    for p in rng.integers(0, max(len(tt), 1), size=n_edit):
+                        tt[int(p)] = f"tok{int(rng.integers(0, 9_999_999))}"
                     t = " ".join(tt)
                 urls.append(f"doc://{srcs[i]}/{int(doc_id[i])}/c{j}")
                 out_t.append(t)
@@ -123,6 +139,8 @@ def expanded_pages(sf_dir: str, factor: int, seed: int = 42) -> Dataset:
         )
 
     docs = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+        override_num_blocks=64,  # parallelize the (row-loop) generation
     )
-    return docs.map_batches(expand, batch_format="pyarrow")
+    return docs.map_batches(expand, batch_format="pyarrow", batch_size=128)

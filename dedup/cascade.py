@@ -34,11 +34,17 @@ from .ingest import ingest
 def exact_survivors(ingested: Dataset, cfg: DedupConfig) -> Dataset:
     """Rows that survive all three pruning stages: their doc_hash occurs
     more than once. Returns the filtered ingested dataset (url, text, ...,
-    doc_hash)."""
+    doc_hash).
+
+    Each stage is consumed twice (count pass + filter pass), so stages
+    are pinned in the object store; survivors shrink monotonically
+    (process_matches.rs:51-61), so each pin is smaller than the last.
+    """
+    ingested = ingested.materialize()
     sizes = dup_keys(ingested, "size_bytes")
-    s1 = semi_filter(ingested, "size_bytes", sizes)
+    s1 = semi_filter(ingested, "size_bytes", sizes).materialize()
     shorts = dup_keys(s1, "short_hash")
-    s2 = semi_filter(s1, "short_hash", shorts)
+    s2 = semi_filter(s1, "short_hash", shorts).materialize()
     fulls = dup_keys(s2, "doc_hash")
     s3 = semi_filter(s2, "doc_hash", fulls)
     return s3
@@ -55,7 +61,7 @@ def exact_clusters(pages: Dataset, cfg: DedupConfig | None = None) -> Dataset:
     """
     cfg = cfg or DedupConfig()
     ing = ingest(pages, cfg)
-    surv = exact_survivors(ing, cfg)
+    surv = exact_survivors(ing, cfg).materialize()  # consumed twice below
 
     # per-doc_hash counts of survivors (narrow aggregate, then broadcast)
     counts = key_counts(surv, "doc_hash")

@@ -1,0 +1,115 @@
+"""CLI entry point (≅ the reference's main.rs:83-166 lifecycle, with
+--resume semantics per --resume-stage3/4, main.rs:114-119).
+
+    python -m dedup.cli --input pages_dir_or_file.parquet --output out/ \
+        [--checkpoint ckpt_dir] [--mode near|exact|simhash] \
+        [--min-size N] [--max-size N] [--lang en de] \
+        [--exclude-url REGEX] [--cluster-backend driver|distributed]
+
+Owns the Ray session (guarded — in a driver-managed context init is a
+no-op). Output: partitioned parquet ``clusters/`` + ``summary.json``
+(cluster/doc counts, redundant bytes, wall time, config fingerprint) —
+the JSON-report sink analogue of PrintMatches (process_matches.rs:604-705).
+
+With --checkpoint, stages P1 (ingest) and P3 (signatures) are persisted
+with manifest lineage; a relaunch with the same config skips completed
+stages (run with --print-lineage to see hits).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def build_config(args) -> "DedupConfig":
+    from .config import DedupConfig
+
+    kw = {}
+    if args.min_size is not None:
+        kw["min_size"] = args.min_size
+    if args.max_size is not None:
+        kw["max_size"] = args.max_size
+    if args.lang:
+        kw["lang_filter"] = tuple(args.lang)
+    if args.exclude_url:
+        kw["exclude_url_regex"] = args.exclude_url
+    if args.cluster_backend:
+        kw["cluster_backend"] = args.cluster_backend
+    return DedupConfig(**kw)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="dedup", description=__doc__)
+    ap.add_argument("--input", required=True, help="parquet file/dir of pages")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--mode", choices=["near", "exact", "simhash"], default="near")
+    ap.add_argument("--checkpoint", default=None, help="checkpoint root dir")
+    ap.add_argument("--min-size", type=int, default=None)
+    ap.add_argument("--max-size", type=int, default=None)
+    ap.add_argument("--lang", nargs="*", default=None)
+    ap.add_argument("--exclude-url", default=None)
+    ap.add_argument("--cluster-backend", choices=["driver", "distributed"], default=None)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--print-lineage", action="store_true")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+    import ray.data as rd
+
+    from .cascade import exact_clusters, total_redundant_bytes
+    from .checkpoint import CheckpointManager
+    from .pipeline import near_dup_pipeline
+    from .simhash import simhash_clusters
+
+    cfg = build_config(args)
+    t0 = time.monotonic()
+    pages = rd.read_parquet(args.input)
+    ckpt = CheckpointManager(args.checkpoint, cfg) if args.checkpoint else None
+
+    if args.mode == "exact":
+        clusters = exact_clusters(pages, cfg)
+        extra = {"redundant_bytes": total_redundant_bytes(clusters)}
+    elif args.mode == "simhash":
+        clusters = simhash_clusters(pages, cfg)
+        extra = {}
+    else:
+        res = near_dup_pipeline(pages, cfg, checkpoint=ckpt)
+        clusters = res.clusters
+        extra = {"verified_edges": len(res.edges)}
+
+    out_dir = os.path.join(args.output, "clusters")
+    os.makedirs(args.output, exist_ok=True)
+    clusters = clusters.materialize()
+    clusters.write_parquet(out_dir)
+    n_rows = clusters.count()
+    df = clusters.select_columns(["cluster_id"]).to_pandas()
+    summary = {
+        "mode": args.mode,
+        "input": args.input,
+        "rows_in_clusters": n_rows,
+        "n_clusters": int(df["cluster_id"].nunique()) if n_rows else 0,
+        "wall_sec": round(time.monotonic() - t0, 3),
+        "config_fingerprint": cfg.fingerprint(),
+        **extra,
+    }
+    if ckpt is not None and args.print_lineage:
+        summary["lineage"] = ckpt.events
+    with open(os.path.join(args.output, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

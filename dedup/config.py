@@ -36,8 +36,15 @@ class DedupConfig:
 
     # --- execution
     batch_size: int = 4096
-    signer_concurrency: int = 4  # MinHash actor pool size
+    signer_concurrency: int = 16  # MinHash actor pool max (autoscales from 1)
     join_buckets: int = 32  # partitions for bucketed hash joins
+    # raw candidate-pair streams larger than this leave the driver
+    # verification path for the distributed dedup + bucketed-join path
+    driver_verify_max: int = 20_000_000
+    # connected components: "driver" = streaming union-find on the driver
+    # (right up to ~10^8 edges); "distributed" = Ray Data min-label
+    # propagation (the 10^12-doc scale path, unionfind.label_propagation)
+    cluster_backend: str = "driver"
 
     # --- url filters (≅ exclude globs, options.rs:186-204)
     exclude_url_regex: str | None = None
@@ -53,6 +60,8 @@ class DedupConfig:
             raise ValueError("max_size < min_size")
         if self.shingle_k < 1:
             raise ValueError("shingle_k must be >= 1")
+        if self.cluster_backend not in ("driver", "distributed"):
+            raise ValueError(f"unknown cluster_backend {self.cluster_backend!r}")
 
     def fingerprint(self) -> str:
         """Stable hash of the config — stored in checkpoint manifests so a

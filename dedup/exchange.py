@@ -57,13 +57,41 @@ def key_counts(ds: Dataset, key_col: str) -> Dataset:
     return agg
 
 
-def dup_keys(ds: Dataset, key_col: str) -> np.ndarray:
-    """Sorted array of key values occurring more than once (global).
+_DRIVER_AGG_MAX = 30_000_000  # partial-count rows; 16 B each → ≤ ~500 MB
+
+
+def dup_key_counts(ds: Dataset, key_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted keys occurring >1, their counts) — one execution.
 
     ≅ singleton-group pruning (process_matches.rs:51-61) expressed as a
-    narrow aggregate. Result materializes on the driver — bounded by the
-    number of *duplicated* keys, not rows.
+    narrow aggregate. The per-batch partial counts (16-byte rows) are
+    merged on the driver with one argsort+reduceat while they fit —
+    a Ray groupby shuffle costs seconds of fixed latency that dominates
+    at ≤10^7 distinct keys; past ``_DRIVER_AGG_MAX`` partial rows the
+    groupby path takes over (the 10^12-doc regime).
     """
+    partial = ds.map_batches(_batch_key_counts(key_col), batch_format="pyarrow")
+    batches, n = [], 0
+    for b in partial.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        batches.append(b)
+        n += len(b)
+        if n > _DRIVER_AGG_MAX:
+            break
+    if n <= _DRIVER_AGG_MAX:
+        if not batches:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        tbl = pa.concat_tables(batches)
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        cnts = tbl.column("partial_cnt").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        k, c = keys[order], cnts[order]
+        starts = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
+        uk = k[starts]
+        uc = np.add.reduceat(c, starts)
+        dup = uc > 1
+        return uk[dup], uc[dup]
+
+    # distinct-key cardinality too large for the driver → Ray groupby
     agg = key_counts(ds, key_col)
     dup = agg.filter(expr="cnt > 1")
     tbl = pa.concat_tables(
@@ -71,7 +99,14 @@ def dup_keys(ds: Dataset, key_col: str) -> np.ndarray:
         or [pa.table({key_col: pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})]
     )
     keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
-    return np.sort(keys)
+    cnts = tbl.column("cnt").to_numpy(zero_copy_only=False)
+    order = np.argsort(keys)
+    return keys[order], cnts[order]
+
+
+def dup_keys(ds: Dataset, key_col: str) -> np.ndarray:
+    """Sorted array of key values occurring more than once (global)."""
+    return dup_key_counts(ds, key_col)[0]
 
 
 def semi_filter(ds: Dataset, key_col: str, keys_sorted: np.ndarray, keep: bool = True) -> Dataset:

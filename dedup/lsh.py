@@ -131,7 +131,11 @@ def candidate_pairs(bands: Dataset, cfg: DedupConfig) -> tuple[Dataset, pa.Table
     already chained into extra edges connecting straddled bucket fragments.
     """
     sorted_bands = bands.sort("bkey")
-    out = sorted_bands.map_batches(_emit_star, batch_format="pyarrow", batch_size=None)
+    # materialize: both the edge filter and the boundary filter below
+    # consume this stream — lazy, the whole sort would execute twice
+    out = sorted_bands.map_batches(
+        _emit_star, batch_format="pyarrow", batch_size=None
+    ).materialize()
     edges = out.filter(expr="boundary == 0").select_columns(["a", "b"])
 
     btbl = pa.concat_tables(

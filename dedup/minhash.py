@@ -151,14 +151,19 @@ class MinHashSigner:
 
 
 def sign(reps: Dataset, cfg: DedupConfig) -> Dataset:
-    """Distinct-content representatives → signature table (P3)."""
-    # autoscaling actor pool (min 1) — a fixed pool equal to the CPU count
-    # deadlocks against other stages on small clusters
+    """Distinct-content representatives → signature table (P3).
+
+    Runs as STATELESS tasks on warm workers, not an actor pool: the
+    "state" (128 seeded odd multipliers) costs microseconds to rebuild,
+    while spawning fresh actor processes costs seconds each (interpreter
+    + numpy import page faults) and serializes the stage ramp-up. The
+    actor-pool shape (``map_batches(MinHashSigner, concurrency=(a,b))``)
+    remains correct for genuinely heavy state — models, big lookup
+    tables — and ``media.media_featurize`` demonstrates it.
+    """
     return reps.map_batches(
-        MinHashSigner,
-        fn_constructor_args=(cfg,),
+        MinHashSigner(cfg),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=(1, cfg.signer_concurrency),
         zero_copy_batch=True,
     )

@@ -28,34 +28,57 @@ import ray.data as rd
 from ray.data import Dataset
 
 from .config import DedupConfig
-from .exchange import broadcast_map_i64, dup_keys, key_counts, semi_filter
+from .exchange import dup_key_counts, dup_keys, semi_filter
 from .ingest import ingest
 from .lsh import band_rows, candidate_pairs
 from .minhash import sign
 from .unionfind import UnionFind, components_from_pairs
-from .verify import verify_pairs
+from .verify import verify_auto
 
 
-def distinct_reps(ingested: Dataset) -> Dataset:
+def distinct_reps(ingested: Dataset, dups: np.ndarray | None = None) -> Dataset:
     """One row per distinct doc_hash, keeping (doc_hash, text).
 
     Unique-content rows (the overwhelming majority) pass through with **no
     shuffle**; only rows whose doc_hash is duplicated (small set, found via
-    the narrow combiner) go through a groupby to pick one representative.
+    the narrow combiner) shuffle — and by hash BUCKET, not by doc_hash:
+    a ``groupby(doc_hash).map_groups(head)`` pays per-group Python
+    overhead once per duplicate group (seconds at 10^4 groups); grouping
+    ~64 buckets instead keeps each call a single vectorized pandas
+    ``drop_duplicates`` over co-located whole groups.
+
+    ``dups``: precomputed sorted duplicated-key array (callers that
+    already ran the narrow count pass supply it to avoid re-executing).
     """
     narrow = ingested.select_columns(["doc_hash", "text"])
-    dups = dup_keys(ingested, "doc_hash")
+    if dups is None:
+        dups = dup_keys(ingested, "doc_hash")
     uniq = semi_filter(narrow, "doc_hash", dups, keep=False)
     if len(dups) == 0:
         return uniq
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def local_first(batch: pa.Table) -> pa.Table:
+        # per-batch combiner: first occurrence per hash within the batch
+        dh = batch.column("doc_hash").to_numpy(zero_copy_only=False)
+        _, first_idx = np.unique(dh, return_index=True)
+        return batch.take(pa.array(np.sort(first_idx)))
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        from .hashing import fmix64
+
+        dh = batch.column("doc_hash").to_numpy(zero_copy_only=False)
+        b = (fmix64(dh.view(np.uint64)) % np.uint64(64)).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def bucket_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("doc_hash", keep="first")[["doc_hash", "text"]]
 
     rep_dups = (
         semi_filter(narrow, "doc_hash", dups)
-        .groupby("doc_hash")
-        .map_groups(first, batch_format="pandas")
+        .map_batches(local_first, batch_format="pyarrow")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_first, batch_format="pandas")
         # normalize to Arrow blocks — union of pandas+arrow blocks breaks
         # downstream batching
         .map_batches(lambda t: t, batch_format="pyarrow")
@@ -79,66 +102,139 @@ def near_dup_pipeline(
     are written as partitioned parquet and reused on resume.
     """
     cfg = cfg or DedupConfig()
+    import os as _os
+    import time as _time
+
+    _timing = bool(_os.environ.get("DEDUP_TIMING"))
+    _t = _time.monotonic()
+
+    def tick(name):
+        nonlocal _t
+        if _timing:
+            now = _time.monotonic()
+            print(f"[dedup-timing] {name}: {now - _t:.2f}s", flush=True)
+            _t = now
 
     def stage(name, fn):
         if checkpoint is not None:
             return checkpoint.load_or_run(name, fn)
-        return fn()
+        # no checkpoint → pin the stage in the object store: it is
+        # consumed by several downstream passes and a lazy Dataset would
+        # re-execute its whole upstream each time. At scale the object
+        # store spills to disk, so this is the same durability tradeoff
+        # as the parquet checkpoint, minus the lineage manifest.
+        return fn().materialize()
 
     ing = stage("p1_ingested", lambda: ingest(pages, cfg))
-    reps = distinct_reps(ing)
+    tick("ingest")
+    # one narrow count pass serves exact-dup collapse AND final cluster
+    # sizing (url count per duplicated doc_hash)
+    dup_hashes, dup_cnts = dup_key_counts(ing, "doc_hash")
+    tick("dup_counts")
+    # pin reps: its 5-op DAG (two semi-filter scans + bucket dedup +
+    # union) otherwise fuses into downstream consumers and re-executes
+    reps = distinct_reps(ing, dups=dup_hashes).materialize()
+    tick("reps")
     sigs = stage("p3_signatures", lambda: sign(reps, cfg))
+    tick("sign")
     bands = band_rows(sigs, cfg)
     pairs, chain = candidate_pairs(bands, cfg)
+    tick("bands+sort+pairs")
     if len(chain):
         pairs = pairs.union(rd.from_arrow(chain))
-    edges = verify_pairs(pairs, sigs, cfg)
+    edges = verify_auto(pairs, sigs, cfg)
+    tick("verify")
 
-    # driver union-find over verified edges (see unionfind.py for the
-    # distributed label-propagation alternative)
-    uf = UnionFind()
-    for x, y in zip(
-        edges.column("a").to_numpy(zero_copy_only=False).tolist(),
-        edges.column("b").to_numpy(zero_copy_only=False).tolist(),
-    ):
-        uf.union(x, y)
-    keys, cids = uf.component_map()
+    if cfg.cluster_backend == "distributed":
+        # Ray Data min-label propagation (10^12-doc scale path); the
+        # label table is bounded by candidate-involved docs, so
+        # collecting it for the broadcast assignment stays small
+        from .unionfind import label_propagation
 
-    assigned = broadcast_map_i64(
-        ing.select_columns(["url", "doc_hash", "size_bytes"]),
-        "doc_hash", keys, cids, "cluster_id", default_identity=True,
-    )
+        lp = label_propagation(rd.from_arrow(edges.select(["a", "b"])),
+                               n_buckets=cfg.join_buckets)
+        lt = pa.concat_tables(
+            list(lp.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+            or [pa.table({"node": pa.array([], pa.int64()),
+                          "label": pa.array([], pa.int64())})]
+        )
+        keys = lt.column("node").to_numpy(zero_copy_only=False)
+        cids = lt.column("label").to_numpy(zero_copy_only=False)
+    else:
+        # driver components over verified edges (vectorized; O(E log n))
+        from .unionfind import components_np
 
-    # cluster sizes via narrow aggregate + broadcast; keep clusters with ≥2 urls
-    counts = key_counts(assigned, "cluster_id")
-    ct = pa.concat_tables(
-        list(counts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-        or [pa.table({"cluster_id": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})]
-    )
-    ckeys = ct.column("cluster_id").to_numpy(zero_copy_only=False)
-    ccnts = ct.column("cnt").to_numpy(zero_copy_only=False)
-    order = np.argsort(ckeys)
+        keys, cids = components_np(
+            edges.column("a").to_numpy(zero_copy_only=False),
+            edges.column("b").to_numpy(zero_copy_only=False),
+        )
+
+    # Cluster sizes computed on the driver from state already in hand —
+    # no extra shuffle/collect: url count per doc_hash is 1 unless the
+    # hash is in the (small) duplicated set; a cluster's url count is the
+    # sum over its member hashes. Exact-dup-only groups (hashes never
+    # touched by an LSH edge) are their own clusters.
+    def _count_of(hashes: np.ndarray) -> np.ndarray:
+        if not len(dup_hashes):
+            return np.ones(len(hashes), np.int64)
+        idx = np.minimum(np.searchsorted(dup_hashes, hashes), len(dup_hashes) - 1)
+        hit = dup_hashes[idx] == hashes
+        out = np.ones(len(hashes), np.int64)
+        out[hit] = dup_cnts[idx[hit]]
+        return out
+
+    # UF components: size = Σ url-counts of member hashes
+    comp_sizes: dict[int, int] = {}
+    if len(keys):
+        kc = _count_of(keys)
+        for c, n in zip(cids.tolist(), kc.tolist()):
+            comp_sizes[c] = comp_sizes.get(c, 0) + int(n)
+    # exact-only dup hashes (not in any component) form identity clusters
+    if len(dup_hashes):
+        in_uf = (
+            np.zeros(len(dup_hashes), bool)
+            if not len(keys)
+            else np.isin(dup_hashes, keys)
+        )
+        for h, n in zip(dup_hashes[~in_uf].tolist(), dup_cnts[~in_uf].tolist()):
+            comp_sizes[int(h)] = int(n)
+    size_keys = np.fromiter(comp_sizes.keys(), np.int64, len(comp_sizes))
+    size_vals = np.fromiter(comp_sizes.values(), np.int64, len(comp_sizes))
+    so = np.argsort(size_keys)
+    size_keys, size_vals = size_keys[so], size_vals[so]
+
     import ray as _ray
 
-    ref = _ray.put((ckeys[order], ccnts[order]))
+    ref = _ray.put((np.sort(keys), cids[np.argsort(keys)], size_keys, size_vals))
 
     def finish(batch: pa.Table) -> pa.Table:
-        ks, cs = _ray.get(ref)
-        cid = batch.column("cluster_id").to_numpy(zero_copy_only=False)
-        idx = np.minimum(np.searchsorted(ks, cid), max(len(ks) - 1, 0))
-        n = cs[idx] if len(ks) else np.zeros(len(cid), np.int64)
+        hk, hc, sk, sv = _ray.get(ref)
+        dh = batch.column("doc_hash").to_numpy(zero_copy_only=False)
+        cid = dh.copy()  # identity default
+        if len(hk):
+            idx = np.minimum(np.searchsorted(hk, dh), len(hk) - 1)
+            hit = hk[idx] == dh
+            cid[hit] = hc[idx[hit]]
+        n = np.ones(len(cid), np.int64)
+        if len(sk):
+            idx = np.minimum(np.searchsorted(sk, cid), len(sk) - 1)
+            hit = sk[idx] == cid
+            n[hit] = sv[idx[hit]]
         out = pa.table(
             {
                 "url": batch.column("url"),
                 "doc_hash": batch.column("doc_hash"),
-                "cluster_id": batch.column("cluster_id"),
+                "cluster_id": pa.array(cid, pa.int64()),
                 "cluster_size": pa.array(n, pa.int64()),
                 "size_bytes": batch.column("size_bytes"),
             }
         )
         return out.filter(pa.array(n > 1))
 
-    clusters = assigned.map_batches(finish, batch_format="pyarrow")
+    clusters = ing.select_columns(["url", "doc_hash", "size_bytes"]).map_batches(
+        finish, batch_format="pyarrow"
+    )
+    tick("components+finish")
     return NearDupResult(clusters=clusters, edges=edges)
 
 

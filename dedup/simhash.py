@@ -51,13 +51,24 @@ class SimHasher:
         out = np.zeros(n_docs, dtype=U64)
         nz = n_sh > 0
         if nz.any():
-            bits = np.unpackbits(sh.view(np.uint8).reshape(-1, 8), axis=1)  # (S, 64)
-            contrib = bits.astype(np.int32) * 2 - 1
+            # per-bit popcount-sum with a reused scratch column instead of
+            # an unpacked (S,64) matrix — fresh multi-MB temporaries pay
+            # first-touch page faults far exceeding the arithmetic
+            from .hashing import _scratch
+
             starts = (np.cumsum(n_sh) - n_sh)[nz].astype(np.int64)
-            sums = np.add.reduceat(contrib, starts, axis=0)  # (nz_docs, 64)
-            outbits = (sums > 0).astype(np.uint8)
-            packed = np.packbits(outbits, axis=1).reshape(-1, 8).view(U64).reshape(-1)
-            out[nz] = packed
+            seg_n = n_sh[nz].astype(np.int64)
+            col = _scratch("simhash_col", len(sh), U64)
+            fp = np.zeros(int(nz.sum()), dtype=U64)
+            one = np.uint64(1)
+            with np.errstate(over="ignore"):
+                for j in range(64):
+                    np.right_shift(sh, np.uint64(j), out=col)
+                    col &= one
+                    ones = np.add.reduceat(col, starts)
+                    # bit j set ⇔ ones > zeros ⇔ 2*ones > n_shingles
+                    fp |= ((2 * ones > seg_n.view(U64)).astype(U64) << np.uint64(j))
+            out[nz] = fp
         return pa.table(
             {
                 "doc_hash": batch.column("doc_hash"),
@@ -114,7 +125,7 @@ def simhash_clusters(
     from .pipeline import distinct_reps
 
     cfg = cfg or DedupConfig()
-    ing = ingest(pages, cfg)
+    ing = ingest(pages, cfg).materialize()  # consumed by reps + assignment
     reps = distinct_reps(ing)
     fps = simhash_fingerprints(reps, cfg).materialize()
     chunks = _chunk_rows(fps)
@@ -151,10 +162,9 @@ def simhash_clusters(
         keep = d <= hamming_max
         edges_a, edges_b = a[keep], b[keep]
 
-    uf = UnionFind()
-    for x, y in zip(edges_a.tolist(), edges_b.tolist()):
-        uf.union(x, y)
-    keys, cids = uf.component_map()
+    from .unionfind import components_np
+
+    keys, cids = components_np(edges_a, edges_b)
 
     assigned = broadcast_map_i64(
         ing.select_columns(["url", "doc_hash"]),

@@ -148,7 +148,7 @@ def long_span_pairs(
     import ray.data as rd
 
     cfg = cfg or DedupConfig()
-    ing = ingest(pages, cfg)
+    ing = ingest(pages, cfg).materialize()  # distinct_reps makes 3 passes
     reps = distinct_reps(ing).materialize()
     sigs = sign(reps, cfg)
     bands = band_rows(sigs, cfg)

@@ -18,11 +18,56 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import ray
 from ray.data import Dataset
 
 from .config import DedupConfig
 from .exchange import bucketed_join, collect_table, semi_filter
 from .hashing import U64
+
+
+_PARALLEL_VERIFY_MIN = 200_000  # pairs; below this one core wins
+_PARALLEL_DEDUP_MIN = 2_000_000  # raw pairs; above this dedup runs in Ray
+
+
+def _compare_slice(
+    sig_index, a: np.ndarray, b: np.ndarray, num_perm: int
+) -> np.ndarray:
+    """Agreement fraction per (a,b) pair.
+
+    ``sig_index`` = (ids_sorted, row_of_sorted, mat): ids sorted for
+    searchsorted, an indirection into the UNSORTED matrix (pre-sorting a
+    multi-hundred-MB matrix costs two full copies of page faults; one
+    extra index gather per pair is free). Chunked gather+compare with
+    reused scratch buffers. Pairs whose id is absent get sim 0.
+    """
+    from .hashing import _scratch
+
+    ids_s, row_o, mat = sig_index
+    n = len(ids_s)
+    if n == 0:
+        return np.zeros(len(a))
+    ia = np.minimum(np.searchsorted(ids_s, a), n - 1)
+    ib = np.minimum(np.searchsorted(ids_s, b), n - 1)
+    ok = (ids_s[ia] == a) & (ids_s[ib] == b)
+    sim = np.zeros(len(a))
+    ia_ok, ib_ok = row_o[ia[ok]], row_o[ib[ok]]
+    sim_ok = np.empty(len(ia_ok))
+    CH = 16384
+    ga = _scratch("verify_ga", CH * num_perm, np.int64).reshape(CH, num_perm)
+    gb = _scratch("verify_gb", CH * num_perm, np.int64).reshape(CH, num_perm)
+    for s in range(0, len(ia_ok), CH):
+        e = min(s + CH, len(ia_ok))
+        np.take(mat, ia_ok[s:e], axis=0, out=ga[: e - s])
+        np.take(mat, ib_ok[s:e], axis=0, out=gb[: e - s])
+        sim_ok[s:e] = np.count_nonzero(ga[: e - s] == gb[: e - s], axis=1) / num_perm
+    sim[ok] = sim_ok
+    return sim
+
+
+@ray.remote
+def _verify_slice(sig_index, a, b, num_perm):
+    return _compare_slice(sig_index, a, b, num_perm)
 
 
 def _sig_matrix(sig_tbl: pa.Table, num_perm: int) -> tuple[np.ndarray, np.ndarray]:
@@ -32,6 +77,13 @@ def _sig_matrix(sig_tbl: pa.Table, num_perm: int) -> tuple[np.ndarray, np.ndarra
         col = col.combine_chunks()
     flat = col.flatten().to_numpy(zero_copy_only=False)
     return ids, flat.reshape(len(ids), num_perm)
+
+
+def _prep_sigs(st: pa.Table, num_perm: int):
+    """(ids_sorted, row_of_sorted, mat) — no matrix copy."""
+    ids, mat = _sig_matrix(st, num_perm)
+    o = np.argsort(ids)
+    return ids[o], o, mat
 
 
 def verify_pairs(
@@ -72,32 +124,20 @@ def verify_pairs(
     cand = np.sort(np.unique(np.concatenate([a, b])))
     sub = semi_filter(sigs.select_columns(["doc_hash", "sig"]), "doc_hash", cand)
     st = collect_table(sub)
-    ids, mat = _sig_matrix(st, cfg.num_perm)
-    order = np.argsort(ids)
-    ids_s, mat_s = ids[order], mat[order]
-    ia = np.searchsorted(ids_s, a)
-    ib = np.searchsorted(ids_s, b)
-    ok = (ia < len(ids_s)) & (ib < len(ids_s))
-    ia = np.minimum(ia, len(ids_s) - 1)
-    ib = np.minimum(ib, len(ids_s) - 1)
-    ok &= (ids_s[ia] == a) & (ids_s[ib] == b)
-    sim = np.zeros(len(a))
-    # chunked gather+compare with reused scratch buffers: fresh (n,128)
-    # temporaries pay first-touch page faults far exceeding the compute
-    from .hashing import _scratch
-
-    ia_ok, ib_ok = ia[ok], ib[ok]
-    sim_ok = np.empty(len(ia_ok))
-    CH = 16384
-    np_ = cfg.num_perm
-    ga = _scratch("verify_ga", CH * np_, np.int64).reshape(CH, np_)
-    gb = _scratch("verify_gb", CH * np_, np.int64).reshape(CH, np_)
-    for s in range(0, len(ia_ok), CH):
-        e = min(s + CH, len(ia_ok))
-        np.take(mat_s, ia_ok[s:e], axis=0, out=ga[: e - s])
-        np.take(mat_s, ib_ok[s:e], axis=0, out=gb[: e - s])
-        sim_ok[s:e] = np.count_nonzero(ga[: e - s] == gb[: e - s], axis=1) / np_
-    sim[ok] = sim_ok
+    sig_index = _prep_sigs(st, cfg.num_perm)
+    if len(a) >= _PARALLEL_VERIFY_MIN:
+        # fan the compare out as Ray tasks over pair slices; every task
+        # reads the one plasma copy of the signature matrix zero-copy
+        sig_ref = ray.put(sig_index)
+        n_slices = 16
+        step = -(-len(a) // n_slices)
+        futs = [
+            _verify_slice.remote(sig_ref, a[s : s + step], b[s : s + step], cfg.num_perm)
+            for s in range(0, len(a), step)
+        ]
+        sim = np.concatenate(ray.get(futs))
+    else:
+        sim = _compare_slice(sig_index, a, b, cfg.num_perm)
     keep = sim >= cfg.verify_threshold
     return pa.table(
         {
@@ -106,6 +146,142 @@ def verify_pairs(
             "sim": pa.array(sim[keep], pa.float64()),
         }
     )
+
+
+def dedup_pairs(pairs: Dataset) -> Dataset:
+    """Canonicalize (a<b uint64 order, drop self) and globally de-duplicate
+    candidate pairs — the same pair arrives once per shared band, so at
+    scale the dedup MUST happen before signatures are attached (narrow
+    16-byte rows shuffle; signatures are 1 KiB each)."""
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        au, bu = a.view(np.uint64), b.view(np.uint64)
+        lo, hi = np.minimum(au, bu), np.maximum(au, bu)
+        keep = lo != hi
+        # per-batch pre-dedup (combiner) shrinks the shuffle
+        order = np.lexsort((hi[keep], lo[keep]))
+        l, h = lo[keep][order], hi[keep][order]
+        first = np.ones(len(l), dtype=bool)
+        if len(l) > 1:
+            first[1:] = (l[1:] != l[:-1]) | (h[1:] != h[:-1])
+        return pa.table(
+            {"a": pa.array(l[first].view(np.int64), pa.int64()),
+             "b": pa.array(h[first].view(np.int64), pa.int64())}
+        )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        from .hashing import fmix64
+
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = fmix64(a.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ b.view(np.uint64))
+        return batch.append_column(
+            "__bucket", pa.array((h % np.uint64(64)).astype(np.int32), pa.int32())
+        )
+
+    def bucket_unique(g: pa.Table) -> pa.Table:
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.ones(len(a), dtype=bool)
+        if len(a) > 1:
+            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table(
+            {"a": pa.array(a[first], pa.int64()), "b": pa.array(b[first], pa.int64())}
+        )
+
+    # 64-bucket single-key groupby + vectorized per-bucket unique — a
+    # groupby keyed on the (huge-cardinality) pair itself is far slower
+    c = pairs.map_batches(canon, batch_format="pyarrow")
+    return (
+        c.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_unique, batch_format="pyarrow")
+    )
+
+
+def verify_auto(pairs: Dataset, sigs: Dataset, cfg: DedupConfig) -> pa.Table:
+    """Adaptive verification.
+
+    - small raw candidate stream → single-pass driver verification
+    - otherwise → distributed narrow pair dedup, then pair checking in
+      ``map_batches`` against a **plasma-broadcast** signature matrix
+      (``verify_broadcast``): every worker on a node reads the one
+      shared zero-copy object; no signature ever enters a shuffle.
+      (The bucketed-join path ``verify_distributed`` remains for the
+      regime where even the candidate-involved signature set exceeds
+      node memory.)
+    """
+    raw_cap = min(cfg.driver_verify_max, _PARALLEL_DEDUP_MIN)
+    pt = collect_table(pairs, limit_rows=raw_cap + 1)
+    if len(pt) <= raw_cap:
+        # single execution, driver path straight from the collected table
+        import ray.data as rd
+
+        return verify_pairs(rd.from_arrow(pt), sigs, cfg)
+    # large raw stream: de-duplicate in Ray (parallel; the serial driver
+    # lexsort over the raw stream is the cost being avoided), then verify
+    # against the broadcast signature matrix
+    deduped = dedup_pairs(pairs)
+    return verify_broadcast(deduped, sigs, cfg)
+
+
+def verify_broadcast(pairs_deduped: Dataset, sigs: Dataset, cfg: DedupConfig) -> pa.Table:
+    """Verify canonical unique pairs against a broadcast signature matrix.
+
+    The candidate-involved signature set (bounded by duplicate-involved
+    docs, not the corpus) is collected once, ``ray.put`` once, and read
+    zero-copy by every checking task. Comparison is the same chunked
+    scratch-buffer kernel as the driver path, parallelized over pair
+    batches.
+    """
+    pairs_deduped = pairs_deduped.materialize()
+
+    def batch_ids(batch: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [
+                    batch.column("a").to_numpy(zero_copy_only=False),
+                    batch.column("b").to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"id": pa.array(u, pa.int64())})
+
+    idt = collect_table(pairs_deduped.map_batches(batch_ids, batch_format="pyarrow"))
+    cand = np.unique(idt.column("id").to_numpy(zero_copy_only=False))
+    sub = semi_filter(sigs.select_columns(["doc_hash", "sig"]), "doc_hash", cand)
+    st = collect_table(sub)
+    ref = ray.put(_prep_sigs(st, cfg.num_perm))
+    thr = cfg.verify_threshold
+    np_ = cfg.num_perm
+
+    def check(batch: pa.Table) -> pa.Table:
+        sig_index = ray.get(ref)  # zero-copy plasma view
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        sim = _compare_slice(sig_index, a, b, np_)
+        keep = sim >= thr if thr > 0 else np.ones(len(a), bool)
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "sim": pa.array(sim[keep], pa.float64()),
+            }
+        )
+
+    out = pairs_deduped.map_batches(check, batch_format="pyarrow", batch_size=1 << 17)
+    t = collect_table(out)
+    if len(t) == 0:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())}
+        )
+    return t.select(["a", "b", "sim"])
 
 
 def verify_distributed(pairs: Dataset, sigs: Dataset, cfg: DedupConfig) -> Dataset:

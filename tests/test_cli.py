@@ -1,0 +1,65 @@
+"""CLI end-to-end: run in-session (Ray already up via fixture), check
+outputs + checkpoint resume lineage."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dedup.cli import main
+from dedup.synth import make_pages
+
+
+@pytest.fixture()
+def pages_file(tmp_path):
+    table, _ = make_pages(n_exact_groups=5, n_near_groups=5, n_singletons=30,
+                          n_negative_pairs=3, n_short_split_pairs=2)
+    p = tmp_path / "pages.parquet"
+    pq.write_table(table, p)
+    return str(p)
+
+
+def test_cli_near_mode_with_checkpoint_resume(pages_file, tmp_path, capsys):
+    out1 = str(tmp_path / "out1")
+    ck = str(tmp_path / "ckpt")
+    rc = main(["--input", pages_file, "--output", out1, "--checkpoint", ck,
+               "--print-lineage"])
+    assert rc == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["rows_in_clusters"] > 0 and s1["n_clusters"] > 0
+    assert os.path.isdir(os.path.join(out1, "clusters"))
+    assert any(e.startswith("write:") for e in s1["lineage"])
+
+    # second run: same config → checkpoint hits, identical clusters
+    out2 = str(tmp_path / "out2")
+    rc = main(["--input", pages_file, "--output", out2, "--checkpoint", ck,
+               "--print-lineage"])
+    assert rc == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert all(e.startswith("hit:") for e in s2["lineage"])
+    assert s2["rows_in_clusters"] == s1["rows_in_clusters"]
+    assert s2["n_clusters"] == s1["n_clusters"]
+
+
+def test_cli_exact_mode(pages_file, tmp_path, capsys):
+    out = str(tmp_path / "out")
+    rc = main(["--input", pages_file, "--output", out, "--mode", "exact"])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["redundant_bytes"] > 0
+    with open(os.path.join(out, "summary.json")) as f:
+        assert json.load(f) == s
+
+
+def test_cli_distributed_backend_matches_driver(pages_file, tmp_path, capsys):
+    outs = {}
+    for backend in ("driver", "distributed"):
+        out = str(tmp_path / backend)
+        rc = main(["--input", pages_file, "--output", out,
+                   "--cluster-backend", backend])
+        assert rc == 0
+        outs[backend] = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert outs["driver"]["rows_in_clusters"] == outs["distributed"]["rows_in_clusters"]
+    assert outs["driver"]["n_clusters"] == outs["distributed"]["n_clusters"]

@@ -111,3 +111,21 @@ def test_label_propagation_matches_driver_unionfind():
     lp = label_propagation(ds, n_buckets=4).to_pandas()
     got = dict(zip(lp["node"], lp["label"]))
     assert got == want
+
+
+def test_components_np_matches_unionfind():
+    from dedup.unionfind import components_np
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(-(2**62), 2**62, size=5000)
+    b = a.copy()
+    rng.shuffle(b)
+    # random edges + chains
+    uf = UnionFind()
+    for x, y in zip(a.tolist(), b.tolist()):
+        uf.union(x, y)
+    k1, c1 = uf.component_map()
+    k2, c2 = components_np(a, b)
+    m1 = dict(zip(k1.tolist(), c1.tolist()))
+    m2 = dict(zip(k2.tolist(), c2.tolist()))
+    assert m1 == m2

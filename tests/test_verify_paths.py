@@ -1,0 +1,74 @@
+"""All three verification paths (driver / broadcast / bucketed-join)
+must produce identical verified edge sets."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from dedup.config import DedupConfig
+from dedup.ingest import ingest
+from dedup.lsh import band_rows, candidate_pairs
+from dedup.minhash import sign
+from dedup.pipeline import distinct_reps
+from dedup.synth import make_pages
+from dedup.verify import (
+    dedup_pairs,
+    verify_auto,
+    verify_broadcast,
+    verify_distributed,
+    verify_pairs,
+)
+from dedup.exchange import collect_table
+
+
+def _setup():
+    table, _ = make_pages(n_exact_groups=5, n_near_groups=10, n_singletons=50,
+                          n_negative_pairs=5, n_short_split_pairs=2)
+    cfg = DedupConfig(min_size=1)
+    pages = rd.from_arrow(table)
+    ing = ingest(pages, cfg).materialize()
+    reps = distinct_reps(ing).materialize()
+    sigs = sign(reps, cfg).materialize()
+    bands = band_rows(sigs, cfg)
+    pairs, chain = candidate_pairs(bands, cfg)
+    if len(chain):
+        pairs = pairs.union(rd.from_arrow(chain))
+    return pairs.materialize(), sigs, cfg
+
+
+def _norm(t: pa.Table) -> pd.DataFrame:
+    return t.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def test_three_verify_paths_agree():
+    pairs, sigs, cfg = _setup()
+    d_driver = _norm(verify_pairs(pairs, sigs, cfg))
+    assert len(d_driver) > 0
+    deduped = dedup_pairs(pairs)
+    d_bcast = _norm(verify_broadcast(deduped, sigs, cfg))
+    d_join = _norm(collect_table(verify_distributed(deduped, sigs, cfg)).select(["a", "b", "sim"]))
+    pd.testing.assert_frame_equal(d_driver, d_bcast)
+    pd.testing.assert_frame_equal(d_driver, d_join)
+
+
+def test_verify_auto_switches_paths():
+    pairs, sigs, cfg = _setup()
+    d_small = _norm(verify_auto(pairs, sigs, cfg))
+    # force the broadcast path by dropping the driver ceiling to 0
+    cfg_big = DedupConfig(min_size=1, driver_verify_max=0)
+    d_forced = _norm(verify_auto(pairs, sigs, cfg_big))
+    pd.testing.assert_frame_equal(d_small, d_forced)
+
+
+def test_dedup_pairs_unique_and_canonical():
+    t = pa.table(
+        {
+            "a": pa.array([5, 3, 5, -1, 7, 7], pa.int64()),
+            "b": pa.array([3, 5, 5, 1, 9, 9], pa.int64()),
+        }
+    )
+    out = collect_table(dedup_pairs(rd.from_arrow(t))).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    # (5,3)/(3,5)/(5,5 self) collapse to (3,5); -1 is uint64-max → (1,-1)
+    assert got == {(3, 5), (1, -1), (7, 9)}
