@@ -126,7 +126,7 @@ def simhash_clusters(
 
     cfg = cfg or DedupConfig()
     ing = ingest(pages, cfg).materialize()  # consumed by reps + assignment
-    reps = distinct_reps(ing)
+    reps = distinct_reps(ing).materialize()  # pin: stop DAG re-execution
     fps = simhash_fingerprints(reps, cfg).materialize()
     chunks = _chunk_rows(fps)
     pairs, chain = candidate_pairs(chunks, cfg)
