@@ -61,6 +61,39 @@ def _warmup(pages) -> None:
     _consume(near_dup_pipeline(pages.limit(4000), DedupConfig()).clusters)
 
 
+def _planted_recall(cluster_batches) -> float:
+    """Dup-pair recall over the planted clusters of the expanded corpus.
+
+    Ground truth: urls ``doc://<src>/<base>/c<j>`` with base % 4 == 0
+    form one near-dup cluster of EXPAND_FACTOR pages. Recall = co-
+    clustered planted pairs / all planted pairs.
+    """
+    import pyarrow as pa
+
+    if not cluster_batches:
+        return 0.0
+    t = pa.concat_tables(cluster_batches)
+    urls = t.column("url").to_pylist()
+    cids = t.column("cluster_id").to_pylist()
+    by_base: dict[str, dict[int, int]] = {}
+    for u, c in zip(urls, cids):
+        base, _, _ = u.rpartition("/")
+        try:
+            base_id = int(base.rsplit("/", 1)[1])
+        except (ValueError, IndexError):
+            continue
+        if base_id % 4 != 0:
+            continue
+        by_base.setdefault(base, {})
+        by_base[base][c] = by_base[base].get(c, 0) + 1
+    total = hit = 0
+    m = EXPAND_FACTOR
+    for base, counts in by_base.items():
+        total += m * (m - 1) // 2
+        hit += sum(k * (k - 1) // 2 for k in counts.values())
+    return round(hit / total, 5) if total else 0.0
+
+
 def run_headline(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -90,10 +123,17 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
 
     t0 = time.monotonic()
     res = near_dup_pipeline(pages, cfg)
-    n = _consume(res.clusters)
+    cl_batches = []
+    n = 0
+    for bt in res.clusters.select_columns(["url", "cluster_id"]).iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow"
+    ):
+        n += len(bt)
+        cl_batches.append(bt)
     queries["minhash_lsh"] = round(time.monotonic() - t0, 3)
     extras["near_dup_cluster_rows"] = n
     extras["docs_per_sec"] = round(n_docs / queries["minhash_lsh"], 1)
+    extras["planted_pair_recall"] = _planted_recall(cl_batches)
 
     t0 = time.monotonic()
     _consume(simhash_clusters(pages, cfg))
