@@ -199,6 +199,110 @@ def cosine_near_dup_pairs(
     )
 
 
+def ivf_build(
+    embeddings: Dataset,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    seed: int = 42,
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic coarse quantizer: seeded k-means on a prefix sample.
+
+    Returns (n_centroids, d) float64 centroid matrix (normalized). The
+    sample is the first ``sample`` rows — deterministic, no wall clock.
+    """
+    first = embeddings.limit(sample)
+    tbl = pa.concat_tables(
+        list(first.iter_batches(batch_size=sample, batch_format="pyarrow"))
+    )
+    X = _normalize(_emb_matrix(tbl, emb_col))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_search(
+    embeddings: Dataset,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """IVF approximate KNN: probe only the ``n_probe`` nearest coarse
+    cells per query instead of the whole corpus — the scale path when
+    the corpus outgrows a brute-force pass (recall < 1, tunable).
+
+    → DataFrame(query_id, neighbor_id, rank), same shape as knn_cosine.
+    """
+    C = ivf_build(embeddings, n_centroids=n_centroids, emb_col=emb_col)
+    cref = ray.put(C)
+
+    # query vectors + their probe cells
+    qset = sorted(set(int(q) for q in query_ids))
+    qb = []
+    for b in embeddings.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        m = np.isin(ids, qset)
+        if m.any():
+            qb.append(b.filter(pa.array(m)))
+    if not qb:
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []})
+    qt = pa.concat_tables(qb)
+    q_ids = qt.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    Q = _normalize(_emb_matrix(qt, emb_col))
+    probes = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]  # (m, n_probe)
+    qref = ray.put((q_ids, Q, probes))
+
+    def local(batch: pa.Table) -> pa.Table:
+        Cm = ray.get(cref)
+        qids, Qm, qprobes = ray.get(qref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        X = _normalize(_emb_matrix(batch, emb_col))
+        cell = np.argmax(X @ Cm.T, axis=1)
+        sims = X @ Qm.T
+        out_q, out_n, out_s = [], [], []
+        for j in range(len(qids)):
+            in_probe = np.isin(cell, qprobes[j])
+            in_probe &= ids != qids[j]
+            cand = np.nonzero(in_probe)[0]
+            if not len(cand):
+                continue
+            kk = min(k, len(cand))
+            top = cand[np.argpartition(-sims[cand, j], kk - 1)[:kk]]
+            out_q.append(np.full(kk, qids[j], np.int64))
+            out_n.append(ids[top])
+            out_s.append(sims[top, j])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    df = embeddings.map_batches(local, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []})
+    df = df.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    out = df[df["rank"] <= k][["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+    return out.astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
+
+
 def lsh_bucketed_pairs(
     embeddings: Dataset,
     threshold: float = 0.9,

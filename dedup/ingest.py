@@ -86,6 +86,56 @@ class Ingester:
         )
 
 
+def gate_rejects(pages: Dataset, cfg: DedupConfig) -> Dataset:
+    """Poison-row quarantine: rows the ingest gates drop, with a reason.
+
+    ≅ the reference's warn-and-skip on unreadable/irregular files
+    (process_matches.rs:119,133,143,165,178,496-499) made queryable:
+    rejects are a first-class table, not a log line. Reason priority is
+    fixed (too_short → too_long → lang → url) so the label is
+    deterministic and SQL-mirrorable.
+    """
+    gate = Ingester(cfg)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        size = utf8_lengths(text)
+        n = len(batch)
+        reason = np.array([""] * n, dtype=object)
+        ok = np.ones(n, dtype=bool)
+
+        def mark(mask, label):
+            nonlocal ok
+            hit = mask & ok
+            reason[hit] = label
+            ok &= ~mask
+
+        mark(size < cfg.min_size, "too_short")
+        if cfg.max_size:
+            mark(size > cfg.max_size, "too_long")
+        if gate.langs is not None and "lang" in batch.column_names:
+            lang_ok = pc.is_in(
+                pc.fill_null(batch.column("lang"), ""),
+                value_set=pa.array(sorted(gate.langs)),
+            ).to_numpy(zero_copy_only=False).astype(bool)
+            mark(~lang_ok, "lang")
+        if gate.url_re is not None:
+            urls = batch.column("url").to_pylist()
+            bad = np.array([gate.url_re.search(u or "") is not None for u in urls])
+            mark(bad, "url")
+        rej = ~ok
+        return pa.table(
+            {
+                "url": batch.column("url").filter(pa.array(rej)),
+                "reason": pa.array([str(r) for r in reason[rej]], pa.string()),
+            }
+        )
+
+    return pages.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def ingest(pages: Dataset, cfg: DedupConfig) -> Dataset:
     # an Ingester INSTANCE is a plain callable → stateless tasks (elastic,
     # no reserved pool); regex compile cost is trivial per task

@@ -274,6 +274,40 @@ def q_ann_lsh_near_dup(sf_dir: str):
     return t.select(["a", "b"])
 
 
+def q_gate_rejects(sf_dir: str):
+    """Quarantine table: rows dropped by the ingest gates + reason."""
+    from .ingest import gate_rejects
+
+    pages = pages_from_documents(sf_dir)
+    cfg = DedupConfig(min_size=150, max_size=400, lang_filter=("en", "de"))
+    return gate_rejects(pages, cfg)
+
+
+def q_ann_ivf(sf_dir: str):
+    from .embed import ivf_search
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_search(emb, query_ids=list(range(10)), k=5, n_centroids=16, n_probe=4)
+
+
+def q_events_windowed(sf_dir: str):
+    """Tumbling 1-hour window aggregate over the events stream (the
+    windowed-aggregate custom op — SURVEY §2.7 notes the reference has
+    no streaming features; this is the training-pipeline extension)."""
+    from .windows import tumbling_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    return tumbling_aggregate(ev, window_sec=3600)
+
+
+def q_events_sessions(sf_dir: str):
+    """Gap-based sessionization per user (30-min gap)."""
+    from .windows import sessionize
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return sessionize(ev, gap_sec=1800)
+
+
 def q_fingerprint_stats(sf_dir: str):
     from .fingerprint import fingerprint_stats
 
@@ -301,6 +335,10 @@ QUERIES = {
     "media_features": q_media_features,
     "consolidation_plan": q_consolidation_plan,
     "filter_gates": q_filter_gates,
+    "events_windowed": q_events_windowed,
+    "events_sessions": q_events_sessions,
+    "gate_rejects": q_gate_rejects,
+    "ann_ivf": q_ann_ivf,
     "fingerprint_stats": q_fingerprint_stats,
     "long_repeated_spans": q_long_repeated_spans,
     "minhash_lsh_clusters": q_minhash_lsh_clusters,
@@ -428,5 +466,37 @@ WITH {PAGES_SQL}
 SELECT url, strlen(text) AS size_bytes, lang
 FROM pages
 WHERE strlen(text) >= 150 AND strlen(text) <= 400 AND lang IN ('en', 'de')
+""".strip(),
+    "gate_rejects": f"""
+WITH {PAGES_SQL}
+SELECT url,
+       CASE WHEN strlen(text) < 150 THEN 'too_short'
+            WHEN strlen(text) > 400 THEN 'too_long'
+            WHEN lang NOT IN ('en', 'de') THEN 'lang'
+            END AS reason
+FROM pages
+WHERE strlen(text) < 150 OR strlen(text) > 400 OR lang NOT IN ('en', 'de')
+""".strip(),
+    "events_windowed": """
+SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY 1, 2
+""".strip(),
+    "events_sessions": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+s AS (SELECT user_id, t,
+        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000
+             THEN 1 ELSE 0 END AS brk
+      FROM e),
+x AS (SELECT user_id, t,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM s)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(t) AS session_start, MAX(t) AS session_end
+FROM x GROUP BY 1, 2
 """.strip(),
 }

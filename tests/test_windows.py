@@ -1,0 +1,97 @@
+"""Windowed aggregation, sessionization, IVF search, quarantine."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from dedup.config import DedupConfig
+from dedup.embed import ivf_search, knn_cosine
+from dedup.ingest import gate_rejects, ingest
+from dedup.windows import sessionize, tumbling_aggregate
+
+US = 1_000_000
+
+
+def _events(ts_list, types=None, values=None, users=None):
+    n = len(ts_list)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array(ts_list, pa.timestamp("us")),
+                "event_type": pa.array(types or ["click"] * n, pa.string()),
+                "value": pa.array(values or [1.0] * n, pa.float64()),
+                "user_id": pa.array(users or [1] * n, pa.int64()),
+            }
+        )
+    )
+
+
+def test_tumbling_window_boundaries():
+    H = 3600 * US
+    ev = _events(
+        [0, H - 1, H, H + 1, 3 * H],
+        types=["a", "a", "a", "b", "a"],
+        values=[1.25, 2.50, 3.0, 4.0, 5.0],
+    )
+    out = tumbling_aggregate(ev, window_sec=3600).to_pandas()
+    out = out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    got = [
+        (int(r.window_start.value // 1000) if hasattr(r.window_start, "value") else r.window_start,
+         r.event_type, r.n_events, r.sum_cents)
+        for r in out.itertuples()
+    ]
+    # window 0: two 'a' events (1.25+2.50 = 375 cents); window H: one of
+    # each; window 3H: one 'a'
+    assert out["n_events"].tolist() == [2, 1, 1, 1]
+    assert out["sum_cents"].tolist() == [375, 300, 400, 500]
+
+
+def test_sessionize_gap():
+    G = 1800 * US
+    # user 1: 3 events within gap, then a jump → 2 sessions; user 2: one
+    ev = _events(
+        [0, 100 * US, G, 3 * G, 0],
+        users=[1, 1, 1, 1, 2],
+    )
+    out = sessionize(ev, gap_sec=1800).to_pandas().sort_values(["user_id", "session_id"])
+    u1 = out[out.user_id == 1]
+    assert u1["n_events"].tolist() == [3, 1]
+    assert u1["session_start"].tolist() == [0, 3 * G]
+    assert out[out.user_id == 2]["n_events"].tolist() == [1]
+
+
+def test_ivf_finds_exact_neighbors_mostly():
+    rng = np.random.default_rng(5)
+    M = rng.standard_normal((500, 32))
+    from tests.test_similarity import _emb_ds
+
+    ds = _emb_ds(M)
+    exact = knn_cosine(ds, query_ids=[0, 1, 2, 3, 4], k=5)
+    approx = ivf_search(ds, query_ids=[0, 1, 2, 3, 4], k=5, n_centroids=8, n_probe=8)
+    # n_probe == n_centroids → exhaustive → identical to exact
+    pd.testing.assert_frame_equal(
+        exact.reset_index(drop=True), approx.reset_index(drop=True)
+    )
+    # fewer probes → recall may drop but stays useful
+    approx2 = ivf_search(ds, query_ids=[0, 1, 2, 3, 4], k=5, n_centroids=8, n_probe=4)
+    ex = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    ap = set(map(tuple, approx2[["query_id", "neighbor_id"]].values))
+    assert len(ex & ap) / len(ex) >= 0.5
+
+
+def test_gate_rejects_reasons():
+    t = pa.table(
+        {
+            "url": pa.array(["u/short", "u/long", "u/fr", "u/ok"]),
+            "warc_ts": pa.array([0, 1, 2, 3], pa.timestamp("us")),
+            "html": pa.array([b""] * 4, pa.binary()),
+            "text": pa.array(["ab", "x" * 500, "c" * 100, "d" * 100]),
+            "lang": pa.array(["en", "en", "fr", "en"]),
+        }
+    )
+    cfg = DedupConfig(min_size=10, max_size=200, lang_filter=("en",))
+    rej = gate_rejects(rd.from_arrow(t), cfg).to_pandas().set_index("url")["reason"]
+    assert rej.to_dict() == {"u/short": "too_short", "u/long": "too_long", "u/fr": "lang"}
+    kept = ingest(rd.from_arrow(t), cfg).to_pandas()
+    assert kept["url"].tolist() == ["u/ok"]
