@@ -274,6 +274,29 @@ def q_ann_lsh_near_dup(sf_dir: str):
     return t.select(["a", "b"])
 
 
+def q_events_last_order(sf_dir: str):
+    """As-of join: each event matched to the user's most recent order
+    at event time (backward as-of; Ray Data lacks this natively)."""
+    from .joins import asof_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.rename_columns(["user_id", "o_orderdate"]), batch_format="pyarrow"
+    )
+    j = asof_join(ev, orders, by="user_id", left_ts="ts", right_ts="o_orderdate")
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = t.select(["event_id", "user_id", "o_orderdate"]).rename_columns(
+            ["event_id", "user_id", "last_order_date"]
+        )
+        # inner-ASOF semantics (match the oracle): drop unmatched lefts
+        return out.filter(pa.compute.is_valid(out.column("last_order_date")))
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 def q_gate_rejects(sf_dir: str):
     """Quarantine table: rows dropped by the ingest gates + reason."""
     from .ingest import gate_rejects
@@ -339,6 +362,7 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "gate_rejects": q_gate_rejects,
     "ann_ivf": q_ann_ivf,
+    "events_last_order": q_events_last_order,
     "fingerprint_stats": q_fingerprint_stats,
     "long_repeated_spans": q_long_repeated_spans,
     "minhash_lsh_clusters": q_minhash_lsh_clusters,
@@ -466,6 +490,11 @@ WITH {PAGES_SQL}
 SELECT url, strlen(text) AS size_bytes, lang
 FROM pages
 WHERE strlen(text) >= 150 AND strlen(text) <= 400 AND lang IN ('en', 'de')
+""".strip(),
+    "events_last_order": """
+SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_date
+FROM events e ASOF JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """.strip(),
     "gate_rejects": f"""
 WITH {PAGES_SQL}
