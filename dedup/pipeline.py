@@ -137,13 +137,32 @@ def near_dup_pipeline(
     tick("reps")
     sigs = stage("p3_signatures", lambda: sign(reps, cfg))
     tick("sign")
-    bands = band_rows(sigs, cfg)
-    pairs, chain = candidate_pairs(bands, cfg)
-    tick("bands+sort+pairs")
-    if len(chain):
-        pairs = pairs.union(rd.from_arrow(chain))
-    edges = verify_auto(pairs, sigs, cfg)
-    tick("verify")
+    _EDGES_EMPTY = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "sim": pa.array([], pa.float64())}
+    )
+    if checkpoint is not None and "write:p3_signatures" in checkpoint.events:
+        # lineage: a rebuilt upstream invalidates derived stages
+        checkpoint.invalidate("p4_edges")
+    if checkpoint is not None and checkpoint.is_valid("p4_edges"):
+        # resume: skip banding, sort and verification entirely
+        batches = list(
+            checkpoint.load_or_run("p4_edges", None).iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"
+            )
+        )
+        edges = pa.concat_tables(batches) if batches else _EDGES_EMPTY
+        tick("p4_edges (checkpoint hit)")
+    else:
+        bands = band_rows(sigs, cfg)
+        pairs, chain = candidate_pairs(bands, cfg)
+        tick("bands+sort+pairs")
+        if len(chain):
+            pairs = pairs.union(rd.from_arrow(chain))
+        edges = verify_auto(pairs, sigs, cfg)
+        if checkpoint is not None and len(edges):
+            checkpoint.load_or_run("p4_edges", lambda: rd.from_arrow(edges))
+        tick("verify")
 
     if cfg.cluster_backend == "distributed":
         # Ray Data min-label propagation (10^12-doc scale path); the
