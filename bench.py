@@ -199,18 +199,27 @@ def run_scaling(sf_dir: str, cpus_lo: int = 2, cpus_hi: int = 8) -> dict:
     ~1.6 GB/s total), so wider pairs measure the memory wall, not the
     engine. See BASELINE.md for both pairs' numbers.
     """
+    repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
     out = {}
     for c in (cpus_lo, cpus_hi):
-        env = dict(os.environ)
-        env.pop("RAY_ADDRESS", None)
-        r = subprocess.run(
-            [sys.executable, __file__, "--child-throughput", str(c)],
-            capture_output=True, text=True, env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
-        if not line:
-            raise RuntimeError(f"child {c} cpus failed: {r.stderr[-2000:]}")
-        out[c] = json.loads(line[-1])
+        best = None
+        for _ in range(repeats):
+            env = dict(os.environ)
+            env.pop("RAY_ADDRESS", None)
+            r = subprocess.run(
+                [sys.executable, __file__, "--child-throughput", str(c)],
+                capture_output=True, text=True, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+            if not line:
+                raise RuntimeError(f"child {c} cpus failed: {r.stderr[-2000:]}")
+            cur = json.loads(line[-1])
+            # min over repetitions: on a noisy shared host the minimum
+            # estimates the true cost; single runs swing ±25%
+            if best is None or cur["sec"] < best["sec"]:
+                best = cur
+        out[c] = best
     lo, hi = out[cpus_lo], out[cpus_hi]
     ratio = cpus_hi / cpus_lo
     speedup = lo["sec"] / hi["sec"]

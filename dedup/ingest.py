@@ -67,9 +67,18 @@ class Ingester:
         text = t.column("text")
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        size = utf8_lengths(text)
+        size = size[mask]
         doc_hash = xxh64_arrow(text, seed=cfg.hash_seed)
-        short = xxh64_arrow(text, seed=cfg.hash_seed, prefix=cfg.short_prefix)
+        # short_hash = xxh64 of the first `short_prefix` BYTES — for rows
+        # not exceeding the prefix that IS the full-content hash, so only
+        # the long tail pays a second hashing pass (most web docs don't)
+        short = doc_hash.copy()
+        long_rows = size > cfg.short_prefix
+        if long_rows.any():
+            sub = text.filter(pa.array(long_rows))
+            short[long_rows] = xxh64_arrow(
+                sub, seed=cfg.hash_seed, prefix=cfg.short_prefix
+            )
         with np.errstate(over="ignore"):
             short_key = fmix64(short ^ size.astype(np.uint64))
         # hashes travel as int64 bit-patterns: Ray's groupby key path round-
