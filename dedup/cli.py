@@ -51,7 +51,9 @@ def main(argv=None) -> int:
     ap.add_argument("--max-size", type=int, default=None)
     ap.add_argument("--lang", nargs="*", default=None)
     ap.add_argument("--exclude-url", default=None)
-    ap.add_argument("--cluster-backend", choices=["driver", "distributed"], default=None)
+    ap.add_argument(
+        "--cluster-backend", choices=["driver", "actors", "distributed"], default=None
+    )
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--print-lineage", action="store_true")
     args = ap.parse_args(argv)

@@ -41,9 +41,11 @@ class DedupConfig:
     # raw candidate-pair streams larger than this leave the driver
     # verification path for the distributed dedup + bucketed-join path
     driver_verify_max: int = 20_000_000
-    # connected components: "driver" = streaming union-find on the driver
-    # (right up to ~10^8 edges); "distributed" = Ray Data min-label
-    # propagation (the 10^12-doc scale path, unionfind.label_propagation)
+    # connected components: "driver" = vectorized components on the
+    # driver (right up to ~10^8 edges); "actors" = sharded union-find
+    # actor fleet (O(E) union work distributed, driver merges only the
+    # per-shard component maps); "distributed" = Ray Data min-label
+    # propagation (pure-Dataset path)
     cluster_backend: str = "driver"
 
     # --- url filters (≅ exclude globs, options.rs:186-204)
@@ -60,7 +62,7 @@ class DedupConfig:
             raise ValueError("max_size < min_size")
         if self.shingle_k < 1:
             raise ValueError("shingle_k must be >= 1")
-        if self.cluster_backend not in ("driver", "distributed"):
+        if self.cluster_backend not in ("driver", "actors", "distributed"):
             raise ValueError(f"unknown cluster_backend {self.cluster_backend!r}")
 
     def fingerprint(self) -> str:

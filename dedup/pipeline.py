@@ -179,6 +179,14 @@ def near_dup_pipeline(
         )
         keys = lt.column("node").to_numpy(zero_copy_only=False)
         cids = lt.column("label").to_numpy(zero_copy_only=False)
+    elif cfg.cluster_backend == "actors":
+        # sharded union-find actor fleet (north-star "distributed
+        # union-find actor"); O(E) union work runs in the shards
+        from .unionfind import components_sharded
+
+        keys, cids = components_sharded(
+            rd.from_arrow(edges.select(["a", "b"])), n_shards=4
+        )
     else:
         # driver components over verified edges (vectorized; O(E log n))
         from .unionfind import components_np

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import ray
 from ray.data import Dataset
 
 from .exchange import bucketed_join, min_by_key
@@ -136,6 +137,63 @@ def components_from_pairs(pairs: Dataset) -> tuple[np.ndarray, np.ndarray]:
         for x, y in zip(a.tolist(), b.tolist()):
             uf.union(x, y)
     return uf.component_map()
+
+
+@ray.remote
+class UnionFindShard:
+    """One shard of the distributed union-find actor fleet.
+
+    Receives edge batches (routed by hash of the edge's min node — a
+    node's edges may land on several shards), maintains a local forest,
+    and emits a (node → local uint64-min component member) map. The
+    driver then merges the per-shard maps: that merge graph has one edge
+    per (node, shard) pair — O(V·shards), independent of E, so the O(E)
+    union work stays sharded. The actor holds mutable cross-batch state,
+    the one thing a Dataset op can't express (SURVEY §7.3).
+    """
+
+    def __init__(self):
+        self.uf = UnionFind()
+
+    def add_edges(self, a: np.ndarray, b: np.ndarray) -> int:
+        for x, y in zip(a.tolist(), b.tolist()):
+            self.uf.union(x, y)
+        return len(a)
+
+    def component_map(self) -> tuple[np.ndarray, np.ndarray]:
+        return self.uf.component_map()
+
+
+def components_sharded(
+    pairs: Dataset, n_shards: int = 4
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed union-find over an actor fleet → (keys, cluster_ids).
+
+    Identical output to ``components_np`` / ``UnionFind`` (uint64-min
+    member rule), asserted in tests.
+    """
+    shards = [UnionFindShard.remote() for _ in range(n_shards)]
+    pending = []
+    for batch in pairs.iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            route = (
+                fmix64(np.minimum(a.view(np.uint64), b.view(np.uint64)))
+                % np.uint64(n_shards)
+            ).astype(np.int64)
+        for s in range(n_shards):
+            m = route == s
+            if m.any():
+                pending.append(shards[s].add_edges.remote(a[m], b[m]))
+    ray.get(pending)
+    maps = ray.get([s.component_map.remote() for s in shards])
+    # merge: treat each shard's (node → local_min) as edges of a small graph
+    mk = np.concatenate([k for k, _ in maps]) if maps else np.empty(0, np.int64)
+    mv = np.concatenate([c for _, c in maps]) if maps else np.empty(0, np.int64)
+    for s in shards:
+        ray.kill(s)
+    return components_np(mk, mv)
 
 
 def label_propagation(

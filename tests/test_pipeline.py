@@ -129,3 +129,30 @@ def test_components_np_matches_unionfind():
     m1 = dict(zip(k1.tolist(), c1.tolist()))
     m2 = dict(zip(k2.tolist(), c2.tolist()))
     assert m1 == m2
+
+
+def test_components_sharded_matches_np():
+    from dedup.unionfind import components_np, components_sharded
+
+    rng = np.random.default_rng(17)
+    a = rng.integers(-(2**62), 2**62, size=3000)
+    b = a.copy()
+    rng.shuffle(b)
+    ds = rd.from_arrow(
+        pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    )
+    k1, c1 = components_np(a, b)
+    k2, c2 = components_sharded(ds, n_shards=3)
+    assert dict(zip(k1.tolist(), c1.tolist())) == dict(zip(k2.tolist(), c2.tolist()))
+
+
+def test_pipeline_actor_backend_matches_driver():
+    table, _ = make_pages(n_exact_groups=4, n_near_groups=6, n_singletons=25)
+    ds = rd.from_arrow(table)
+    p_driver = cluster_partition(
+        near_dup_pipeline(ds, DedupConfig(min_size=1, cluster_backend="driver")).clusters
+    )
+    p_actors = cluster_partition(
+        near_dup_pipeline(ds, DedupConfig(min_size=1, cluster_backend="actors")).clusters
+    )
+    assert p_driver == p_actors
