@@ -56,6 +56,10 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--print-lineage", action="store_true")
+    ap.add_argument(
+        "--stats", action="store_true",
+        help="print ray Dataset per-operator stats (G7 progress-metrics analogue)",
+    )
     args = ap.parse_args(argv)
 
     import ray
@@ -107,6 +111,8 @@ def main(argv=None) -> int:
     }
     if ckpt is not None and args.print_lineage:
         summary["lineage"] = ckpt.events
+    if args.stats:
+        print(clusters.stats())
     with open(os.path.join(args.output, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))

@@ -316,6 +316,12 @@ def verify_distributed(pairs: Dataset, sigs: Dataset, cfg: DedupConfig) -> Datas
             col = batch.column(colname)
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
+            if isinstance(col, pa.FixedSizeBinaryArray) and col.null_count == 0:
+                # zero-copy view of the values buffer
+                width = col.type.byte_width
+                buf = np.frombuffer(col.buffers()[1], dtype=np.uint8)
+                buf = buf[col.offset * width : (col.offset + n) * width]
+                return buf.view(U64).reshape(n, cfg.num_perm)
             buf = np.frombuffer(b"".join(col.to_pylist()), dtype=U64)
             return buf.reshape(n, cfg.num_perm)
 
