@@ -92,3 +92,18 @@ def test_fmix64_bijective_sample():
 
 def test_empty_input():
     assert xxh64_bytes_many(np.empty(0, np.uint8), np.empty(0, np.int64), np.empty(0, np.int64)).shape == (0,)
+
+
+def test_small_string_fast_path_boundary():
+    # all-lengths<32 batches take the dedicated fast path; pin every
+    # length 0..31 against the pure-Python reference, plus 32/33 in the
+    # same call to force the general path for comparison
+    small = [bytes(range(n)) for n in range(32)]
+    assert xxh64_arrow(
+        __import__("pyarrow").array(small, __import__("pyarrow").binary())
+    ).tolist() == [xxh64(s) for s in small]
+    mixed = small + [bytes(range(32)), bytes(33)]
+    got = xxh64_arrow(
+        __import__("pyarrow").array(mixed, __import__("pyarrow").binary()), seed=7
+    ).tolist()
+    assert got == [xxh64(s, seed=7) for s in mixed]
