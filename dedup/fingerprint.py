@@ -56,11 +56,18 @@ def _doc_fingerprints(
         valid = (np.arange(nwin, dtype=np.int64) + w - 1) < ends[d0]
         cand_doc_list.append(d0[valid])
         cand_fp_list.append(m[valid])
-    # short docs (n_sh in 1..w): single fingerprint = min of whole segment
+    # short docs (n_sh in 1..w): single fingerprint = min of whole segment.
+    # reduceat runs over ALL nonzero segments (their starts are adjacent in
+    # the flat array, so each reduction stops at the next segment) and then
+    # selects the short ones — reducing over starts[short] alone would span
+    # any long docs lying between two short docs (batch-composition bug).
     short = (n_sh > 0) & (n_sh < w)
     if short.any():
-        cand_doc_list.append(np.nonzero(short)[0])
-        cand_fp_list.append(np.minimum.reduceat(sh, starts[short]))
+        nz = n_sh > 0
+        mins_nz = np.minimum.reduceat(sh, starts[nz])
+        short_in_nz = n_sh[nz] < w
+        cand_doc_list.append(np.nonzero(nz)[0][short_in_nz])
+        cand_fp_list.append(mins_nz[short_in_nz])
     cand_doc = np.concatenate(cand_doc_list) if cand_doc_list else np.empty(0, np.int64)
     cand_fp = np.concatenate(cand_fp_list) if cand_fp_list else np.empty(0, U64)
     if not len(cand_doc):

@@ -139,29 +139,31 @@ def jaccard_pairs(
         m = g.merge(g, on="sh")
         m = m[m["doc_x"] < m["doc_y"]]
         if m.empty:
-            return pd.DataFrame({"pair": pd.Series([], dtype="int64"),
+            return pd.DataFrame({"pa": pd.Series([], dtype="int64"),
+                                 "pb": pd.Series([], dtype="int64"),
                                  "pi": pd.Series([], dtype="int64")})
-        key = (m["doc_x"].to_numpy(np.int64) << np.int64(32)) | m["doc_y"].to_numpy(
-            np.int64
+        # pairs stay as two full int64 columns — packing both ids into one
+        # 64-bit scalar silently collides for ids ≥ 2³¹ (doc hashes would)
+        pair = np.stack(
+            [m["doc_x"].to_numpy(np.int64), m["doc_y"].to_numpy(np.int64)], axis=1
         )
-        u, c = np.unique(key, return_counts=True)
-        return pd.DataFrame({"pair": u, "pi": c.astype(np.int64)})
+        u, c = np.unique(pair, axis=0, return_counts=True)
+        return pd.DataFrame({"pa": u[:, 0], "pb": u[:, 1], "pi": c.astype(np.int64)})
 
     partial_pairs = bucketed.groupby("bucket").map_groups(
         bucket_pairs, batch_format="pandas"
     )
     inter = (
         partial_pairs.map_batches(lambda t: t, batch_format="pyarrow")
-        .groupby("pair")
+        .groupby(["pa", "pb"])
         .aggregate(Sum("pi", alias_name="n_common"))
     )
 
     def finish(batch: pa.Table) -> pa.Table:
         mk, mv = ray.get(nref)
-        pair = batch.column("pair").to_numpy(zero_copy_only=False)
+        a = batch.column("pa").to_numpy(zero_copy_only=False)
+        b = batch.column("pb").to_numpy(zero_copy_only=False)
         i = batch.column("n_common").to_numpy(zero_copy_only=False)
-        a = pair >> np.int64(32)
-        b = pair & np.int64(0xFFFFFFFF)
         ia = np.searchsorted(mk, a)
         ib = np.searchsorted(mk, b)
         na = mv[np.minimum(ia, len(mk) - 1)]

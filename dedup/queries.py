@@ -521,8 +521,8 @@ s AS (SELECT user_id, t,
              THEN 1 ELSE 0 END AS brk
       FROM e),
 x AS (SELECT user_id, t,
-        SUM(brk) OVER (PARTITION BY user_id ORDER BY t
-                       ROWS UNBOUNDED PRECEDING) AS session_id
+        CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM s)
 SELECT user_id, session_id, COUNT(*) AS n_events,
        MIN(t) AS session_start, MAX(t) AS session_end

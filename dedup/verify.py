@@ -216,7 +216,10 @@ def verify_auto(pairs: Dataset, sigs: Dataset, cfg: DedupConfig) -> pa.Table:
       regime where even the candidate-involved signature set exceeds
       node memory.)
     """
-    raw_cap = min(cfg.driver_verify_max, _PARALLEL_DEDUP_MIN)
+    # cfg.driver_verify_max is the documented driver/distributed switchover
+    # and wins outright; _PARALLEL_DEDUP_MIN is only the default floor used
+    # when no config is in play (see dedup_pairs callers)
+    raw_cap = cfg.driver_verify_max
     pt = collect_table(pairs, limit_rows=raw_cap + 1)
     if len(pt) <= raw_cap:
         # single execution, driver path straight from the collected table

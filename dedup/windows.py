@@ -90,35 +90,87 @@ def sessionize(
     gap_sec: int,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    n_buckets: int = 64,
 ) -> Dataset:
     """Session windows per user: events within ``gap_sec`` of the previous
     event share a session. → (user_id, session_id, n_events,
-    session_start, session_end).
+    session_start, session_end) with epoch-microsecond int64 bounds.
 
-    groupby(user) + per-group vectorized gap detection — the partition
-    key is the user, so skew follows user activity (cap heavy users
-    upstream if needed).
+    Distribution: users are hash-bucketed into ``n_buckets`` groups (all
+    of a user's events land in one bucket), then each bucket is ONE
+    vectorized pass — sort by (user, ts), detect session breaks, and
+    aggregate sessions with numpy segment ops. ``map_groups`` runs on the
+    low-cardinality bucket key, never per user (millions of tiny pandas
+    calls — the anti-pattern lsh.py documents). Same bucketing pattern
+    as ``joins.asof_join``.
     """
     gap_us = gap_sec * US
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g[ts_col].astype("int64").to_numpy()
-        order = np.argsort(ts, kind="stable")
-        ts = ts[order]
-        new = np.ones(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            new[1:] = (ts[1:] - ts[:-1]) > gap_us
-        sid = np.cumsum(new) - 1
-        df = pd.DataFrame({"ts": ts, "sid": sid})
-        out = df.groupby("sid").agg(
-            n_events=("ts", "size"), session_start=("ts", "min"), session_end=("ts", "max")
-        )
-        out = out.reset_index()
-        out[user_col] = g[user_col].iloc[0]
-        return out[[user_col, "sid", "n_events", "session_start", "session_end"]].rename(
-            columns={"sid": "session_id"}
+    def bucketize(batch: pa.Table) -> pa.Table:
+        uid = batch.column(user_col)
+        ts = batch.column(ts_col)
+        # explicit µs conversion: pandas astype('int64') on a non-µs
+        # timestamp silently changes the unit; Arrow cast is exact
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp("us"))
+        ts = ts.cast(pa.int64())
+        u = uid.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = (u.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(64 - 6)
+        return pa.table(
+            {
+                user_col: uid,
+                "__ts_us": ts,
+                "__bucket": pa.array(
+                    (bucket % np.uint64(n_buckets)).astype(np.int32), pa.int32()
+                ),
+            }
         )
 
-    return events.select_columns([user_col, ts_col]).groupby(user_col).map_groups(
-        per_user, batch_format="pandas"
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column(user_col).to_numpy(zero_copy_only=False)
+        ts = batch.column("__ts_us").to_numpy(zero_copy_only=False)
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], pa.int64()),
+                    "session_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "session_start": pa.array([], pa.int64()),
+                    "session_end": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        seg_start = new_user.copy()
+        if n > 1:
+            seg_start[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        starts = np.flatnonzero(seg_start)
+        nseg = len(starts)
+        bounds = np.append(starts, n)
+        n_events = np.diff(bounds)
+        s_start = ts[starts]
+        s_end = ts[bounds[1:] - 1]
+        seg_uid = uid[starts]
+        # per-user session ordinal: segment index − index of the user's
+        # first segment (segments are sorted by user, then time)
+        first_of_user = np.where(new_user[starts], np.arange(nseg), 0)
+        sid = np.arange(nseg) - np.maximum.accumulate(first_of_user)
+        return pa.table(
+            {
+                user_col: pa.array(seg_uid, pa.int64()),
+                "session_id": pa.array(sid, pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
+                "session_start": pa.array(s_start, pa.int64()),
+                "session_end": pa.array(s_end, pa.int64()),
+            }
+        )
+
+    return (
+        events.select_columns([user_col, ts_col])
+        .map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )

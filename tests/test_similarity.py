@@ -131,3 +131,26 @@ def test_simhash_clusters_on_fixture():
     # negative pairs must not co-cluster
     for u1, u2 in exp.negative_pairs:
         assert part.get(u1) is None or part.get(u1) != part.get(u2)
+
+
+def test_jaccard_large_ids_no_collision():
+    """Pair keys survive doc ids ≥ 2³¹ (packed-scalar regression: two ids
+    packed into 32-bit halves silently collide/corrupt for 64-bit ids)."""
+    big = 1 << 33
+    text_a = " ".join(f"tok{i}" for i in range(30))
+    text_b = text_a + " tail1 tail2"
+    text_c = " ".join(f"z{i}" for i in range(30))
+    t = pa.table(
+        {
+            "doc_id": pa.array([big + 1, big + 2, (1 << 40) + 7], pa.int64()),
+            "text": pa.array([text_a, text_b, text_c]),
+        }
+    )
+    out = jaccard_pairs(rd.from_arrow(t), k=5, threshold_num=1, threshold_den=2)
+    df = out.to_pandas().sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    assert df["a_id"].tolist() == [big + 1]
+    assert df["b_id"].tolist() == [big + 2]
+    # exact counts: a has 26 shingles, b has 28, 26 common
+    assert df["n_common"].tolist() == [26]
+    assert df["n_a"].tolist() == [26]
+    assert df["n_b"].tolist() == [28]

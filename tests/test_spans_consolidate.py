@@ -107,3 +107,39 @@ def test_consolidation_max_size_policy():
     plan = consolidation_plan(rd.from_arrow(t), DedupConfig(), policy="max_size").to_pandas()
     # equal sizes → min-url tie-break
     assert (plan["target_url"] == "u/a").all()
+
+
+def test_winnowing_batch_split_invariant():
+    """A doc's fingerprints must not depend on batch composition.
+
+    Regression: the short-doc fallback reduced from each SHORT doc's start
+    to the NEXT SHORT doc's start, spanning any long docs between them —
+    a 2-shingle doc got a different fingerprint when followed by a long
+    doc in the same batch vs alone."""
+    short_doc = "alpha beta gamma delta epsilon zeta"  # 6 tokens → 2 shingles (k=5)
+    long_doc = " ".join(f"w{i}" for i in range(60))
+    t_both = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()),
+         "text": pa.array([short_doc, long_doc])}
+    )
+    t_alone = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "text": pa.array([short_doc])}
+    )
+    fp_both = fingerprint_rows(rd.from_arrow(t_both), k=5, w=4).to_pandas()
+    fp_alone = fingerprint_rows(rd.from_arrow(t_alone), k=5, w=4).to_pandas()
+    got_both = sorted(fp_both[fp_both.doc_id == 1]["fingerprint"])
+    got_alone = sorted(fp_alone["fingerprint"])
+    assert got_both == got_alone
+    # interleaved short/long/short: every doc identical to its solo run
+    short2 = "one two three four five six seven"  # 7 tokens → 3 shingles
+    t_mix = pa.table(
+        {"doc_id": pa.array([1, 2, 3], pa.int64()),
+         "text": pa.array([short_doc, long_doc, short2])}
+    )
+    mix = fingerprint_rows(rd.from_arrow(t_mix), k=5, w=4).to_pandas()
+    solo3 = fingerprint_rows(
+        rd.from_arrow(pa.table({"doc_id": pa.array([3], pa.int64()),
+                                "text": pa.array([short2])})),
+        k=5, w=4,
+    ).to_pandas()
+    assert sorted(mix[mix.doc_id == 3]["fingerprint"]) == sorted(solo3["fingerprint"])

@@ -95,3 +95,41 @@ def test_gate_rejects_reasons():
     assert rej.to_dict() == {"u/short": "too_short", "u/long": "too_long", "u/fr": "lang"}
     kept = ingest(rd.from_arrow(t), cfg).to_pandas()
     assert kept["url"].tolist() == ["u/ok"]
+
+
+def test_sessionize_many_users_matches_pandas_reference():
+    """Bucketed vectorized sessionize ≡ per-user reference on a random mix."""
+    rng = np.random.default_rng(11)
+    n = 5000
+    users = rng.integers(0, 200, size=n)
+    ts = np.sort(rng.integers(0, 10**10, size=n))
+    rng.shuffle(ts)  # arrival order is not time order
+    ev = _events(ts.tolist(), users=users.tolist())
+    G = 1800 * US
+    out = (
+        sessionize(ev, gap_sec=1800)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    # reference: per-user python
+    df = pd.DataFrame({"u": users, "t": ts}).sort_values(["u", "t"])
+    rows = []
+    for u, g in df.groupby("u"):
+        tv = g["t"].to_numpy()
+        sid = 0
+        start = prev = tv[0]
+        cnt = 1
+        for x in tv[1:]:
+            if x - prev > G:
+                rows.append((u, sid, cnt, start, prev))
+                sid += 1
+                start = x
+                cnt = 0
+            cnt += 1
+            prev = x
+        rows.append((u, sid, cnt, start, prev))
+    ref = pd.DataFrame(
+        rows, columns=["user_id", "session_id", "n_events", "session_start", "session_end"]
+    ).sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out.astype("int64"), ref.astype("int64"))
