@@ -33,6 +33,10 @@ class DedupConfig:
     verify_threshold: float = 0.5
     # skew guard: an LSH bucket larger than this is salted/capped
     max_bucket: int = 2000
+    # exact mode: verified pairs must ALSO have equal shingle-set hashes
+    # (deterministic partition = "identical distinct-shingle set", which a
+    # SQL oracle can reproduce; signature equality alone is probabilistic)
+    exact_set_verify: bool = False
 
     # --- execution
     batch_size: int = 4096

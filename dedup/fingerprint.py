@@ -128,3 +128,102 @@ def fingerprint_stats(ds: Dataset, id_col: str = "doc_id", k: int = 5, w: int = 
             )
 
     return ds.map_batches(Stats(id_col, k, w), batch_format="pyarrow", zero_copy_batch=True)
+
+
+def text_fingerprint_stats(
+    ds: Dataset, id_col: str = "doc_id", k: int = 5, w: int = 4
+) -> Dataset:
+    """Winnowing over shingle STRINGS under lexicographic order →
+    (id, n_fingerprints, min_fingerprint:string).
+
+    Same window logic as the hash path but the total order is the shingle
+    string itself, so a DuckDB oracle (window MIN over the shingle
+    sequence) can reproduce it bit-for-bit — the hash path's XXH64/poly
+    combine is not SQL-computable. Shingle convention mirrors
+    ``minhash.shingle_hashes``: k-grams for docs with ≥k tokens, one
+    whole-sequence shingle for 1..k-1 tokens, none for empty docs.
+
+    Vectorization: k-gram strings via one ``binary_join_element_wise``
+    over k shifted token slices; lexicographic winnowing runs on integer
+    ranks (``np.unique`` inverse codes are sorted-order ranks, so a
+    sliding MIN over codes equals a sliding MIN over strings).
+    """
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat, counts = _tokenize(text)
+        n_docs = len(counts)
+        doc_end = np.cumsum(counts)
+        doc_start = doc_end - counts
+        n_sh = np.where(
+            counts >= k, counts - k + 1, np.where(counts > 0, 1, 0)
+        ).astype(np.int64)
+        out_end = np.cumsum(n_sh)
+        out_start = out_end - n_sh
+        total = int(n_sh.sum())
+        shingles = np.empty(total, dtype=object)
+        T = len(flat)
+        big = counts >= k
+        if big.any() and T >= k:
+            joined = pc.binary_join_element_wise(
+                *[flat.slice(j, T - k + 1) for j in range(k)], " "
+            ).to_numpy(zero_copy_only=False)
+            m = (counts - k + 1)[big]
+            row_of = np.repeat(np.nonzero(big)[0], m)
+            pos = np.arange(int(m.sum()), dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+            src = np.repeat(doc_start[big], m) + pos
+            shingles[np.repeat(out_start[big], m) + pos] = joined[src]
+        short = (counts > 0) & (counts < k)
+        if short.any():
+            toks = flat.to_numpy(zero_copy_only=False)
+            for i in np.nonzero(short)[0]:
+                shingles[out_start[i]] = " ".join(toks[doc_start[i] : doc_end[i]])
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        n_out = np.zeros(n_docs, dtype=np.int64)
+        mins = np.full(n_docs, "", dtype=object)
+        if total:
+            uniq, codes = np.unique(shingles.astype(str), return_inverse=True)
+            codes = codes.astype(np.int64)
+            sends = out_end
+            cand_doc, cand_fp = [], []
+            nwin = max(total - w + 1, 0)
+            win_doc = np.repeat(np.arange(n_docs, dtype=np.int64), n_sh)
+            if nwin > 0:
+                mm = codes[:nwin].copy()
+                for j in range(1, w):
+                    np.minimum(mm, codes[j : nwin + j], out=mm)
+                d0 = win_doc[:nwin]
+                valid = (np.arange(nwin, dtype=np.int64) + w - 1) < sends[d0]
+                cand_doc.append(d0[valid])
+                cand_fp.append(mm[valid])
+            sh_mask = (n_sh > 0) & (n_sh < w)
+            if sh_mask.any():
+                nz = n_sh > 0
+                mins_nz = np.minimum.reduceat(codes, out_start[nz])
+                sel = n_sh[nz] < w
+                cand_doc.append(np.nonzero(nz)[0][sel])
+                cand_fp.append(mins_nz[sel])
+            d = np.concatenate(cand_doc) if cand_doc else np.empty(0, np.int64)
+            f = np.concatenate(cand_fp) if cand_fp else np.empty(0, np.int64)
+            if len(d):
+                order = np.lexsort((f, d))
+                d_s, f_s = d[order], f[order]
+                new = np.ones(len(d_s), dtype=bool)
+                new[1:] = (d_s[1:] != d_s[:-1]) | (f_s[1:] != f_s[:-1])
+                d_u, f_u = d_s[new], f_s[new]
+                np.add.at(n_out, d_u, 1)
+                firsts = np.ones(len(d_u), dtype=bool)
+                firsts[1:] = d_u[1:] != d_u[:-1]
+                mins[d_u[firsts]] = uniq[f_u[firsts]]
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_fingerprints": pa.array(n_out, pa.int64()),
+                "min_fingerprint": pa.array([str(x) for x in mins], pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

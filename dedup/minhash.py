@@ -116,13 +116,22 @@ class MinHashSigner:
         self.mult = (a << np.uint64(1)) | np.uint64(1)  # odd multipliers
         self.shift = np.uint64(31)
 
-    def signatures(self, text: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-        """(n_docs, num_perm) uint64 signature matrix + shingle counts."""
+    def signatures_full(
+        self, text: pa.Array
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(n_docs, num_perm) uint64 signatures + shingle counts + a
+        64-bit **shingle-set hash** per doc (wrapping sum of mixed
+        distinct shingle hashes — commutative, so order-free; equal sets
+        ⟺ equal hash up to 2⁻⁶⁴ collisions). The set hash powers
+        ``exact_set_verify``: signature equality alone is only a
+        probabilistic proxy for set equality (a Jaccard-0.99 pair passes
+        all 128 slots with probability ≈ 0.99¹²⁸ ≈ 0.28)."""
         cfg = self.cfg
         th, counts = _token_lists(text)
         sh, n_sh = shingle_hashes(th, counts, cfg.shingle_k)
         n_docs = len(counts)
         sig = np.full((n_docs, cfg.num_perm), SENTINEL, dtype=U64)
+        set_hash = np.zeros(n_docs, dtype=U64)
         nz = n_sh > 0
         if nz.any():
             starts = (np.cumsum(n_sh) - n_sh)[nz].astype(np.int64)
@@ -132,13 +141,25 @@ class MinHashSigner:
                     np.multiply(sh, self.mult[p], out=buf)
                     buf ^= buf >> self.shift
                     sig[nz, p] = np.minimum.reduceat(buf, starts)
+                doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_sh)
+                order = np.lexsort((sh, doc_of))
+                d_s, s_s = doc_of[order], sh[order]
+                first = np.ones(len(s_s), dtype=bool)
+                first[1:] = (d_s[1:] != d_s[:-1]) | (s_s[1:] != s_s[:-1])
+                contrib = fmix64(s_s[first] ^ np.uint64(0xA24BAED4963EE407))
+                np.add.at(set_hash, d_s[first], contrib)
+        return sig, n_sh, set_hash
+
+    def signatures(self, text: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        """(n_docs, num_perm) uint64 signature matrix + shingle counts."""
+        sig, n_sh, _ = self.signatures_full(text)
         return sig, n_sh
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch.column("text")
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        sig, n_sh = self.signatures(text)
+        sig, n_sh, set_hash = self.signatures_full(text)
         flat = pa.array(sig.reshape(-1).view(np.int64), pa.int64())
         sig_col = pa.FixedSizeListArray.from_arrays(flat, self.cfg.num_perm)
         return pa.table(
@@ -146,6 +167,7 @@ class MinHashSigner:
                 "doc_hash": batch.column("doc_hash"),
                 "sig": sig_col,
                 "n_shingles": pa.array(n_sh, pa.int64()),
+                "set_hash": pa.array(set_hash.view(np.int64), pa.int64()),
             }
         )
 

@@ -86,6 +86,28 @@ def distinct_reps(ingested: Dataset, dups: np.ndarray | None = None) -> Dataset:
     return uniq.union(rep_dups)
 
 
+def _filter_edges_by_set_hash(edges: pa.Table, sigs: Dataset) -> pa.Table:
+    """Keep only verified pairs whose shingle-SET hashes agree (exact
+    mode). The set-hash map is fetched for candidate-involved docs only
+    (semi-filter + collect — bounded by duplicate-involved docs)."""
+    from .exchange import collect_table
+
+    a = edges.column("a").to_numpy(zero_copy_only=False)
+    b = edges.column("b").to_numpy(zero_copy_only=False)
+    cand = np.sort(np.unique(np.concatenate([a, b])))
+    sub = collect_table(
+        semi_filter(sigs.select_columns(["doc_hash", "set_hash"]), "doc_hash", cand)
+    )
+    ids = sub.column("doc_hash").to_numpy(zero_copy_only=False)
+    vals = sub.column("set_hash").to_numpy(zero_copy_only=False)
+    o = np.argsort(ids)
+    ids, vals = ids[o], vals[o]
+    ia = np.minimum(np.searchsorted(ids, a), len(ids) - 1)
+    ib = np.minimum(np.searchsorted(ids, b), len(ids) - 1)
+    keep = (ids[ia] == a) & (ids[ib] == b) & (vals[ia] == vals[ib])
+    return edges.filter(pa.array(keep))
+
+
 @dataclass
 class NearDupResult:
     clusters: Dataset  # CLUSTERS schema (+ redundant not included here)
@@ -160,6 +182,8 @@ def near_dup_pipeline(
         if len(chain):
             pairs = pairs.union(rd.from_arrow(chain))
         edges = verify_auto(pairs, sigs, cfg)
+        if cfg.exact_set_verify and len(edges):
+            edges = _filter_edges_by_set_hash(edges, sigs)
         if checkpoint is not None and len(edges):
             checkpoint.load_or_run("p4_edges", lambda: rd.from_arrow(edges))
         tick("verify")

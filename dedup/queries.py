@@ -57,6 +57,29 @@ TOKENS_SQL = (
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')"
 )
 
+# cosine threshold shared by q_embedding_near_dup and its oracle
+EMB_NEAR_THRESHOLD = 0.35
+
+
+def _shingle_key_sql(distinct: bool, k: int = None) -> str:
+    """SQL expression (over ``ts``/``text``) for a doc's shingle-set (or
+    multiset) identity key, mirroring ``minhash.shingle_hashes``: k-gram
+    shingles for ≥k tokens, one whole-sequence shingle for 1..k-1 tokens,
+    raw text for empty docs (such docs can only be exact dups). Token
+    strings are [a-z0-9_]+ so ' ' / '|' separators are unambiguous."""
+    k = k or CFG.shingle_k
+    grams = (
+        f"[array_to_string(list_slice(ts, i, i + {k - 1}), ' ') "
+        f"FOR i IN range(1, len(ts) - {k - 2})]"
+    )
+    if distinct:
+        grams = f"list_distinct({grams})"
+    return (
+        f"CASE WHEN len(ts) = 0 THEN 'E:' || text "
+        f"WHEN len(ts) < {k} THEN 'S:' || array_to_string(ts, ' ') "
+        f"ELSE array_to_string(list_sort({grams}), '|') END"
+    )
+
 
 def _stop_list_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
@@ -232,6 +255,74 @@ def q_filter_gates(sf_dir: str):
     return ingest(pages, cfg).select_columns(["url", "size_bytes", "lang"])
 
 
+def _relabel_by_min_url(clusters):
+    """clusters(url, cluster_id:int64, cluster_size, …) → (url,
+    cluster_id:string = lexicographic-min member url, cluster_size).
+
+    Makes hash-labelled cluster tables oracle-comparable: SQL cannot
+    compute xxhash64 labels, but it can compute min-url labels. Narrow:
+    only one (cluster_id → rep) row per cluster shuffles; the map is
+    broadcast once and applied per batch (bounded by duplicate-involved
+    clusters, the same bound every broadcast path here relies on)."""
+    import ray
+    from ray.data.aggregate import Min
+
+    agg = clusters.groupby("cluster_id").aggregate(Min("url", alias_name="rep"))
+    t = pa.concat_tables(
+        list(agg.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        or [pa.table({"cluster_id": pa.array([], pa.int64()), "rep": pa.array([], pa.string())})]
+    )
+    keys = t.column("cluster_id").to_numpy(zero_copy_only=False)
+    reps = np.asarray(t.column("rep").to_pylist(), dtype=object)
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], reps[order]))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ks, rs = ray.get(ref)
+        cid = batch.column("cluster_id").to_numpy(zero_copy_only=False)
+        if len(ks):
+            idx = np.minimum(np.searchsorted(ks, cid), len(ks) - 1)
+            rep = rs[idx]
+        else:
+            rep = np.empty(0, object)
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "cluster_id": pa.array(rep.tolist(), pa.string()),
+                "cluster_size": batch.column("cluster_size"),
+            }
+        )
+
+    return clusters.map_batches(fn, batch_format="pyarrow")
+
+
+def q_minhash_lsh_exact_mode(sf_dir: str):
+    """Full MinHash→LSH→verify→union-find pipeline in exact-set mode:
+    candidate pairs (threshold 1.0 prefilter — equal sets always pass it)
+    must have equal 64-bit shingle-set hashes, so the final partition is
+    "identical distinct-shingle SET" — SQL-expressible, giving the
+    flagship machinery a DuckDB oracle. (The default-threshold flagship
+    below stays rows-only: estimated-Jaccard cuts aren't SQL-computable.)"""
+    from .pipeline import near_dup_pipeline
+
+    pages = pages_from_documents(sf_dir)
+    cfg = DedupConfig(verify_threshold=1.0, exact_set_verify=True)
+    return _relabel_by_min_url(near_dup_pipeline(pages, cfg).clusters)
+
+
+def q_simhash_exact_mode(sf_dir: str):
+    """SimHash chunk-LSH machinery in exact-multiset mode: hamming-0
+    candidates must have equal shingle-MULTISET hashes → the partition is
+    "identical shingle multiset" — SQL-expressible, same pattern as
+    minhash exact mode."""
+    from .simhash import simhash_clusters
+
+    pages = pages_from_documents(sf_dir)
+    return _relabel_by_min_url(
+        simhash_clusters(pages, CFG, hamming_max=0, exact_multiset=True)
+    )
+
+
 # ------------------------------------------------- rows-only (non-SQL) queries
 def q_minhash_lsh_clusters(sf_dir: str):
     from .pipeline import near_dup_pipeline
@@ -249,19 +340,16 @@ def q_simhash_clusters(sf_dir: str):
 
 def q_embedding_near_dup(sf_dir: str):
     from .embed import cosine_near_dup_pairs
-    from .unionfind import UnionFind
+    from .unionfind import components_np
 
     # the synthetic embeddings are near-orthogonal (max cos ≈ 0.48);
     # 0.35 exercises real pair flow on them
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    pairs = cosine_near_dup_pairs(emb, threshold=0.35)
-    uf = UnionFind()
-    for x, y in zip(
-        pairs.column("a").to_numpy(zero_copy_only=False).tolist(),
-        pairs.column("b").to_numpy(zero_copy_only=False).tolist(),
-    ):
-        uf.union(x, y)
-    keys, cids = uf.component_map()
+    pairs = cosine_near_dup_pairs(emb, threshold=EMB_NEAR_THRESHOLD)
+    keys, cids = components_np(
+        pairs.column("a").to_numpy(zero_copy_only=False),
+        pairs.column("b").to_numpy(zero_copy_only=False),
+    )
     df = pd.DataFrame({"vec_id": keys, "cluster_id": cids}).sort_values("vec_id")
     return df.reset_index(drop=True)
 
@@ -332,10 +420,15 @@ def q_events_sessions(sf_dir: str):
 
 
 def q_fingerprint_stats(sf_dir: str):
-    from .fingerprint import fingerprint_stats
+    """Winnowing fingerprint stats over shingle STRINGS (lexicographic
+    order) — same window logic as the hash-based production path
+    (``fingerprint_rows``, pytest-pinned to be batch-split invariant) but
+    with a total order DuckDB can reproduce, so this query is oracle-
+    checked instead of rows-only."""
+    from .fingerprint import text_fingerprint_stats
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return fingerprint_stats(ds, id_col="doc_id", k=5, w=4)
+    return text_fingerprint_stats(ds, id_col="doc_id", k=5, w=4)
 
 
 def q_long_repeated_spans(sf_dir: str):
@@ -367,6 +460,8 @@ QUERIES = {
     "long_repeated_spans": q_long_repeated_spans,
     "minhash_lsh_clusters": q_minhash_lsh_clusters,
     "simhash_clusters": q_simhash_clusters,
+    "minhash_lsh_exact_mode": q_minhash_lsh_exact_mode,
+    "simhash_exact_mode": q_simhash_exact_mode,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_lsh_near_dup": q_ann_lsh_near_dup,
 }
@@ -513,6 +608,58 @@ SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start
        CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events
 GROUP BY 1, 2
+""".strip(),
+    "minhash_lsh_exact_mode": f"""
+WITH {PAGES_SQL},
+toks AS (SELECT url, text, {TOKENS_SQL} AS ts FROM pages),
+sh AS (SELECT url, {_shingle_key_sql(distinct=True)} AS key FROM toks),
+g AS (SELECT key, MIN(url) AS cluster_id, COUNT(*) AS cluster_size
+      FROM sh GROUP BY key HAVING COUNT(*) > 1)
+SELECT s.url, g.cluster_id, g.cluster_size FROM sh s JOIN g USING (key)
+""".strip(),
+    "simhash_exact_mode": f"""
+WITH {PAGES_SQL},
+toks AS (SELECT url, text, {TOKENS_SQL} AS ts FROM pages),
+sh AS (SELECT url, {_shingle_key_sql(distinct=False)} AS key FROM toks),
+g AS (SELECT key, MIN(url) AS cluster_id, COUNT(*) AS cluster_size
+      FROM sh GROUP BY key HAVING COUNT(*) > 1)
+SELECT s.url, g.cluster_id, g.cluster_size FROM sh s JOIN g USING (key)
+""".strip(),
+    "fingerprint_stats": f"""
+WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS ts FROM documents),
+sh AS (SELECT doc_id, CASE WHEN len(ts) >= 5
+          THEN [array_to_string(list_slice(ts, i, i + 4), ' ') FOR i IN range(1, len(ts) - 3)]
+          WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+          ELSE [] END AS ss FROM toks),
+r AS (SELECT doc_id, i, ss[i] AS s, len(ss) AS n
+      FROM sh, UNNEST(range(1, len(ss) + 1)) AS t(i)),
+w AS (SELECT doc_id, i, n,
+        MIN(s) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM r),
+f AS (SELECT doc_id, fp FROM w WHERE n >= 4 AND i <= n - 3
+      UNION ALL
+      SELECT doc_id, MIN(s) AS fp FROM r WHERE n < 4 GROUP BY doc_id)
+SELECT t.doc_id,
+  COALESCE(g.cnt, 0) AS n_fingerprints,
+  COALESCE(g.mn, '') AS min_fingerprint
+FROM toks t LEFT JOIN
+  (SELECT doc_id, COUNT(DISTINCT fp) AS cnt, MIN(fp) AS mn FROM f GROUP BY doc_id) g
+  USING (doc_id)
+""".strip(),
+    "embedding_near_dup": f"""
+WITH RECURSIVE
+e AS (SELECT a.vec_id AS x, b.vec_id AS y
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= {EMB_NEAR_THRESHOLD}),
+ee AS (SELECT x, y FROM e UNION SELECT y, x FROM e),
+cc(v, l) AS (
+  SELECT x, x FROM ee
+  UNION
+  SELECT ee.y, cc.l FROM cc JOIN ee ON cc.v = ee.x WHERE cc.l < ee.y
+)
+SELECT v AS vec_id, MIN(l) AS cluster_id FROM cc GROUP BY v
 """.strip(),
     "events_sessions": """
 WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),

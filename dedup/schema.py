@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-SCHEMA_VERSION = 1  # ≅ reference SCHEMA_VERSION=3, file_db.rs:26
+SCHEMA_VERSION = 2  # v2: signatures carry set_hash (≅ reference SCHEMA_VERSION=3, file_db.rs:26)
 
 PAGES = pa.schema(
     [
@@ -43,6 +43,7 @@ SIGNATURES = pa.schema(
         ("doc_hash", pa.int64()),
         ("sig", pa.list_(pa.int64())),  # len == num_perm (u64 bit-patterns)
         ("n_shingles", pa.int64()),
+        ("set_hash", pa.int64()),  # 64-bit distinct-shingle-set hash
     ]
 )
 

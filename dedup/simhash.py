@@ -69,11 +69,22 @@ class SimHasher:
                     # bit j set ⇔ ones > zeros ⇔ 2*ones > n_shingles
                     fp |= ((2 * ones > seg_n.view(U64)).astype(U64) << np.uint64(j))
             out[nz] = fp
+        # 64-bit shingle-MULTISET hash (wrapping sum of mixed shingle
+        # hashes over ALL occurrences — commutative). Powers the
+        # exact_multiset mode: hamming-0 alone is only a probabilistic
+        # proxy for multiset equality (near-identical docs can vote every
+        # bit the same way).
+        mset = np.zeros(len(counts), dtype=U64)
+        if nz.any():
+            with np.errstate(over="ignore"):
+                doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), n_sh)
+                np.add.at(mset, doc_of, fmix64(sh ^ np.uint64(0xD6E8FEB86659FD93)))
         return pa.table(
             {
                 "doc_hash": batch.column("doc_hash"),
                 "simhash": pa.array(out.view(np.int64), pa.int64()),
                 "n_shingles": pa.array(n_sh, pa.int64()),
+                "mset_hash": pa.array(mset.view(np.int64), pa.int64()),
             }
         )
 
@@ -116,10 +127,18 @@ def _hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def simhash_clusters(
-    pages: Dataset, cfg: DedupConfig | None = None, hamming_max: int = 3
+    pages: Dataset,
+    cfg: DedupConfig | None = None,
+    hamming_max: int = 3,
+    exact_multiset: bool = False,
 ) -> Dataset:
     """pages → clusters table (url, doc_hash, cluster_id, cluster_size)
     of docs whose SimHashes are within ``hamming_max`` (plus exact dups).
+
+    ``exact_multiset=True``: candidate pairs must additionally have equal
+    shingle-MULTISET hashes — a deterministic, SQL-mirrorable partition
+    (group docs by shingle multiset) used by the oracle-checked
+    ``simhash_exact_mode`` query.
     """
     from .ingest import ingest
     from .pipeline import distinct_reps
@@ -148,18 +167,24 @@ def simhash_clusters(
         a, b = packed[:, 0].view(np.int64), packed[:, 1].view(np.int64)
         cand = np.sort(np.unique(np.concatenate([a, b])))
         sub = collect_table(
-            semi_filter(fps.select_columns(["doc_hash", "simhash"]), "doc_hash", cand)
+            semi_filter(
+                fps.select_columns(["doc_hash", "simhash", "mset_hash"]),
+                "doc_hash", cand,
+            )
         )
         ids = sub.column("doc_hash").to_numpy(zero_copy_only=False)
         vals = sub.column("simhash").to_numpy(zero_copy_only=False)
+        msets = sub.column("mset_hash").to_numpy(zero_copy_only=False)
         o = np.argsort(ids)
-        ids, vals = ids[o], vals[o]
+        ids, vals, msets = ids[o], vals[o], msets[o]
         ia = np.minimum(np.searchsorted(ids, a), len(ids) - 1)
         ib = np.minimum(np.searchsorted(ids, b), len(ids) - 1)
         ok = (ids[ia] == a) & (ids[ib] == b)
         d = np.full(len(a), 64, np.int64)
         d[ok] = _hamming(vals[ia[ok]], vals[ib[ok]])
         keep = d <= hamming_max
+        if exact_multiset:
+            keep &= ok & (msets[ia] == msets[ib])
         edges_a, edges_b = a[keep], b[keep]
 
     from .unionfind import components_np

@@ -143,3 +143,74 @@ def test_winnowing_batch_split_invariant():
         k=5, w=4,
     ).to_pandas()
     assert sorted(mix[mix.doc_id == 3]["fingerprint"]) == sorted(solo3["fingerprint"])
+
+
+def test_text_fingerprint_stats_matches_bruteforce():
+    """String winnowing (lexicographic order) vs a per-doc brute force."""
+    from dedup.fingerprint import text_fingerprint_stats
+    import re as _re
+
+    docs = [
+        " ".join(f"w{i % 7}" for i in range(30)),   # repeats → duplicate shingles
+        "one two three",                             # short: single shingle
+        "",                                          # empty
+        " ".join(f"q{i}" for i in range(12)),
+    ]
+    k, w = 5, 4
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    got = (
+        text_fingerprint_stats(rd.from_arrow(t), k=k, w=w)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for i, d in enumerate(docs):
+        toks = [x for x in _re.split(r"[^a-z0-9_]+", d.lower()) if x]
+        if len(toks) >= k:
+            sh = [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+        elif toks:
+            sh = [" ".join(toks)]
+        else:
+            sh = []
+        if len(sh) >= w:
+            fps = {min(sh[j : j + w]) for j in range(len(sh) - w + 1)}
+        elif sh:
+            fps = {min(sh)}
+        else:
+            fps = set()
+        assert got.loc[i, "n_fingerprints"] == len(fps)
+        assert got.loc[i, "min_fingerprint"] == (min(fps) if fps else "")
+
+
+def test_exact_set_mode_splits_near_identical_docs():
+    """Exact-set verification must NOT merge high-Jaccard near-dups that
+    pass the all-128-slots prefilter, and must merge set-equal docs with
+    different raw text (token order/whitespace)."""
+    from dedup.config import DedupConfig
+    from dedup.pipeline import near_dup_pipeline
+
+    base = [f"tok{i}" for i in range(300)]
+    near = base[:-1] + ["changed"]          # Jaccard ≈ 0.98 vs base
+    shuffled = base[5:] + base[:5]          # same token set, rotated
+    texts = {
+        "u/a": " ".join(base),
+        "u/b": " ".join(base),              # exact dup of a
+        "u/near": " ".join(near),           # near-dup: must NOT join
+        "u/rot": " ".join(shuffled),        # different shingle set (rotation
+                                            # changes 5-grams): must NOT join
+        "u/ws": "  ".join(base) + " ",      # same shingle set, diff text: JOIN
+    }
+    t = pa.table(
+        {
+            "url": pa.array(list(texts)),
+            "warc_ts": pa.array([0] * len(texts), pa.timestamp("us")),
+            "html": pa.array([b""] * len(texts), pa.binary()),
+            "text": pa.array(list(texts.values())),
+            "lang": pa.array(["en"] * len(texts)),
+        }
+    )
+    cfg = DedupConfig(verify_threshold=1.0, exact_set_verify=True)
+    df = near_dup_pipeline(rd.from_arrow(t), cfg).clusters.to_pandas()
+    part = {u: cid for u, cid in zip(df["url"], df["cluster_id"])}
+    assert part["u/a"] == part["u/b"] == part["u/ws"]
+    assert "u/near" not in part or part["u/near"] != part["u/a"]
+    assert "u/rot" not in part or part["u/rot"] != part["u/a"]
