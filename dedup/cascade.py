@@ -98,11 +98,23 @@ def exact_clusters(pages: Dataset, cfg: DedupConfig | None = None) -> Dataset:
 
 def total_redundant_bytes(clusters: Dataset) -> int:
     """Global reclaimable bytes (≅ the reference's end-of-run sum,
-    process_matches.rs:674-675,701): Σ over clusters of (n−1)×size =
-    Σ over member rows beyond the first of size. Computed from the member
-    table: total bytes − bytes of one representative per cluster."""
-    df = clusters.select_columns(["cluster_id", "size_bytes"]).to_pandas()
-    if df.empty:
-        return 0
-    per = df.groupby("cluster_id")["size_bytes"]
-    return int(per.sum().sum() - per.first().sum())
+    process_matches.rs:674-675,701): Σ over clusters of (total bytes −
+    bytes of one representative). Streaming: a narrow per-cluster
+    (sum, min) aggregate then one scalar sum — cluster membership never
+    reaches the driver. Exact-dup members share one size, so "min" IS the
+    representative's size."""
+    from ray.data.aggregate import Min, Sum
+
+    per = (
+        clusters.select_columns(["cluster_id", "size_bytes"])
+        .groupby("cluster_id")
+        .aggregate(Sum("size_bytes", alias_name="tot"), Min("size_bytes", alias_name="one"))
+    )
+
+    def red(batch: pa.Table) -> pa.Table:
+        t = batch.column("tot").to_numpy(zero_copy_only=False)
+        o = batch.column("one").to_numpy(zero_copy_only=False)
+        return pa.table({"red": pa.array(t - o, pa.int64())})
+
+    out = per.map_batches(red, batch_format="pyarrow").sum("red")
+    return int(out or 0)

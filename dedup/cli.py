@@ -99,12 +99,14 @@ def main(argv=None) -> int:
     clusters = clusters.materialize()
     clusters.write_parquet(out_dir)
     n_rows = clusters.count()
-    df = clusters.select_columns(["cluster_id"]).to_pandas()
+    from .exchange import n_distinct
+
     summary = {
         "mode": args.mode,
         "input": args.input,
         "rows_in_clusters": n_rows,
-        "n_clusters": int(df["cluster_id"].nunique()) if n_rows else 0,
+        # narrow distinct count — cluster membership never reaches the driver
+        "n_clusters": n_distinct(clusters, "cluster_id") if n_rows else 0,
         "wall_sec": round(time.monotonic() - t0, 3),
         "config_fingerprint": cfg.fingerprint(),
         **extra,

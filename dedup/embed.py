@@ -157,46 +157,105 @@ class EmbeddingIndexer:
         )
 
 
+_PAIRS_EMPTY = pa.table(
+    {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+     "sim": pa.array([], pa.float64())}
+)
+
+
+def _prep_block(batch: pa.Table, id_col: str, emb_col: str) -> pa.Table:
+    """(id, normalized embedding) block — the tiling unit for block-pair
+    GEMM tasks. Normalization happens once here, not per pair task."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    M = _normalize(_emb_matrix(batch, emb_col))
+    d = M.shape[1] if len(M) else 0
+    flat = pa.array(M.reshape(-1), pa.float64())
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "nemb": pa.FixedSizeListArray.from_arrays(flat, d) if d else
+                    pa.array([[]] * len(ids), pa.list_(pa.float64())),
+        }
+    )
+
+
+def _unpack_block(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    c = t.column("nemb")
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    M = c.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), -1)
+    return ids, M
+
+
+@ray.remote
+def _block_pair_task(
+    t1: pa.Table, t2: pa.Table, threshold: float, diagonal: bool
+) -> pa.Table:
+    """Pairs ≥ threshold between two normalized blocks, a < b canonical.
+
+    Diagonal block (t1 is t2): each unordered pair shows up twice in the
+    GEMM plus the self-diagonal, so keep only id1 < id2. Off-diagonal:
+    each unordered pair shows up exactly once — REORIENT (ids are not
+    range-partitioned across blocks), never drop."""
+    ids1, M1 = _unpack_block(t1)
+    ids2, M2 = _unpack_block(t2)
+    if not len(ids1) or not len(ids2):
+        return _PAIRS_EMPTY
+    sims = M1 @ M2.T
+    r, c = np.nonzero(sims >= threshold)
+    x, y, s = ids1[r], ids2[c], sims[r, c]
+    if diagonal:
+        keep = x < y
+        x, y, s = x[keep], y[keep], s[keep]
+    else:
+        a = np.minimum(x, y)
+        y = np.maximum(x, y)
+        x = a
+    return pa.table(
+        {
+            "a": pa.array(x, pa.int64()),
+            "b": pa.array(y, pa.int64()),
+            "sim": pa.array(s, pa.float64()),
+        }
+    )
+
+
 def cosine_near_dup_pairs(
-    embeddings: Dataset, threshold: float = 0.9, id_col: str = "vec_id"
+    embeddings: Dataset,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    block_rows: int = 1 << 14,
 ) -> pa.Table:
     """Exact all-pairs cosine ≥ threshold → Arrow table (a, b, sim), a<b.
 
-    Streams batches against a broadcast normalized matrix — O(n·m) GEMM,
-    exact; use ``lsh_bucketed_pairs`` when the matrix outgrows broadcast.
+    Block-tiled: the corpus is normalized into ``block_rows``-row blocks
+    held in the object store; one Ray task per block pair (i ≤ j) runs a
+    float64 GEMM between its two blocks. No task — and not the driver —
+    ever holds more than two blocks, so memory is O(block²) per worker
+    while compute stays the unavoidable O(n²) of an exact sweep; use
+    ``lsh_bucketed_pairs`` for the sub-quadratic approximate path. The
+    returned pair table is bounded by true near-dups (small by premise).
     """
-    full = pa.concat_tables(
-        list(embeddings.iter_batches(batch_size=1 << 16, batch_format="pyarrow"))
-    )
-    ids_all = full.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    M = _normalize(_emb_matrix(full))
-    ref = ray.put((ids_all, M))
-
-    def pairs(batch: pa.Table) -> pa.Table:
-        aid, Ma = ray.get(ref)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        X = _normalize(_emb_matrix(batch))
-        sims = X @ Ma.T
-        r, c = np.nonzero(sims >= threshold)
-        keep = ids[r] < aid[c]  # canonical orientation, drops self
-        r, c = r[keep], c[keep]
-        return pa.table(
-            {
-                "a": pa.array(ids[r], pa.int64()),
-                "b": pa.array(aid[c], pa.int64()),
-                "sim": pa.array(sims[r, c], pa.float64()),
-            }
-        )
-
-    return pa.concat_tables(
-        list(
-            embeddings.map_batches(pairs, batch_format="pyarrow").iter_batches(
-                batch_size=1 << 20, batch_format="pyarrow"
-            )
-        )
-        or [pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                      "sim": pa.array([], pa.float64())})]
-    )
+    prepped = embeddings.map_batches(
+        lambda b: _prep_block(b, id_col, emb_col),
+        batch_format="pyarrow",
+        batch_size=block_rows,
+        zero_copy_batch=True,
+    ).materialize()
+    refs = [
+        bref
+        for bundle in prepped.iter_internal_ref_bundles()
+        for bref in bundle.block_refs
+    ]
+    futs = [
+        _block_pair_task.remote(refs[i], refs[j], threshold, i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    parts = [t for t in ray.get(futs) if len(t)]
+    return pa.concat_tables(parts) if parts else _PAIRS_EMPTY
 
 
 def ivf_build(
@@ -346,49 +405,60 @@ def lsh_bucketed_pairs(
             }
         )
 
-    rows = embeddings.map_batches(bucketize, batch_format="pyarrow")
-    tbl = pa.concat_tables(
-        list(rows.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    )
-    bk = tbl.column("bkey").to_numpy(zero_copy_only=False)
-    vid = tbl.column("vid").to_numpy(zero_copy_only=False)
-    order = np.lexsort((vid, bk))
-    bk, vid = bk[order], vid[order]
-    seg = np.concatenate([[0], np.flatnonzero(bk[1:] != bk[:-1]) + 1, [len(bk)]])
-    pa_, pb_ = [], []
-    for i in range(len(seg) - 1):
-        s, e = seg[i], seg[i + 1]
-        if e - s < 2:
-            continue
-        g = np.unique(vid[s:e])
-        if len(g) < 2:
-            continue
-        iu, ju = np.triu_indices(len(g), k=1)
-        pa_.append(g[iu])
-        pb_.append(g[ju])
-    if not pa_:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                         "sim": pa.array([], pa.float64())})
-    cand = np.unique(
-        np.stack([np.concatenate(pa_), np.concatenate(pb_)], axis=1), axis=0
-    )
+    # Candidate generation reuses the skew-proof sorted-segment star
+    # machinery from lsh.candidate_pairs: band rows shuffle (16 B each),
+    # every bucket becomes star edges in one linear pass — a hot bucket
+    # (all-near-identical corpus) stays O(n), never the O(n²)
+    # triu_indices blowup of the earlier driver-side loop. Star edges are
+    # connectivity-equivalent to within-bucket all-pairs, which is what a
+    # near-dup candidate set needs.
+    from .config import DedupConfig as _Cfg
+    from .exchange import collect_table, semi_filter
+    from .lsh import candidate_pairs
+    from .verify import dedup_pairs
 
-    # exact verification of the (small) candidate set
-    full = pa.concat_tables(
-        list(embeddings.iter_batches(batch_size=1 << 16, batch_format="pyarrow"))
+    rows = embeddings.map_batches(bucketize, batch_format="pyarrow").map_batches(
+        lambda t: t.rename_columns(["bkey", "doc_hash"]), batch_format="pyarrow"
     )
-    ids_all = full.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    M = _normalize(_emb_matrix(full))
-    o = np.argsort(ids_all)
-    ids_s, M_s = ids_all[o], M[o]
-    ia = np.searchsorted(ids_s, cand[:, 0])
-    ib = np.searchsorted(ids_s, cand[:, 1])
-    sim = np.einsum("ij,ij->i", M_s[ia], M_s[ib])
+    edges, chain = candidate_pairs(rows, _Cfg())
+    import ray.data as rd
+
+    pairs = edges
+    if len(chain):
+        pairs = pairs.union(rd.from_arrow(chain))
+    cand_tbl = collect_table(dedup_pairs(pairs))
+    if not len(cand_tbl):
+        return _PAIRS_EMPTY
+    ca = cand_tbl.column("a").to_numpy(zero_copy_only=False)
+    cb = cand_tbl.column("b").to_numpy(zero_copy_only=False)
+
+    # exact verification against candidate-INVOLVED vectors only (bounded
+    # by docs in ≥1 candidate pair, not the corpus), broadcast once
+    involved = np.sort(np.unique(np.concatenate([ca, cb])))
+    sub = collect_table(
+        semi_filter(
+            embeddings.map_batches(
+                lambda b: _prep_block(b, id_col, "embedding"),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ),
+            "vec_id", involved,
+        )
+    )
+    ids_s, M_s = _unpack_block(sub)
+    o = np.argsort(ids_s)
+    ids_s, M_s = ids_s[o], M_s[o]
+    ia = np.minimum(np.searchsorted(ids_s, ca), len(ids_s) - 1)
+    ib = np.minimum(np.searchsorted(ids_s, cb), len(ids_s) - 1)
+    ok = (ids_s[ia] == ca) & (ids_s[ib] == cb)
+    sim = np.full(len(ca), -np.inf)
+    sim[ok] = np.einsum("ij,ij->i", M_s[ia[ok]], M_s[ib[ok]])
     keep = sim >= threshold
+    lo = np.minimum(ca[keep], cb[keep])
+    hi = np.maximum(ca[keep], cb[keep])
     return pa.table(
         {
-            "a": pa.array(cand[keep, 0], pa.int64()),
-            "b": pa.array(cand[keep, 1], pa.int64()),
+            "a": pa.array(lo, pa.int64()),
+            "b": pa.array(hi, pa.int64()),
             "sim": pa.array(sim[keep], pa.float64()),
         }
     )

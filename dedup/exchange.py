@@ -104,6 +104,16 @@ def dup_key_counts(ds: Dataset, key_col: str) -> tuple[np.ndarray, np.ndarray]:
     return keys[order], cnts[order]
 
 
+def n_distinct(ds: Dataset, key_col: str) -> int:
+    """Exact distinct-key count, streaming: per-batch unique (combiner) →
+    narrow groupby on the key → count of groups. Nothing but (key) rows
+    shuffles; the driver sees one scalar."""
+    per = ds.select_columns([key_col]).map_batches(
+        _batch_key_counts(key_col), batch_format="pyarrow"
+    )
+    return per.groupby(key_col).count().count()
+
+
 def dup_keys(ds: Dataset, key_col: str) -> np.ndarray:
     """Sorted array of key values occurring more than once (global)."""
     return dup_key_counts(ds, key_col)[0]

@@ -61,8 +61,12 @@ class Ingester:
             )
             mask &= lang_ok.to_numpy(zero_copy_only=False).astype(bool)
         if self.url_re is not None:
-            urls = t.column("url").to_pylist()
-            mask &= np.array([self.url_re.search(u or "") is None for u in urls])
+            # Arrow RE2 regex — vectorized, no per-row Python. Matches
+            # re.search semantics (unanchored substring match).
+            hit = pc.match_substring_regex(
+                pc.fill_null(t.column("url"), ""), self.cfg.exclude_url_regex
+            )
+            mask &= ~hit.to_numpy(zero_copy_only=False).astype(bool)
         t = t.filter(pa.array(mask))
         text = t.column("text")
         if isinstance(text, pa.ChunkedArray):
@@ -131,8 +135,9 @@ def gate_rejects(pages: Dataset, cfg: DedupConfig) -> Dataset:
             ).to_numpy(zero_copy_only=False).astype(bool)
             mark(~lang_ok, "lang")
         if gate.url_re is not None:
-            urls = batch.column("url").to_pylist()
-            bad = np.array([gate.url_re.search(u or "") is not None for u in urls])
+            bad = pc.match_substring_regex(
+                pc.fill_null(batch.column("url"), ""), cfg.exclude_url_regex
+            ).to_numpy(zero_copy_only=False).astype(bool)
             mark(bad, "url")
         rej = ~ok
         return pa.table(

@@ -43,6 +43,23 @@ def sniff_type(payload: bytes) -> str:
     return "application/octet-stream"
 
 
+def sniff_types(payload: pa.Array) -> list[str]:
+    """Vectorized magic sniff: slice 8-byte heads in Arrow (``binary_slice``
+    — never copies the multi-MB payloads into Python, only the heads) and
+    classify the tiny head list. ≅ per-row ``sniff_type`` semantics."""
+    import pyarrow.compute as pc
+
+    heads = pc.binary_slice(pc.fill_null(payload, b""), 0, 8).to_pylist()
+    return [
+        next(
+            (mime for magic, mime in _MAGIC
+             if (h.lower() if h[:1] == b"<" else h)[: len(magic)] == magic),
+            "application/octet-stream",
+        )
+        for h in heads
+    ]
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """STUB: real decode requires PIL/cv2 (not in this container).
 
@@ -91,7 +108,7 @@ class MediaFeaturizer:
         # vectorized hash of the raw payload bytes (content identity)
         h = xxh64_arrow(payload)
         sizes = pa.compute.binary_length(payload).to_numpy(zero_copy_only=False)
-        types = [sniff_type(payload[i].as_py() or b"") for i in range(n)]
+        types = sniff_types(payload)
         # deterministic fake feature: hash → 8 lanes → projection
         lanes = np.empty((n, 8), dtype=np.float32)
         hh = h.copy()
@@ -142,7 +159,7 @@ def media_features(ds: Dataset, payload_col: str = "html", id_col: str = "url") 
         if isinstance(payload, pa.ChunkedArray):
             payload = payload.combine_chunks()
         sizes = pa.compute.binary_length(payload).to_numpy(zero_copy_only=False)
-        types = [sniff_type(payload[i].as_py() or b"") for i in range(len(batch))]
+        types = sniff_types(payload)
         return pa.table(
             {
                 id_col: batch.column(id_col),

@@ -234,12 +234,16 @@ def near_dup_pipeline(
         out[hit] = dup_cnts[idx[hit]]
         return out
 
-    # UF components: size = Σ url-counts of member hashes
-    comp_sizes: dict[int, int] = {}
+    # UF components: size = Σ url-counts of member hashes — vectorized:
+    # factorize component ids, bincount the per-member url counts
     if len(keys):
         kc = _count_of(keys)
-        for c, n in zip(cids.tolist(), kc.tolist()):
-            comp_sizes[c] = comp_sizes.get(c, 0) + int(n)
+        uniq_c, inv = np.unique(cids, return_inverse=True)
+        sums = np.bincount(inv, weights=kc.astype(np.float64)).astype(np.int64)
+        size_keys, size_vals = uniq_c, sums
+    else:
+        size_keys = np.empty(0, np.int64)
+        size_vals = np.empty(0, np.int64)
     # exact-only dup hashes (not in any component) form identity clusters
     if len(dup_hashes):
         in_uf = (
@@ -247,10 +251,8 @@ def near_dup_pipeline(
             if not len(keys)
             else np.isin(dup_hashes, keys)
         )
-        for h, n in zip(dup_hashes[~in_uf].tolist(), dup_cnts[~in_uf].tolist()):
-            comp_sizes[int(h)] = int(n)
-    size_keys = np.fromiter(comp_sizes.keys(), np.int64, len(comp_sizes))
-    size_vals = np.fromiter(comp_sizes.values(), np.int64, len(comp_sizes))
+        size_keys = np.concatenate([size_keys, dup_hashes[~in_uf]])
+        size_vals = np.concatenate([size_vals, dup_cnts[~in_uf]])
     so = np.argsort(size_keys)
     size_keys, size_vals = size_keys[so], size_vals[so]
 

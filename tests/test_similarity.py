@@ -154,3 +154,41 @@ def test_jaccard_large_ids_no_collision():
     assert df["n_common"].tolist() == [26]
     assert df["n_a"].tolist() == [26]
     assert df["n_b"].tolist() == [28]
+
+
+def test_cosine_pairs_block_tiled_matches_bruteforce():
+    """Block-tiled exact pair sweep ≡ single-matrix numpy, incl. pairs
+    spanning block boundaries and ids out of block order."""
+    rng = np.random.default_rng(7)
+    M = rng.standard_normal((211, 24))
+    M[200] = M[5] + 0.01 * rng.standard_normal(24)   # cross-block planted pair
+    ids = rng.permutation(10_000)[:211].astype(np.int64).tolist()  # unordered ids
+    out = cosine_near_dup_pairs(_emb_ds(M, ids=ids), threshold=0.6, block_rows=32)
+    got = set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    iu, ju = np.triu_indices(len(M), k=1)
+    keep = S[iu, ju] >= 0.6
+    ida = np.asarray(ids)
+    expect = {
+        (min(a, b), max(a, b))
+        for a, b in zip(ida[iu[keep]].tolist(), ida[ju[keep]].tolist())
+    }
+    assert got == expect
+
+
+def test_lsh_bucketed_recall_vs_exact():
+    """ANN recall against the exact sweep on a corpus with many planted
+    near-dups: ≥ 0.9 at 8 planes × 8 tables, and no false positives
+    (every emitted pair is verified exactly)."""
+    rng = np.random.default_rng(9)
+    M = rng.standard_normal((400, 32))
+    for i in range(0, 120, 3):
+        M[i + 1] = M[i] + 0.01 * rng.standard_normal(32)
+    ds = _emb_ds(M)
+    exact = cosine_near_dup_pairs(ds, threshold=0.95)
+    ex = set(zip(exact.column("a").to_pylist(), exact.column("b").to_pylist()))
+    approx = lsh_bucketed_pairs(ds, threshold=0.95, n_planes=8, n_tables=8)
+    ap = set(zip(approx.column("a").to_pylist(), approx.column("b").to_pylist()))
+    assert ap <= ex                      # exact verification → no false positives
+    assert len(ap & ex) / len(ex) >= 0.9
