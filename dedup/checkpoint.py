@@ -33,12 +33,43 @@ from .config import DedupConfig
 from .schema import SCHEMA_VERSION
 
 
+# Schema upgrade hooks (≅ reference migrate_db, file_db.rs:457-511): maps
+# (from_version → fn(stage_name, manifest, stage_dir) → manifest | None).
+# Returning an upgraded manifest keeps the checkpoint DATA in place (the
+# bump didn't change that stage's layout); returning None means the stage
+# cannot be upgraded and must recompute. Chains run until current.
+MIGRATIONS: dict[int, object] = {}
+
+
+def register_migration(from_version: int):
+    def deco(fn):
+        MIGRATIONS[from_version] = fn
+        return fn
+
+    return deco
+
+
+@register_migration(1)
+def _migrate_v1_to_v2(name: str, manifest: dict, stage_dir: str) -> dict | None:
+    """v2 added ``set_hash`` to the signatures schema. Signature
+    checkpoints must recompute (the column derives from text, which the
+    stage no longer has); every other stage's layout is untouched, so the
+    manifest is stamped forward in place — no recompute."""
+    if name == "p3_signatures":
+        return None
+    manifest = dict(manifest)
+    manifest["schema_version"] = 2
+    return manifest
+
+
 class CheckpointManager:
     def __init__(self, root: str, cfg: DedupConfig):
         self.root = root
         self.cfg = cfg
         os.makedirs(root, exist_ok=True)
-        self.events: list[str] = []  # "hit:<stage>" / "write:<stage>" lineage
+        # lineage: "hit:<stage>[/part-K]" / "write:<stage>[/part-K]" /
+        # "migrate:<stage>:vA->vB"
+        self.events: list[str] = []
 
     def _paths(self, name: str) -> tuple[str, str, str]:
         d = os.path.join(self.root, name)
@@ -54,8 +85,33 @@ class CheckpointManager:
         except (json.JSONDecodeError, OSError):
             return None
 
-    def is_valid(self, name: str) -> bool:
+    def _write_manifest(self, name: str, manifest: dict) -> None:
+        _, _, mpath = self._paths(name)
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.rename(mpath + ".tmp", mpath)
+
+    def _maybe_migrate(self, name: str) -> dict | None:
+        """Apply the registered upgrade chain in place; → current manifest
+        (or None if absent / not upgradeable, meaning: recompute)."""
         m = self.manifest(name)
+        if not m:
+            return None
+        stage_dir, _, _ = self._paths(name)
+        while (v := m.get("schema_version")) is not None and v < SCHEMA_VERSION:
+            mig = MIGRATIONS.get(v)
+            if mig is None:
+                return None
+            m2 = mig(name, m, stage_dir)
+            if m2 is None or m2.get("schema_version", v) <= v:
+                return None
+            self._write_manifest(name, m2)
+            self.events.append(f"migrate:{name}:v{v}->v{m2['schema_version']}")
+            m = m2
+        return m
+
+    def is_valid(self, name: str) -> bool:
+        m = self._maybe_migrate(name)
         return bool(
             m
             and m.get("completed")
@@ -86,11 +142,77 @@ class CheckpointManager:
             "config_fingerprint": self.cfg.fingerprint(),
             "schema_version": SCHEMA_VERSION,
         }
-        with open(mpath + ".tmp", "w") as f:
-            json.dump(manifest, f, indent=2)
-        os.rename(mpath + ".tmp", mpath)
+        self._write_manifest(name, manifest)
         self.events.append(f"write:{name}")
         return out
+
+    def load_or_run_parts(self, name: str, part_ids: list, fn_for_part) -> Dataset:
+        """Per-PARTITION checkpointed stage (north rule: per-partition
+        signature/band state with lineage + metrics). ≅ the reference's
+        per-file checksum memoization, process_matches.rs:435-452: a
+        killed stage resumes from completed partitions, recomputing only
+        the rest.
+
+        ``fn_for_part(part_id) -> Dataset``; each part's parquet dir is
+        written atomically (tmp + rename) and the manifest is rewritten
+        after EVERY part, so the manifest always reflects exactly the
+        parts that durably exist. Returns a Dataset over all parts.
+        """
+        stage_dir, data_dir, _ = self._paths(name)
+        m = self._maybe_migrate(name)
+        stage_ok = bool(
+            m
+            and m.get("partitioned")
+            and m.get("config_fingerprint") == self.cfg.fingerprint()
+            and m.get("schema_version") == SCHEMA_VERSION
+        )
+        parts: dict = dict(m.get("parts", {})) if stage_ok else {}
+        if not stage_ok and os.path.exists(stage_dir):
+            shutil.rmtree(stage_dir)
+        os.makedirs(data_dir, exist_ok=True)
+        for pid in part_ids:
+            key = str(pid)
+            pdir = os.path.join(data_dir, f"part-{pid}")
+            if parts.get(key, {}).get("completed") and os.path.exists(pdir):
+                self.events.append(f"hit:{name}/part-{pid}")
+                continue
+            t0 = time.monotonic()
+            ds = fn_for_part(pid)
+            tmp = pdir + ".tmp"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            ds.write_parquet(tmp)
+            if os.path.exists(pdir):
+                shutil.rmtree(pdir)
+            os.rename(tmp, pdir)
+            parts[key] = {
+                "completed": True,
+                "rows": rd.read_parquet(pdir).count(),
+                "wall_sec": round(time.monotonic() - t0, 3),
+            }
+            done = all(
+                parts.get(str(p), {}).get("completed") for p in part_ids
+            )
+            self._write_manifest(
+                name,
+                {
+                    "stage": name,
+                    "partitioned": True,
+                    "parts": parts,
+                    "completed": done,
+                    "rows": sum(p["rows"] for p in parts.values()),
+                    "config_fingerprint": self.cfg.fingerprint(),
+                    "schema_version": SCHEMA_VERSION,
+                },
+            )
+            self.events.append(f"write:{name}/part-{pid}")
+        files = [
+            os.path.join(data_dir, f"part-{pid}", f)
+            for pid in part_ids
+            for f in sorted(os.listdir(os.path.join(data_dir, f"part-{pid}")))
+            if f.endswith(".parquet")
+        ]
+        return rd.read_parquet(files)
 
     def invalidate(self, name: str) -> None:
         stage_dir, _, _ = self._paths(name)

@@ -40,6 +40,9 @@ class DedupConfig:
 
     # --- execution
     batch_size: int = 4096
+    # hash-partition count for the per-partition signing checkpoint (a
+    # killed signing stage resumes from completed partitions)
+    sign_partitions: int = 8
     signer_concurrency: int = 16  # MinHash actor pool max (autoscales from 1)
     join_buckets: int = 32  # partitions for bucketed hash joins
     # raw candidate-pair streams larger than this leave the driver

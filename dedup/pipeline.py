@@ -157,13 +157,37 @@ def near_dup_pipeline(
     # union) otherwise fuses into downstream consumers and re-executes
     reps = distinct_reps(ing, dups=dup_hashes).materialize()
     tick("reps")
-    sigs = stage("p3_signatures", lambda: sign(reps, cfg))
+    if checkpoint is not None:
+        # per-PARTITION signing checkpoint: reps hash-partition on
+        # doc_hash (content-stable across sessions — block boundaries are
+        # not); a killed run resumes from completed partitions
+        # (≅ checksum memoization, process_matches.rs:435-452)
+        from .hashing import fmix64 as _fmix
+
+        P = cfg.sign_partitions
+
+        def sign_part(pid: int):
+            def fl(batch: pa.Table) -> pa.Table:
+                dh = batch.column("doc_hash").to_numpy(zero_copy_only=False)
+                with np.errstate(over="ignore"):
+                    m = (_fmix(dh.view(np.uint64)) % np.uint64(P)) == np.uint64(pid)
+                return batch.filter(pa.array(m))
+
+            return sign(reps.map_batches(fl, batch_format="pyarrow"), cfg)
+
+        sigs = checkpoint.load_or_run_parts(
+            "p3_signatures", list(range(P)), sign_part
+        )
+    else:
+        sigs = stage("p3_signatures", lambda: sign(reps, cfg))
     tick("sign")
     _EDGES_EMPTY = pa.table(
         {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
          "sim": pa.array([], pa.float64())}
     )
-    if checkpoint is not None and "write:p3_signatures" in checkpoint.events:
+    if checkpoint is not None and any(
+        e.startswith("write:p3_signatures") for e in checkpoint.events
+    ):
         # lineage: a rebuilt upstream invalidates derived stages
         checkpoint.invalidate("p4_edges")
     if checkpoint is not None and checkpoint.is_valid("p4_edges"):

@@ -1,7 +1,12 @@
-"""Resume semantics (≅ --resume-stage3/4, main.rs:114-119)."""
+"""Resume semantics (≅ --resume-stage3/4, main.rs:114-119), per-partition
+signing resume (≅ checksum memoization, process_matches.rs:435-452) and
+schema migration (≅ migrate_db, file_db.rs:457-511)."""
 
+import json
 import os
 
+import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from dedup.checkpoint import CheckpointManager
@@ -16,17 +21,38 @@ def _run(tmpdir, cfg, table):
     return cluster_partition(res.clusters), ckpt
 
 
+def _kinds(events):
+    """events → list of (verb, stage) with part suffixes folded away."""
+    out = []
+    for e in events:
+        verb, _, rest = e.partition(":")
+        stage = rest.split("/")[0]
+        if not out or out[-1] != (verb, stage):
+            out.append((verb, stage))
+    return out
+
+
 def test_resume_identical_clusters(tmp_path):
     table, _ = make_pages(n_exact_groups=5, n_near_groups=5, n_singletons=30)
     cfg = DedupConfig(min_size=1)
     first, ck1 = _run(tmp_path, cfg, table)
-    assert ck1.events == ["write:p1_ingested", "write:p3_signatures", "write:p4_edges"]
+    assert _kinds(ck1.events) == [
+        ("write", "p1_ingested"),
+        ("write", "p3_signatures"),
+        ("write", "p4_edges"),
+    ]
+    # every signing partition has its own lineage record
+    assert sum(e.startswith("write:p3_signatures/part-") for e in ck1.events) == cfg.sign_partitions
     # mtime of stage-1 parquet must not change on resume
     p1_dir = os.path.join(str(tmp_path), "p1_ingested", "data")
     mtimes = {f: os.path.getmtime(os.path.join(p1_dir, f)) for f in os.listdir(p1_dir)}
 
     second, ck2 = _run(tmp_path, cfg, table)
-    assert ck2.events == ["hit:p1_ingested", "hit:p3_signatures", "hit:p4_edges"]
+    assert _kinds(ck2.events) == [
+        ("hit", "p1_ingested"),
+        ("hit", "p3_signatures"),
+        ("hit", "p4_edges"),
+    ]
     assert second == first
     for f, m in mtimes.items():
         assert os.path.getmtime(os.path.join(p1_dir, f)) == m, "stage recomputed"
@@ -40,7 +66,11 @@ def test_partial_checkpoint_resumes_later_stage_only(tmp_path):
     ck1.invalidate("p3_signatures")
     second, ck2 = _run(tmp_path, cfg, table)
     # p4 was derived from the rebuilt p3 → must also rebuild (lineage)
-    assert ck2.events == ["hit:p1_ingested", "write:p3_signatures", "write:p4_edges"]
+    assert _kinds(ck2.events) == [
+        ("hit", "p1_ingested"),
+        ("write", "p3_signatures"),
+        ("write", "p4_edges"),
+    ]
     assert second == first
 
 
@@ -48,4 +78,81 @@ def test_config_change_invalidates(tmp_path):
     table, _ = make_pages(n_exact_groups=3, n_near_groups=2, n_singletons=10)
     _run(tmp_path, DedupConfig(min_size=1), table)
     _, ck2 = _run(tmp_path, DedupConfig(min_size=2), table)
-    assert ck2.events == ["write:p1_ingested", "write:p3_signatures", "write:p4_edges"]
+    assert _kinds(ck2.events) == [
+        ("write", "p1_ingested"),
+        ("write", "p3_signatures"),
+        ("write", "p4_edges"),
+    ]
+
+
+def test_kill_mid_stage_resumes_from_completed_parts(tmp_path):
+    """A stage killed mid-way resumes WITHOUT recomputing finished
+    partitions (north rule: per-partition lineage)."""
+    cfg = DedupConfig()
+    calls: list[int] = []
+
+    def make_part(pid: int):
+        calls.append(pid)
+        return rd.from_arrow(
+            pa.table({"part": pa.array([pid] * 3, pa.int64()),
+                      "v": pa.array(range(3), pa.int64())})
+        )
+
+    def failing(pid: int):
+        if pid == 2:
+            raise RuntimeError("killed")
+        return make_part(pid)
+
+    ck = CheckpointManager(str(tmp_path), cfg)
+    with pytest.raises(RuntimeError):
+        ck.load_or_run_parts("stage_x", [0, 1, 2, 3], failing)
+    assert calls == [0, 1]  # parts 0,1 durably written before the kill
+
+    ck2 = CheckpointManager(str(tmp_path), cfg)
+    out = ck2.load_or_run_parts("stage_x", [0, 1, 2, 3], make_part)
+    assert calls == [0, 1, 2, 3]  # only 2,3 computed on resume
+    assert [e for e in ck2.events if e.startswith("hit:")] == [
+        "hit:stage_x/part-0", "hit:stage_x/part-1",
+    ]
+    df = out.to_pandas()
+    assert sorted(df["part"].unique().tolist()) == [0, 1, 2, 3]
+    assert len(df) == 12
+    m = ck2.manifest("stage_x")
+    assert m["completed"] and m["partitioned"]
+    assert all(m["parts"][str(p)]["completed"] for p in range(4))
+
+
+def test_schema_migration_in_place(tmp_path):
+    """A v1 checkpoint of a stage whose layout the v2 bump did not touch
+    is stamped forward WITHOUT recompute; the signatures stage (whose
+    schema did change) recomputes."""
+    from dedup.schema import SCHEMA_VERSION
+
+    cfg = DedupConfig()
+    ck = CheckpointManager(str(tmp_path), cfg)
+    runs: list[str] = []
+
+    def build(tag):
+        def fn():
+            runs.append(tag)
+            return rd.from_arrow(pa.table({"x": pa.array([1, 2, 3], pa.int64())}))
+
+        return fn
+
+    ck.load_or_run("p1_ingested", build("p1"))
+    ck.load_or_run("p3_signatures", build("p3"))
+    assert runs == ["p1", "p3"]
+
+    # rewrite both manifests as schema v1 (simulating a pre-upgrade run)
+    for stage in ("p1_ingested", "p3_signatures"):
+        mpath = os.path.join(str(tmp_path), stage, "manifest.json")
+        m = json.load(open(mpath))
+        m["schema_version"] = 1
+        json.dump(m, open(mpath, "w"))
+
+    ck2 = CheckpointManager(str(tmp_path), cfg)
+    ck2.load_or_run("p1_ingested", build("p1"))
+    ck2.load_or_run("p3_signatures", build("p3"))
+    assert runs == ["p1", "p3", "p3"]  # p1 migrated in place, p3 recomputed
+    assert any(e.startswith("migrate:p1_ingested:v1->v2") for e in ck2.events)
+    assert ck2.manifest("p1_ingested")["schema_version"] == SCHEMA_VERSION
