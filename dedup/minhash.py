@@ -146,8 +146,15 @@ class MinHashSigner:
                 d_s, s_s = doc_of[order], sh[order]
                 first = np.ones(len(s_s), dtype=bool)
                 first[1:] = (d_s[1:] != d_s[:-1]) | (s_s[1:] != s_s[:-1])
-                contrib = fmix64(s_s[first] ^ np.uint64(0xA24BAED4963EE407))
-                np.add.at(set_hash, d_s[first], contrib)
+                d_u, s_u = d_s[first], s_s[first]
+                contrib = fmix64(s_u ^ np.uint64(0xA24BAED4963EE407))
+                # distinct shingles stay doc-contiguous after the sort →
+                # segment sum via reduceat, not np.add.at scatter
+                seg = np.ones(len(d_u), dtype=bool)
+                seg[1:] = d_u[1:] != d_u[:-1]
+                starts_u = np.flatnonzero(seg)
+                if len(starts_u):
+                    set_hash[d_u[starts_u]] = np.add.reduceat(contrib, starts_u)
         return sig, n_sh, set_hash
 
     def signatures(self, text: pa.Array) -> tuple[np.ndarray, np.ndarray]:

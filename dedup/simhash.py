@@ -77,8 +77,10 @@ class SimHasher:
         mset = np.zeros(len(counts), dtype=U64)
         if nz.any():
             with np.errstate(over="ignore"):
-                doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), n_sh)
-                np.add.at(mset, doc_of, fmix64(sh ^ np.uint64(0xD6E8FEB86659FD93)))
+                # shingles are doc-contiguous → segment sum via reduceat
+                # (np.add.at's unbuffered scatter is ~10× slower here)
+                contrib = fmix64(sh ^ np.uint64(0xD6E8FEB86659FD93))
+                mset[nz] = np.add.reduceat(contrib, starts)
         return pa.table(
             {
                 "doc_hash": batch.column("doc_hash"),
