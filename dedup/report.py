@@ -22,40 +22,93 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
 
-def _group_row(g: pd.DataFrame) -> pd.DataFrame:
-    by_hash: dict[int, list[str]] = {}
-    for u, h in zip(g["url"], g["doc_hash"]):
-        by_hash.setdefault(int(h), []).append(u)
-    inner = [sorted(v) for v in by_hash.values()]
-    inner.sort()
-    sizes = g.groupby("doc_hash")["size_bytes"].first() if "size_bytes" in g else None
-    if sizes is not None and len(sizes):
-        redundant = int(g["size_bytes"].sum() - g["size_bytes"].max())
+def _nested_bucket(batch: pa.Table) -> pa.Table:
+    """One bucket (co-located whole clusters) → nested rows, fully
+    vectorized: one multi-key sort, boundary masks, ListArray offsets —
+    no per-cluster Python. Inner lists are url-sorted; outer lists are
+    ordered by their first url, which equals lexicographic list order
+    because urls are unique."""
+    if len(batch) == 0:
+        return pa.table(
+            {
+                "cluster_id": pa.array([], pa.int64()),
+                "n_members": pa.array([], pa.int64()),
+                "n_identities": pa.array([], pa.int64()),
+                "duplicates": pa.array([], pa.list_(pa.list_(pa.string()))),
+                "redundant_bytes": pa.array([], pa.int64()),
+            }
+        )
+    keys = [("cluster_id", "ascending"), ("doc_hash", "ascending"), ("url", "ascending")]
+    t = batch.sort_by(keys)
+    cid = t.column("cluster_id").to_numpy(zero_copy_only=False)
+    dh = t.column("doc_hash").to_numpy(zero_copy_only=False)
+    urls = t.column("url")
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    n = len(cid)
+    # inner lists: one per (cluster, doc_hash)
+    inner_new = np.ones(n, dtype=bool)
+    inner_new[1:] = (cid[1:] != cid[:-1]) | (dh[1:] != dh[:-1])
+    in_starts = np.flatnonzero(inner_new)
+    offs1 = np.append(in_starts, n).astype(np.int32)
+    # from_arrays expects offsets led by 0; in_starts[0] == 0 by construction
+    inner = pa.ListArray.from_arrays(pa.array(offs1, pa.int32()), urls)
+    in_cid = cid[in_starts]
+    # reorder inner lists within each cluster by first url (content order);
+    # lexsort is stable and in_cid is the primary key, so clusters keep order
+    first_urls = np.asarray(urls.take(pa.array(in_starts, pa.int64())))
+    order = np.lexsort((first_urls, in_cid))
+    inner = inner.take(pa.array(order, pa.int64()))
+    # outer lists: one per cluster
+    outer_new = np.ones(len(in_starts), dtype=bool)
+    outer_new[1:] = in_cid[1:] != in_cid[:-1]
+    out_starts = np.flatnonzero(outer_new)
+    offs2 = np.append(out_starts, len(in_starts)).astype(np.int32)
+    outer = pa.ListArray.from_arrays(pa.array(offs2, pa.int32()), inner)
+    # per-cluster aggregates over the row-level cid segments
+    c_starts = np.flatnonzero(np.concatenate([[True], cid[1:] != cid[:-1]]))
+    n_members = np.diff(np.append(c_starts, n))
+    n_identities = np.diff(np.append(out_starts, len(in_starts)))
+    if "size_bytes" in t.column_names:
+        sz = t.column("size_bytes").to_numpy(zero_copy_only=False)
+        red = np.add.reduceat(sz, c_starts) - np.maximum.reduceat(sz, c_starts)
     else:
-        redundant = 0
-    return pd.DataFrame(
+        red = np.zeros(len(c_starts), np.int64)
+    return pa.table(
         {
-            "cluster_id": [int(g["cluster_id"].iloc[0])],
-            "n_members": [len(g)],
-            "n_identities": [len(inner)],
-            "duplicates": [inner],
-            "redundant_bytes": [redundant],
+            "cluster_id": pa.array(cid[c_starts], pa.int64()),
+            "n_members": pa.array(n_members, pa.int64()),
+            "n_identities": pa.array(n_identities, pa.int64()),
+            "duplicates": outer,
+            "redundant_bytes": pa.array(red.astype(np.int64), pa.int64()),
         }
     )
 
 
-def nested_groups(clusters: Dataset) -> Dataset:
+def nested_groups(clusters: Dataset, n_buckets: int = 64) -> Dataset:
     """clusters(url, doc_hash, cluster_id[, size_bytes]) → nested rows.
 
-    map_groups over cluster_id — cardinality is duplicate groups only.
-    """
-    return clusters.groupby("cluster_id").map_groups(
-        _group_row, batch_format="pandas"
+    Clusters are hash-bucketed (low-cardinality key — never map_groups on
+    cluster_id itself, whose cardinality is the number of duplicate
+    groups) and each bucket is built with one vectorized pass."""
+    from .hashing import fmix64
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        cid = batch.column("cluster_id").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            b = (fmix64(cid.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
+
+    return (
+        clusters.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_nested_bucket, batch_format="pyarrow")
     )
 
 
@@ -75,7 +128,9 @@ def write_report(clusters: Dataset, out_dir: str) -> dict:
         for batch in nested.iter_batches(batch_size=4096, batch_format="pandas"):
             for _, row in batch.iterrows():
                 rec = {
-                    "duplicates": row["duplicates"],
+                    # Arrow list<list<string>> → numpy object arrays in
+                    # pandas; coerce to plain lists for the JSON writer
+                    "duplicates": [list(x) for x in row["duplicates"]],
                     "redundant_bytes": int(row["redundant_bytes"]),
                 }
                 if not first:

@@ -19,7 +19,7 @@ def test_nested_groups_reference_corpus(tmp_path):
     # 3 content groups; each cluster has ONE content identity (exact dups)
     assert len(nested) == 3
     assert (nested["n_identities"] == 1).all()
-    got = sorted(g[0] for g in nested["duplicates"])
+    got = sorted(list(g[0]) for g in nested["duplicates"])
     assert got == sorted(sorted(x) for x in expected)
 
     summary = write_report(clusters, str(tmp_path / "out"))
@@ -32,3 +32,24 @@ def test_nested_groups_reference_corpus(tmp_path):
         arr = json.load(f)
     assert len(arr) == 3
     assert all(set(r) == {"duplicates", "redundant_bytes"} for r in arr)
+
+
+def test_nested_groups_multi_identity_cluster():
+    """A near-dup cluster with several content identities nests correctly
+    (outer list ordered lexicographically, inner lists url-sorted)."""
+    t = pa.table(
+        {
+            "url": pa.array(["u/b", "u/a", "u/c", "u/d", "u/z"]),
+            "doc_hash": pa.array([10, 10, 20, 20, 30], pa.int64()),
+            "cluster_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "size_bytes": pa.array([5, 5, 7, 7, 9], pa.int64()),
+        }
+    )
+    out = nested_groups(rd.from_arrow(t)).to_pandas().sort_values("cluster_id")
+    c1 = out[out.cluster_id == 1].iloc[0]
+    assert c1["n_members"] == 4 and c1["n_identities"] == 2
+    assert [list(x) for x in c1["duplicates"]] == [["u/a", "u/b"], ["u/c", "u/d"]]
+    # redundant = sum - max = (5+5+7+7) - 7 = 17
+    assert c1["redundant_bytes"] == 17
+    c2 = out[out.cluster_id == 2].iloc[0]
+    assert c2["n_members"] == 1 and [list(x) for x in c2["duplicates"]] == [["u/z"]]
