@@ -96,6 +96,46 @@ def exact_clusters(pages: Dataset, cfg: DedupConfig | None = None) -> Dataset:
     return surv.map_batches(emit, batch_format="pyarrow")
 
 
+def dedup_corpus(pages: Dataset, cfg: DedupConfig) -> Dataset:
+    """The product artifact of exact dedup: the corpus with duplicates
+    REMOVED — one representative (lexicographic-min url) per distinct
+    text, unique pages passing through untouched. → (url, size_bytes).
+
+    Unique rows (the overwhelming majority) never shuffle: the narrow
+    dup-key pass splits them off via broadcast semi-filter; only rows of
+    duplicated hashes enter the (tiny) representative-selection groupby.
+    """
+    from ray.data.aggregate import Min
+
+    from .ingest import ingest as _ingest
+
+    ing = _ingest(pages, cfg)
+    narrow = ing.select_columns(["url", "doc_hash", "size_bytes"])
+    dups = dup_keys(ing, "doc_hash")
+    uniq = semi_filter(narrow, "doc_hash", dups, keep=False).select_columns(
+        ["url", "size_bytes"]
+    )
+    if len(dups) == 0:
+        return uniq
+
+    def local_first(batch: pa.Table) -> pa.Table:
+        # per-batch combiner: min-url row per hash (Arrow multi-key sort)
+        t = batch.sort_by([("doc_hash", "ascending"), ("url", "ascending")])
+        dh = t.column("doc_hash").to_numpy(zero_copy_only=False)
+        first = np.ones(len(dh), dtype=bool)
+        first[1:] = dh[1:] != dh[:-1]
+        return t.take(pa.array(np.flatnonzero(first), pa.int64()))
+
+    reps = (
+        semi_filter(narrow, "doc_hash", dups)
+        .map_batches(local_first, batch_format="pyarrow")
+        .groupby("doc_hash")
+        .aggregate(Min("url", alias_name="url"), Min("size_bytes", alias_name="size_bytes"))
+        .select_columns(["url", "size_bytes"])
+    )
+    return uniq.union(reps)
+
+
 def total_redundant_bytes(clusters: Dataset) -> int:
     """Global reclaimable bytes (≅ the reference's end-of-run sum,
     process_matches.rs:674-675,701): Σ over clusters of (total bytes −

@@ -315,6 +315,64 @@ def near_dup_pipeline(
     return NearDupResult(clusters=clusters, edges=edges)
 
 
+def near_dup_corpus(
+    pages: Dataset, cfg: DedupConfig | None = None, checkpoint=None
+) -> Dataset:
+    """The product artifact of NEAR-dup dedup: the corpus with every
+    cluster collapsed to its lexicographic-min-url representative;
+    non-clustered pages pass through. → (url, size_bytes).
+
+    The drop set (cluster members that are not representatives) is
+    bounded by duplicate-involved pages — the same broadcast bound every
+    assignment path here relies on — and is applied as a hashed
+    semi-filter over the ingest stream, so the corpus itself never
+    collects.
+    """
+    import ray.data as _rd
+
+    from .hashing import xxh64_arrow
+    from .ingest import ingest as _ingest
+
+    cfg = cfg or DedupConfig()
+    res = near_dup_pipeline(pages, cfg, checkpoint=checkpoint)
+    cl = res.clusters.select_columns(["url", "cluster_id"])
+    t = pa.concat_tables(
+        list(cl.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        or [pa.table({"url": pa.array([], pa.string()),
+                      "cluster_id": pa.array([], pa.int64())})]
+    )
+    urls = np.asarray(t.column("url").to_pylist(), dtype=object)
+    cids = t.column("cluster_id").to_numpy(zero_copy_only=False)
+    if len(urls):
+        order = np.lexsort((urls, cids))
+        u_s, c_s = urls[order], cids[order]
+        is_rep = np.ones(len(c_s), dtype=bool)
+        is_rep[1:] = c_s[1:] != c_s[:-1]
+        drop = u_s[~is_rep]
+    else:
+        drop = np.empty(0, object)
+    drop_hashes = np.sort(
+        xxh64_arrow(pa.array(drop.tolist(), pa.string())).view(np.int64)
+    ) if len(drop) else np.empty(0, np.int64)
+
+    ing = _ingest(pages, cfg)
+
+    def add_url_hash(batch: pa.Table) -> pa.Table:
+        h = xxh64_arrow(batch.column("url").combine_chunks()
+                        if isinstance(batch.column("url"), pa.ChunkedArray)
+                        else batch.column("url"))
+        return batch.append_column("url_hash", pa.array(h.view(np.int64), pa.int64()))
+
+    hashed = ing.select_columns(["url", "size_bytes"]).map_batches(
+        add_url_hash, batch_format="pyarrow"
+    )
+    from .exchange import semi_filter as _semi
+
+    return _semi(hashed, "url_hash", drop_hashes, keep=False).select_columns(
+        ["url", "size_bytes"]
+    )
+
+
 def cluster_partition(clusters: Dataset) -> list[list[str]]:
     """clusters table → sorted list of sorted url lists (order-insensitive
     golden compare; reference group order is HashMap-nondeterministic)."""

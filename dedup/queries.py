@@ -247,6 +247,25 @@ def q_consolidation_plan(sf_dir: str):
     return consolidation_plan(pages, CFG, policy="min_url")
 
 
+def q_dedup_corpus(sf_dir: str):
+    """Deduplicated corpus (the product artifact): one min-url
+    representative per distinct text, unique pages untouched."""
+    from .cascade import dedup_corpus
+
+    pages = pages_from_documents(sf_dir)
+    return dedup_corpus(pages, CFG)
+
+
+def q_near_dup_corpus(sf_dir: str):
+    """Near-dup-deduplicated corpus: every MinHash cluster collapsed to
+    its representative (rows-only — default-threshold clusters aren't
+    SQL-expressible)."""
+    from .pipeline import near_dup_corpus
+
+    pages = pages_from_documents(sf_dir)
+    return near_dup_corpus(pages, CFG)
+
+
 def q_filter_gates(sf_dir: str):
     """Ingest gates: min/max size + lang filter (F1/F2/F3 analogues,
     options.rs:38-45, 186-204). Rows passing all gates."""
@@ -450,6 +469,8 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "media_features": q_media_features,
     "consolidation_plan": q_consolidation_plan,
+    "dedup_corpus": q_dedup_corpus,
+    "near_dup_corpus": q_near_dup_corpus,
     "filter_gates": q_filter_gates,
     "events_windowed": q_events_windowed,
     "events_sessions": q_events_sessions,
@@ -579,6 +600,11 @@ SELECT p.url,
        g.rep AS target_url,
        CASE WHEN p.url = g.rep THEN 0 ELSE strlen(p.text) END AS reclaimed_bytes
 FROM pages p JOIN g ON p.text = g.text
+""".strip(),
+    "dedup_corpus": f"""
+WITH {PAGES_SQL}
+SELECT MIN(url) AS url, strlen(text) AS size_bytes
+FROM pages GROUP BY text
 """.strip(),
     "filter_gates": f"""
 WITH {PAGES_SQL}

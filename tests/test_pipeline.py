@@ -156,3 +156,25 @@ def test_pipeline_actor_backend_matches_driver():
         near_dup_pipeline(ds, DedupConfig(min_size=1, cluster_backend="actors")).clusters
     )
     assert p_driver == p_actors
+
+
+def test_near_dup_corpus_keeps_one_rep_per_cluster():
+    """The dedupped-corpus artifact: every cluster collapses to its min
+    url; singletons pass through byte-identical."""
+    from dedup.pipeline import near_dup_corpus, near_dup_pipeline
+
+    table, exp = make_pages(n_exact_groups=4, n_near_groups=4, n_singletons=25)
+    cfg = DedupConfig(min_size=1)
+    corpus = near_dup_corpus(rd.from_arrow(table), cfg).to_pandas()
+    kept = set(corpus["url"])
+    clusters = near_dup_pipeline(rd.from_arrow(table), cfg).clusters.to_pandas()
+    for cid, g in clusters.groupby("cluster_id"):
+        urls = sorted(g["url"])
+        assert urls[0] in kept                      # representative kept
+        assert not (set(urls[1:]) & kept)           # other members dropped
+    clustered = set(clusters["url"])
+    from dedup.ingest import ingest as _ing
+
+    all_urls = set(_ing(rd.from_arrow(table), cfg).to_pandas()["url"])
+    assert (all_urls - clustered) <= kept           # non-clustered pass through
+    assert len(corpus) == len(all_urls) - (len(clustered) - clusters["cluster_id"].nunique())
