@@ -266,11 +266,19 @@ def q_near_dup_corpus(sf_dir: str):
     return near_dup_corpus(pages, CFG)
 
 
+# url exclude pattern shared by the gate queries and their oracles —
+# RE2 on both sides (Arrow match_substring_regex / DuckDB regexp_matches)
+GATE_URL_RE = "9$"
+
+
 def q_filter_gates(sf_dir: str):
-    """Ingest gates: min/max size + lang filter (F1/F2/F3 analogues,
-    options.rs:38-45, 186-204). Rows passing all gates."""
+    """Ingest gates: min/max size + lang + url-exclude regex (F1/F2/F3
+    analogues, options.rs:38-45, 186-204). Rows passing all gates."""
     pages = pages_from_documents(sf_dir)
-    cfg = DedupConfig(min_size=150, max_size=400, lang_filter=("en", "de"))
+    cfg = DedupConfig(
+        min_size=150, max_size=400, lang_filter=("en", "de"),
+        exclude_url_regex=GATE_URL_RE,
+    )
     return ingest(pages, cfg).select_columns(["url", "size_bytes", "lang"])
 
 
@@ -409,7 +417,10 @@ def q_gate_rejects(sf_dir: str):
     from .ingest import gate_rejects
 
     pages = pages_from_documents(sf_dir)
-    cfg = DedupConfig(min_size=150, max_size=400, lang_filter=("en", "de"))
+    cfg = DedupConfig(
+        min_size=150, max_size=400, lang_filter=("en", "de"),
+        exclude_url_regex=GATE_URL_RE,
+    )
     return gate_rejects(pages, cfg)
 
 
@@ -611,6 +622,7 @@ WITH {PAGES_SQL}
 SELECT url, strlen(text) AS size_bytes, lang
 FROM pages
 WHERE strlen(text) >= 150 AND strlen(text) <= 400 AND lang IN ('en', 'de')
+  AND NOT regexp_matches(url, '{GATE_URL_RE}')
 """.strip(),
     "events_last_order": """
 SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_date
@@ -623,9 +635,11 @@ SELECT url,
        CASE WHEN strlen(text) < 150 THEN 'too_short'
             WHEN strlen(text) > 400 THEN 'too_long'
             WHEN lang NOT IN ('en', 'de') THEN 'lang'
+            WHEN regexp_matches(url, '{GATE_URL_RE}') THEN 'url'
             END AS reason
 FROM pages
 WHERE strlen(text) < 150 OR strlen(text) > 400 OR lang NOT IN ('en', 'de')
+   OR regexp_matches(url, '{GATE_URL_RE}')
 """.strip(),
     "events_windowed": """
 SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,

@@ -133,3 +133,24 @@ def test_sessionize_many_users_matches_pandas_reference():
         rows, columns=["user_id", "session_id", "n_events", "session_start", "session_end"]
     ).sort_values(["user_id", "session_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(out.astype("int64"), ref.astype("int64"))
+
+
+def test_url_exclude_regex_gate():
+    """Vectorized RE2 url filter: matching urls are rejected with reason
+    'url'; non-matching pass (mirrors re.search substring semantics)."""
+    t = pa.table(
+        {
+            "url": pa.array(["u/keep", "u/drop9", "u/also-drop9", "u/keep2"]),
+            "warc_ts": pa.array([0, 1, 2, 3], pa.timestamp("us")),
+            "html": pa.array([b""] * 4, pa.binary()),
+            "text": pa.array(["x" * 50] * 4),
+            "lang": pa.array(["en"] * 4),
+        }
+    )
+    cfg = DedupConfig(min_size=1, exclude_url_regex=r"9$")
+    kept = ingest(rd.from_arrow(t), cfg).to_pandas()
+    assert sorted(kept["url"]) == ["u/keep", "u/keep2"]
+    rej = gate_rejects(rd.from_arrow(t), cfg).to_pandas()
+    assert rej.set_index("url")["reason"].to_dict() == {
+        "u/drop9": "url", "u/also-drop9": "url",
+    }
