@@ -45,7 +45,11 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="dedup", description=__doc__)
     ap.add_argument("--input", required=True, help="parquet file/dir of pages")
     ap.add_argument("--output", required=True, help="output directory")
-    ap.add_argument("--mode", choices=["near", "exact", "simhash"], default="near")
+    ap.add_argument(
+        "--mode", choices=["near", "exact", "simhash", "corpus"], default="near",
+        help="corpus = write the deduplicated pages (one representative "
+             "per near-dup cluster) instead of the clusters table",
+    )
     ap.add_argument("--checkpoint", default=None, help="checkpoint root dir")
     ap.add_argument("--min-size", type=int, default=None)
     ap.add_argument("--max-size", type=int, default=None)
@@ -82,6 +86,27 @@ def main(argv=None) -> int:
     t0 = time.monotonic()
     pages = rd.read_parquet(args.input)
     ckpt = CheckpointManager(args.checkpoint, cfg) if args.checkpoint else None
+
+    if args.mode == "corpus":
+        from .pipeline import near_dup_corpus
+
+        corpus = near_dup_corpus(pages, cfg, checkpoint=ckpt).materialize()
+        out_dir = os.path.join(args.output, "corpus")
+        os.makedirs(args.output, exist_ok=True)
+        corpus.write_parquet(out_dir)
+        summary = {
+            "mode": args.mode,
+            "input": args.input,
+            "rows_in_corpus": corpus.count(),
+            "wall_sec": round(time.monotonic() - t0, 3),
+            "config_fingerprint": cfg.fingerprint(),
+        }
+        if ckpt is not None and args.print_lineage:
+            summary["lineage"] = ckpt.events
+        with open(os.path.join(args.output, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        print(json.dumps(summary))
+        return 0
 
     if args.mode == "exact":
         clusters = exact_clusters(pages, cfg)

@@ -63,3 +63,20 @@ def test_cli_distributed_backend_matches_driver(pages_file, tmp_path, capsys):
         outs[backend] = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert outs["driver"]["rows_in_clusters"] == outs["distributed"]["rows_in_clusters"]
     assert outs["driver"]["n_clusters"] == outs["distributed"]["n_clusters"]
+
+
+def test_cli_corpus_mode(pages_file, tmp_path, capsys):
+    out = str(tmp_path / "outc")
+    rc = main(["--input", pages_file, "--output", out, "--mode", "corpus",
+               "--min-size", "1"])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["mode"] == "corpus" and s["rows_in_corpus"] > 0
+    import ray.data as rd
+
+    corpus = rd.read_parquet(os.path.join(out, "corpus")).to_pandas()
+    assert len(corpus) == s["rows_in_corpus"]
+    # dedup must have removed something: corpus smaller than input pages
+    n_in = pq.read_metadata(pages_file).num_rows
+    assert len(corpus) < n_in
+    assert corpus["url"].is_unique
