@@ -46,7 +46,10 @@ class DedupConfig:
     signer_concurrency: int = 16  # MinHash actor pool max (autoscales from 1)
     join_buckets: int = 32  # partitions for bucketed hash joins
     # raw candidate-pair streams larger than this leave the driver
-    # verification path for the distributed dedup + bucketed-join path
+    # verification path for the distributed dedup + broadcast-verify path.
+    # The driver path still parallelizes signature compares via Ray tasks;
+    # only its pair-dedup lexsort is serial, which holds to ~20M rows
+    # (measured faster than the distributed dedup up to that size).
     driver_verify_max: int = 20_000_000
     # connected components: "driver" = vectorized components on the
     # driver (right up to ~10^8 edges); "actors" = sharded union-find

