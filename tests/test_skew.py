@@ -47,3 +47,29 @@ def test_hot_band_clusters_correct():
     # cold pages never join the hot cluster
     cold = df[~df.url.str.startswith("https://hot.example.com/")]
     assert not set(cold["cluster_id"]) & set(hot["cluster_id"])
+
+
+def test_embed_lsh_hot_bucket_stays_linear():
+    """All-identical vectors: every LSH table hashes all n vectors to ONE
+    bucket. Star emission must keep candidates O(n), not O(n²)."""
+    import numpy as np
+    from dedup.embed import lsh_bucketed_pairs
+    from tests.test_similarity import _emb_ds
+
+    n = 4000
+    v = np.random.default_rng(3).standard_normal(32)
+    M = np.tile(v, (n, 1)) + 1e-6 * np.random.default_rng(4).standard_normal((n, 32))
+    out = lsh_bucketed_pairs(_emb_ds(M), threshold=0.99, n_planes=8, n_tables=4)
+    # connectivity-equivalent star pairs: O(n) edges, all verified ≥ 0.99
+    assert n - 1 <= len(out) <= 4 * n
+    import pyarrow.compute as pc
+
+    assert pc.min(out.column("sim")).as_py() >= 0.99
+    # all n vectors connected through the emitted pairs
+    from dedup.unionfind import components_np
+
+    keys, cids = components_np(
+        out.column("a").to_numpy(zero_copy_only=False),
+        out.column("b").to_numpy(zero_copy_only=False),
+    )
+    assert len(keys) == n and len(set(cids.tolist())) == 1

@@ -214,3 +214,43 @@ def test_exact_set_mode_splits_near_identical_docs():
     assert part["u/a"] == part["u/b"] == part["u/ws"]
     assert "u/near" not in part or part["u/near"] != part["u/a"]
     assert "u/rot" not in part or part["u/rot"] != part["u/a"]
+
+
+def test_text_fingerprint_stats_property():
+    """Hypothesis: string winnowing matches per-doc brute force for
+    arbitrary token corpora (incl. repeats, shorts, empties)."""
+    from hypothesis import given, settings, strategies as st
+    from dedup.fingerprint import text_fingerprint_stats
+
+    token = st.text(alphabet="ab1_", min_size=1, max_size=3)
+    doc = st.lists(token, min_size=0, max_size=30).map(" ".join)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=8))
+    def check(docs):
+        k, w = 5, 4
+        t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                      "text": pa.array(docs)})
+        got = (
+            text_fingerprint_stats(rd.from_arrow(t), k=k, w=w)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        import re as _re
+        for i, d in enumerate(docs):
+            toks = [x for x in _re.split(r"[^a-z0-9_]+", d.lower()) if x]
+            if len(toks) >= k:
+                sh = [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+            elif toks:
+                sh = [" ".join(toks)]
+            else:
+                sh = []
+            if len(sh) >= w:
+                fps = {min(sh[j : j + w]) for j in range(len(sh) - w + 1)}
+            elif sh:
+                fps = {min(sh)}
+            else:
+                fps = set()
+            assert got.loc[i, "n_fingerprints"] == len(fps)
+            assert got.loc[i, "min_fingerprint"] == (min(fps) if fps else "")
+
+    check()
