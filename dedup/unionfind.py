@@ -153,15 +153,21 @@ class UnionFindShard:
     """
 
     def __init__(self):
-        self.uf = UnionFind()
+        self._a: list[np.ndarray] = []
+        self._b: list[np.ndarray] = []
 
     def add_edges(self, a: np.ndarray, b: np.ndarray) -> int:
-        for x, y in zip(a.tolist(), b.tolist()):
-            self.uf.union(x, y)
+        # accumulate; the O(E) component work runs vectorized at
+        # component_map time (a per-edge Python union loop here was the
+        # shard hot path — ~10× slower past 10^5 edges)
+        self._a.append(np.asarray(a, np.int64))
+        self._b.append(np.asarray(b, np.int64))
         return len(a)
 
     def component_map(self) -> tuple[np.ndarray, np.ndarray]:
-        return self.uf.component_map()
+        if not self._a:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return components_np(np.concatenate(self._a), np.concatenate(self._b))
 
 
 def components_sharded(
