@@ -256,6 +256,13 @@ def main():
         child_throughput(args.sf_dir, args.child_throughput)
         return
     if args.scaling:
+        # scaling needs a corpus big enough that the fixed orchestration
+        # floor (seconds) doesn't dominate the 8-CPU leg: default to the
+        # 500k-doc expansion unless the caller pinned BENCH_EXPAND
+        if "BENCH_EXPAND" not in os.environ:
+            global EXPAND_FACTOR
+            EXPAND_FACTOR = 100
+            os.environ["BENCH_EXPAND"] = "100"
         print(json.dumps(run_scaling(args.sf_dir)))
         return
     import ray
