@@ -61,10 +61,16 @@ def main(argv=None) -> int:
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--print-lineage", action="store_true")
     ap.add_argument(
+        "--timing", action="store_true",
+        help="print per-stage wall-clock ticks (G7 progress-counter analogue)",
+    )
+    ap.add_argument(
         "--stats", action="store_true",
         help="print ray Dataset per-operator stats (G7 progress-metrics analogue)",
     )
     args = ap.parse_args(argv)
+    if args.timing:
+        os.environ["DEDUP_TIMING"] = "1"
 
     import ray
 

@@ -19,7 +19,7 @@ assignment time.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -32,7 +32,6 @@ from .exchange import dup_key_counts, dup_keys, semi_filter
 from .ingest import ingest
 from .lsh import band_rows, candidate_pairs
 from .minhash import sign
-from .unionfind import UnionFind, components_from_pairs
 from .verify import verify_auto
 
 

@@ -20,7 +20,6 @@ of 1 KiB of signature.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 from ray.data import Dataset
@@ -30,7 +29,6 @@ from .exchange import broadcast_map_i64, collect_table, key_counts, semi_filter
 from .hashing import U64, fmix64
 from .lsh import candidate_pairs
 from .minhash import _token_lists, shingle_hashes
-from .unionfind import UnionFind
 
 _CHUNKC = np.uint64(0x165667B19E3779F9)
 
