@@ -16,7 +16,6 @@ stream with daily windows shuffles a few thousand rows per batch.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 from ray.data.aggregate import Sum
@@ -40,29 +39,33 @@ def tumbling_aggregate(
     width_us = window_sec * US
 
     def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         win = (ts // width_us) * width_us
-        df = pd.DataFrame(
-            {
-                "w": win,
-                "k": batch.column(key_col).to_pylist(),
-                # cents as int64 → associative integer sums, oracle-exact
-                # (floor, not round: np.round is banker's, SQL ROUND is
-                # half-away — floor(x*100) is bit-identical on both sides)
-                "cents": np.floor(
-                    batch.column(value_col).to_numpy(zero_copy_only=False) * 100
-                ).astype(np.int64),
-            }
-        )
-        g = df.groupby(["w", "k"], as_index=False).agg(
-            pn=("cents", "size"), pc=("cents", "sum")
-        )
+        keyc = batch.column(key_col)
+        if isinstance(keyc, pa.ChunkedArray):
+            keyc = keyc.combine_chunks()
+        # dictionary-encode the key: the combiner groups on small int
+        # codes, never materializing per-row Python strings
+        enc = pc.dictionary_encode(keyc)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # cents as int64 → associative integer sums, oracle-exact
+        # (floor, not round: np.round is banker's, SQL ROUND is
+        # half-away — floor(x*100) is bit-identical on both sides)
+        cents = np.floor(
+            batch.column(value_col).to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        uw, inv = np.unique(np.stack([win, codes], axis=1), axis=0, return_inverse=True)
+        pn = np.bincount(inv, minlength=len(uw)).astype(np.int64)
+        # int64 cents are < 2^53 per (batch, window, key) → float64 sum exact
+        psum = np.bincount(inv, weights=cents.astype(np.float64), minlength=len(uw))
         return pa.table(
             {
-                "w": pa.array(g["w"], pa.int64()),
-                key_col: pa.array(g["k"], pa.string()),
-                "pn": pa.array(g["pn"].astype("int64"), pa.int64()),
-                "pc": pa.array(g["pc"].astype("int64"), pa.int64()),
+                "w": pa.array(uw[:, 0], pa.int64()),
+                key_col: enc.dictionary.take(pa.array(uw[:, 1], pa.int64())),
+                "pn": pa.array(pn, pa.int64()),
+                "pc": pa.array(psum.astype(np.int64), pa.int64()),
             }
         )
 
