@@ -87,65 +87,109 @@ def _stop_list_sql(lang: str) -> str:
 
 
 # -------------------------------------------------------------- Ray queries
-def q_exact_dup_clusters(sf_dir: str):
-    """Exact-duplicate clusters over planted pages (the reference cascade,
-    SURVEY §2.2-2.4). cluster_id = lexicographic-min member url."""
-    pages = pages_from_documents(sf_dir)
-    surv = exact_survivors(ingest(pages, CFG), CFG)
+def _exact_cluster_info(surv):
+    """Survivor rows → Dataset(doc_hash, rep (min url), size, cnt) via a
+    per-batch combiner + narrow groupby — one row per duplicate group.
+    Replaces a ``groupby(doc_hash).map_groups`` (one Python call per
+    duplicate group — row-cardinality at web scale)."""
+    from ray.data.aggregate import Min, Sum
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame(
-                {"url": pd.Series([], dtype=object),
-                 "cluster_id": pd.Series([], dtype=object),
-                 "cluster_size": pd.Series([], dtype="int64"),
-                 "redundant_bytes": pd.Series([], dtype="int64")}
-            )
-        return pd.DataFrame(
+    def part(batch: pa.Table) -> pa.Table:
+        t = batch.select(["doc_hash", "url", "size_bytes"]).sort_by(
+            [("doc_hash", "ascending"), ("url", "ascending")]
+        )
+        dh = t.column("doc_hash").to_numpy(zero_copy_only=False)
+        first = np.ones(len(dh), dtype=bool)
+        first[1:] = dh[1:] != dh[:-1]
+        idx = np.flatnonzero(first)
+        pn = np.diff(np.append(idx, len(dh)))
+        f = t.take(pa.array(idx, pa.int64()))
+        return pa.table(
             {
-                "url": g["url"],
-                "cluster_id": g["url"].min(),
-                "cluster_size": np.int64(n),
-                "redundant_bytes": ((n - 1) * g["size_bytes"]).astype("int64"),
+                "doc_hash": f.column("doc_hash"),
+                "purl": f.column("url"),
+                "psize": f.column("size_bytes"),
+                "pn": pa.array(pn, pa.int64()),
             }
         )
 
     return (
-        surv.select_columns(["url", "doc_hash", "size_bytes"])
+        surv.map_batches(part, batch_format="pyarrow")
         .groupby("doc_hash")
-        .map_groups(emit, batch_format="pandas")
-        .map_batches(lambda t: t, batch_format="pyarrow")
+        .aggregate(
+            Min("purl", alias_name="rep"),
+            Min("psize", alias_name="size"),
+            Sum("pn", alias_name="cnt"),
+        )
+    )
+
+
+def q_exact_dup_clusters(sf_dir: str):
+    """Exact-duplicate clusters over planted pages (the reference cascade,
+    SURVEY §2.2-2.4). cluster_id = lexicographic-min member url. Member
+    emission is a broadcast lookup (bounded by duplicate groups), never a
+    per-group Python call."""
+    import ray
+
+    pages = pages_from_documents(sf_dir)
+    surv = exact_survivors(ingest(pages, CFG), CFG).materialize()
+    info = pa.concat_tables(
+        list(_exact_cluster_info(surv).iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        or [pa.table({"doc_hash": pa.array([], pa.int64()), "rep": pa.array([], pa.string()),
+                      "size": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})]
+    )
+    keys = info.column("doc_hash").to_numpy(zero_copy_only=False)
+    cnts = info.column("cnt").to_numpy(zero_copy_only=False)
+    reps = np.asarray(info.column("rep").to_pylist(), dtype=object)
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], cnts[order], reps[order]))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ks, cs, rs = ray.get(ref)
+        dh = batch.column("doc_hash").to_numpy(zero_copy_only=False)
+        sz = batch.column("size_bytes").to_numpy(zero_copy_only=False)
+        if len(ks):
+            idx = np.minimum(np.searchsorted(ks, dh), len(ks) - 1)
+            n = cs[idx]
+            rep = rs[idx]
+        else:
+            n = np.zeros(len(dh), np.int64)
+            rep = np.empty(0, object)
+        keep = n > 1
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "cluster_id": pa.array(rep.tolist(), pa.string()),
+                "cluster_size": pa.array(n, pa.int64()),
+                "redundant_bytes": pa.array((n - 1) * sz, pa.int64()),
+            }
+        ).filter(pa.array(keep))
+
+    return surv.select_columns(["url", "doc_hash", "size_bytes"]).map_batches(
+        emit, batch_format="pyarrow"
     )
 
 
 def q_top_clusters(sf_dir: str):
-    """Largest exact clusters: sort + limit (≅ reporting sink K1/K2)."""
+    """Largest exact clusters: streaming per-group info → sort + limit
+    (≅ reporting sink K1/K2)."""
     pages = pages_from_documents(sf_dir)
     surv = exact_survivors(ingest(pages, CFG), CFG)
+    info = _exact_cluster_info(surv)
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame(
-                {"cluster_id": pd.Series([], dtype=object),
-                 "cluster_size": pd.Series([], dtype="int64"),
-                 "total_bytes": pd.Series([], dtype="int64")}
-            )
-        return pd.DataFrame(
+    def finish(batch: pa.Table) -> pa.Table:
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+        size = batch.column("size").to_numpy(zero_copy_only=False)
+        out = pa.table(
             {
-                "cluster_id": [g["url"].min()],
-                "cluster_size": np.array([n], dtype="int64"),
-                "total_bytes": np.array([g["size_bytes"].sum()], dtype="int64"),
+                "cluster_id": batch.column("rep"),
+                "cluster_size": pa.array(cnt, pa.int64()),
+                "total_bytes": pa.array(cnt * size, pa.int64()),
             }
         )
+        return out.filter(pa.array(cnt > 1))
 
-    groups = (
-        surv.select_columns(["url", "doc_hash", "size_bytes"])
-        .groupby("doc_hash")
-        .map_groups(emit, batch_format="pandas")
-        .map_batches(lambda t: t, batch_format="pyarrow")
-    )
+    groups = info.map_batches(finish, batch_format="pyarrow")
     return groups.sort(["cluster_size", "cluster_id"], descending=[True, False]).limit(10)
 
 
