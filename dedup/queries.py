@@ -315,6 +315,17 @@ def q_near_dup_corpus(sf_dir: str):
 GATE_URL_RE = "9$"
 
 
+def q_line_dedup(sf_dir: str):
+    """CCNet/Gopher-style line-level boilerplate removal over the planted
+    pages: lines occurring in ≥2 distinct pages are dropped, docs
+    reassembled from surviving lines (streaming; only (line_hash, count)
+    combiner rows shuffle)."""
+    from .lines import line_dedup
+
+    pages = pages_from_documents(sf_dir)
+    return line_dedup(pages, min_docs=2, id_col="url")
+
+
 def q_filter_gates(sf_dir: str):
     """Ingest gates: min/max size + lang + url-exclude regex (F1/F2/F3
     analogues, options.rs:38-45, 186-204). Rows passing all gates."""
@@ -526,6 +537,7 @@ QUERIES = {
     "consolidation_plan": q_consolidation_plan,
     "dedup_corpus": q_dedup_corpus,
     "near_dup_corpus": q_near_dup_corpus,
+    "line_dedup": q_line_dedup,
     "filter_gates": q_filter_gates,
     "events_windowed": q_events_windowed,
     "events_sessions": q_events_sessions,
@@ -660,6 +672,17 @@ FROM pages p JOIN g ON p.text = g.text
 WITH {PAGES_SQL}
 SELECT MIN(url) AS url, strlen(text) AS size_bytes
 FROM pages GROUP BY text
+""".strip(),
+    "line_dedup": f"""
+WITH {PAGES_SQL},
+l AS (SELECT url, i, ls[i] AS line
+      FROM (SELECT url, string_split(text, chr(10)) AS ls FROM pages),
+           UNNEST(range(1, len(ls) + 1)) AS t(i)),
+dup AS (SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT url) >= 2),
+kept AS (SELECT url, string_agg(line, chr(10) ORDER BY i) AS t
+         FROM l ANTI JOIN dup USING (line) GROUP BY url)
+SELECT p.url, COALESCE(k.t, '') AS text
+FROM pages p LEFT JOIN kept k USING (url)
 """.strip(),
     "filter_gates": f"""
 WITH {PAGES_SQL}
