@@ -315,6 +315,63 @@ def q_near_dup_corpus(sf_dir: str):
 GATE_URL_RE = "9$"
 
 
+def q_clean_corpus(sf_dir: str):
+    """The standard LLM-corpus cleaning recipe, end-to-end in one query:
+    quality filter → exact dedup (keep min-url representative) →
+    line-level boilerplate removal. Output (url, text). Every step is
+    streaming: quality is a per-batch kernel, dedup keeps rows via a
+    dup-bounded broadcast (url-hash equality with the group's min url —
+    text never shuffles), line dedup is the two-pass broadcast filter."""
+    import ray
+    from ray.data.aggregate import Min
+
+    from .hashing import xxh64_arrow
+    from .lines import line_dedup
+    from .textstats import quality_filter
+
+    pages = pages_from_documents(sf_dir)
+    q = quality_filter(
+        pages.map_batches(
+            lambda t: t.select(["url", "text"]), batch_format="pyarrow"
+        ),
+        id_col="url",
+    )
+    ing = ingest(q, CFG).select_columns(["url", "text", "doc_hash"]).materialize()
+    dups = dup_keys(ing, "doc_hash")
+    uniq = semi_filter(ing, "doc_hash", dups, keep=False)
+    if len(dups):
+        dup_rows = semi_filter(ing, "doc_hash", dups)
+        reps = (
+            dup_rows.select_columns(["doc_hash", "url"])
+            .groupby("doc_hash")
+            .aggregate(Min("url", alias_name="rep"))
+        )
+        rt = pa.concat_tables(
+            list(reps.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        )
+        rep_urls = pa.array(rt.column("rep").to_pylist(), pa.string())
+        keep_hashes = np.sort(xxh64_arrow(rep_urls).view(np.int64))
+        ref = ray.put(keep_hashes)
+
+        def keep_rep(batch: pa.Table) -> pa.Table:
+            kh = ray.get(ref)
+            uh = xxh64_arrow(
+                batch.column("url").combine_chunks()
+                if isinstance(batch.column("url"), pa.ChunkedArray)
+                else batch.column("url")
+            ).view(np.int64)
+            idx = np.minimum(np.searchsorted(kh, uh), max(len(kh) - 1, 0))
+            keep = kh[idx] == uh if len(kh) else np.zeros(len(uh), bool)
+            return batch.filter(pa.array(keep))
+
+        deduped = uniq.union(dup_rows.map_batches(keep_rep, batch_format="pyarrow"))
+    else:
+        deduped = uniq
+    return line_dedup(
+        deduped.select_columns(["url", "text"]), min_docs=2, id_col="url"
+    )
+
+
 def q_line_dedup(sf_dir: str):
     """CCNet/Gopher-style line-level boilerplate removal over the planted
     pages: lines occurring in ≥2 distinct pages are dropped, docs
@@ -538,6 +595,7 @@ QUERIES = {
     "dedup_corpus": q_dedup_corpus,
     "near_dup_corpus": q_near_dup_corpus,
     "line_dedup": q_line_dedup,
+    "clean_corpus": q_clean_corpus,
     "filter_gates": q_filter_gates,
     "events_windowed": q_events_windowed,
     "events_sessions": q_events_sessions,
@@ -672,6 +730,23 @@ FROM pages p JOIN g ON p.text = g.text
 WITH {PAGES_SQL}
 SELECT MIN(url) AS url, strlen(text) AS size_bytes
 FROM pages GROUP BY text
+""".strip(),
+    "clean_corpus": f"""
+WITH {PAGES_SQL},
+tok AS (SELECT url, text, {TOKENS_SQL} AS ts FROM pages),
+q AS (SELECT url, text FROM tok
+      WHERE len(ts) >= {QUALITY_MIN_TOKENS}
+        AND greatest({", ".join(_stop_list_sql(l) for l in LANGS)}) * {QUALITY_STOP_DEN}
+            >= len(ts) * {QUALITY_STOP_NUM}),
+d AS (SELECT MIN(url) AS url, text FROM q GROUP BY text),
+l AS (SELECT url, i, ls[i] AS line
+      FROM (SELECT url, string_split(text, chr(10)) AS ls FROM d),
+           UNNEST(range(1, len(ls) + 1)) AS t(i)),
+dup AS (SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT url) >= 2),
+kept AS (SELECT url, string_agg(line, chr(10) ORDER BY i) AS t
+         FROM l ANTI JOIN dup USING (line) GROUP BY url)
+SELECT d.url, COALESCE(k.t, '') AS text
+FROM d LEFT JOIN kept k USING (url)
 """.strip(),
     "line_dedup": f"""
 WITH {PAGES_SQL},

@@ -156,6 +156,19 @@ def text_stats(ds: Dataset, id_col: str = "doc_id", shingle_k: int = 5) -> Datas
     )
 
 
+def quality_filter(ds: Dataset, id_col: str = "doc_id") -> Dataset:
+    """Keep only quality rows (is_quality == 1), preserving all input
+    columns — the same vectorized per-batch kernel as ``text_stats``,
+    used as a row filter inside cleaning pipelines."""
+    st = TextStatser(id_col=id_col)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flags = st(batch).column("is_quality").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(flags == 1))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def token_frequencies(ds: Dataset, top_k: int = 20) -> Dataset:
     """Global token frequencies, top_k by (count desc, token asc).
 
