@@ -13,47 +13,20 @@ largest-subgroup-else-first rule with our stable tie-breaks):
   - "min_url":  lexicographic-min url (stable, reproducible)
   - "max_size": largest text wins, ties → min url
 
-The plan is computed inside ``map_groups`` over already-pruned survivor
-rows (cluster cardinality = duplicate groups only, never the corpus).
+The plan is computed in one vectorized pass per hash bucket over
+already-pruned survivor rows (groups co-located by bucket; no per-group
+Python).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
 from .cascade import exact_survivors
 from .config import DedupConfig
 from .ingest import ingest
-
-
-def _plan_group(g: pd.DataFrame, policy: str) -> pd.DataFrame:
-    n = len(g)
-    if n < 2:
-        return pd.DataFrame(
-            {
-                "url": pd.Series([], dtype=object),
-                "action": pd.Series([], dtype=object),
-                "target_url": pd.Series([], dtype=object),
-                "reclaimed_bytes": pd.Series([], dtype="int64"),
-            }
-        )
-    if policy == "max_size":
-        gi = g.sort_values(["size_bytes", "url"], ascending=[False, True])
-        rep = gi["url"].iloc[0]
-    else:
-        rep = g["url"].min()
-    is_rep = g["url"] == rep
-    return pd.DataFrame(
-        {
-            "url": g["url"],
-            "action": np.where(is_rep, "keep", "link"),
-            "target_url": rep,
-            "reclaimed_bytes": np.where(is_rep, 0, g["size_bytes"]).astype("int64"),
-        }
-    )
 
 
 def consolidation_plan(
@@ -64,11 +37,65 @@ def consolidation_plan(
     reclaim — the fully-hardlinked-group filter F5 analogue)."""
     cfg = cfg or DedupConfig()
     surv = exact_survivors(ingest(pages, cfg), cfg)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        from .hashing import fmix64
+
+        dh = batch.column("doc_hash").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            b = (fmix64(dh.view(np.uint64)) % np.uint64(64)).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def plan_bucket(batch: pa.Table) -> pa.Table:
+        # one vectorized pass over co-located whole groups — never one
+        # Python call per duplicate group (row-cardinality at web scale)
+        if len(batch) == 0:
+            return pa.table(
+                {"url": pa.array([], pa.string()),
+                 "action": pa.array([], pa.string()),
+                 "target_url": pa.array([], pa.string()),
+                 "reclaimed_bytes": pa.array([], pa.int64())}
+            )
+        if policy == "max_size":
+            t = batch.sort_by(
+                [("doc_hash", "ascending"), ("size_bytes", "descending"),
+                 ("url", "ascending")]
+            )
+        else:
+            t = batch.sort_by([("doc_hash", "ascending"), ("url", "ascending")])
+        dh = t.column("doc_hash").to_numpy(zero_copy_only=False)
+        sz = t.column("size_bytes").to_numpy(zero_copy_only=False)
+        urls = t.column("url")
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        n = len(dh)
+        first = np.ones(n, dtype=bool)
+        first[1:] = dh[1:] != dh[:-1]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, n))
+        seg_id = np.cumsum(first) - 1
+        # group representative = its first row under the policy sort
+        rep_urls = urls.take(pa.array(starts[seg_id], pa.int64()))
+        is_rep = np.zeros(n, dtype=bool)
+        is_rep[starts] = True
+        keep = sizes[seg_id] > 1  # singletons emit nothing
+        out = pa.table(
+            {
+                "url": urls,
+                "action": pa.array(np.where(is_rep, "keep", "link"), pa.string()),
+                "target_url": rep_urls,
+                "reclaimed_bytes": pa.array(
+                    np.where(is_rep, 0, sz).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+        return out.filter(pa.array(keep))
+
     return (
         surv.select_columns(["url", "doc_hash", "size_bytes"])
-        .groupby("doc_hash")
-        .map_groups(lambda g: _plan_group(g, policy), batch_format="pandas")
-        .map_batches(lambda t: t, batch_format="pyarrow")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(plan_bucket, batch_format="pyarrow")
     )
 
 
