@@ -123,7 +123,7 @@ def main(argv=None) -> int:
     else:
         res = near_dup_pipeline(pages, cfg, checkpoint=ckpt)
         clusters = res.clusters
-        extra = {"verified_edges": len(res.edges)}
+        extra = {"verified_edges": res.n_edges()}
 
     out_dir = os.path.join(args.output, "clusters")
     os.makedirs(args.output, exist_ok=True)

@@ -230,6 +230,16 @@ def bucketed_join(
         lmask = pa.array(side == "l")
         l = group.filter(lmask).select(lcols).to_pandas()
         r = group.filter(pc.invert(lmask)).select(rcols).to_pandas()
+        if how != "inner":
+            # outer merges null-pad the other side's columns; plain pandas
+            # upcasts int64 → float64 there and corrupts 64-bit hash keys.
+            # The nullable Int64 extension dtype round-trips through Arrow
+            # as int64-with-nulls exactly.
+            targets = [r] if how == "left" else ([l] if how == "right" else [l, r])
+            for df in targets:
+                for c in df.columns:
+                    if df[c].dtype == np.int64:
+                        df[c] = df[c].astype("Int64")
         out = l.merge(r, left_on=left_on, right_on=right_on, how=how)
         return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -273,6 +283,18 @@ def min_by_key(ds: Dataset, key_col: str, val_col: str, n_buckets: int = 32) -> 
         .map_groups(reduce_bucket, batch_format="pandas")
         .map_batches(lambda t: t.select([key_col, val_col]), batch_format="pyarrow")
     )
+
+
+def ensure_schema(ds: Dataset, schema: pa.Schema) -> Dataset:
+    """Union ``ds`` with a typed empty table so a zero-block dataset still
+    reports a schema. Sort/groupby stages over empty inputs yield
+    schema-less datasets (``ds.schema() is None``), which breaks any
+    downstream ``bucketed_join``; the empty union branch costs nothing when
+    rows exist."""
+    import ray.data as rd
+
+    cols = {f.name: pa.array([], f.type) for f in schema}
+    return ds.union(rd.from_arrow(pa.table(cols)))
 
 
 def collect_table(ds: Dataset, limit_rows: int | None = None) -> pa.Table:

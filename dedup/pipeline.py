@@ -110,8 +110,14 @@ def _filter_edges_by_set_hash(edges: pa.Table, sigs: Dataset) -> pa.Table:
 @dataclass
 class NearDupResult:
     clusters: Dataset  # CLUSTERS schema (+ redundant not included here)
-    edges: pa.Table  # verified pairs (a, b, sim)
+    # verified pairs (a, b, sim): an Arrow table on the driver/actors
+    # backends, a Dataset on the fully-distributed backend (edges never
+    # transit the driver there)
+    edges: "pa.Table | Dataset"
     n_candidate_docs: int = 0
+
+    def n_edges(self) -> int:
+        return self.edges.count() if isinstance(self.edges, Dataset) else len(self.edges)
 
 
 def near_dup_pipeline(
@@ -189,6 +195,17 @@ def near_dup_pipeline(
     ):
         # lineage: a rebuilt upstream invalidates derived stages
         checkpoint.invalidate("p4_edges")
+
+    def gen_pairs() -> Dataset:
+        bands = band_rows(sigs, cfg)
+        pairs, chain = candidate_pairs(bands, cfg)
+        if len(chain):
+            pairs = pairs.union(rd.from_arrow(chain))
+        return pairs
+
+    if cfg.cluster_backend == "distributed":
+        return _near_dup_distributed(ing, sigs, cfg, checkpoint, gen_pairs, tick)
+
     if checkpoint is not None and checkpoint.is_valid("p4_edges"):
         # resume: skip banding, sort and verification entirely
         batches = list(
@@ -199,11 +216,8 @@ def near_dup_pipeline(
         edges = pa.concat_tables(batches) if batches else _EDGES_EMPTY
         tick("p4_edges (checkpoint hit)")
     else:
-        bands = band_rows(sigs, cfg)
-        pairs, chain = candidate_pairs(bands, cfg)
+        pairs = gen_pairs()
         tick("bands+sort+pairs")
-        if len(chain):
-            pairs = pairs.union(rd.from_arrow(chain))
         edges = verify_auto(pairs, sigs, cfg)
         if cfg.exact_set_verify and len(edges):
             edges = _filter_edges_by_set_hash(edges, sigs)
@@ -211,22 +225,7 @@ def near_dup_pipeline(
             checkpoint.load_or_run("p4_edges", lambda: rd.from_arrow(edges))
         tick("verify")
 
-    if cfg.cluster_backend == "distributed":
-        # Ray Data min-label propagation (10^12-doc scale path); the
-        # label table is bounded by candidate-involved docs, so
-        # collecting it for the broadcast assignment stays small
-        from .unionfind import label_propagation
-
-        lp = label_propagation(rd.from_arrow(edges.select(["a", "b"])),
-                               n_buckets=cfg.join_buckets)
-        lt = pa.concat_tables(
-            list(lp.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-            or [pa.table({"node": pa.array([], pa.int64()),
-                          "label": pa.array([], pa.int64())})]
-        )
-        keys = lt.column("node").to_numpy(zero_copy_only=False)
-        cids = lt.column("label").to_numpy(zero_copy_only=False)
-    elif cfg.cluster_backend == "actors":
+    if cfg.cluster_backend == "actors":
         # sharded union-find actor fleet (north-star "distributed
         # union-find actor"); O(E) union work runs in the shards
         from .unionfind import components_sharded
@@ -311,6 +310,109 @@ def near_dup_pipeline(
         finish, batch_format="pyarrow"
     )
     tick("components+finish")
+    return NearDupResult(clusters=clusters, edges=edges)
+
+
+def _near_dup_distributed(
+    ing: Dataset, sigs: Dataset, cfg: DedupConfig, checkpoint, gen_pairs, tick
+) -> NearDupResult:
+    """Fully-Dataset flagship path (``cluster_backend="distributed"``):
+    verified edges, propagated labels and the cluster assignment never
+    transit the driver — every stage handoff is a Dataset, and ``p4_edges``
+    is a partitioned-parquet checkpoint when a CheckpointManager is given.
+    ≅ the reference's bounded-channel stage-to-stage handoff
+    (src/main.rs:143-166), restated at cluster scale.
+
+    Stages: dedup_pairs (narrow 16-byte pair shuffle) → verify_distributed
+    (two bucketed signature joins, agreement per batch) → [exact-set-hash
+    filter, also join-based] → label_propagation (min-label to fixpoint) →
+    cluster assignment by a bucketed LEFT join of labels onto the corpus +
+    a distributed url-count per cluster (combiner groupby), singleton
+    clusters dropped by the final inner count join.
+    """
+    from .exchange import bucketed_join, ensure_schema, key_counts
+    from .unionfind import label_propagation
+    from .verify import (
+        dedup_pairs as _dedup_pairs,
+        filter_edges_by_set_hash_ds,
+        verify_distributed,
+    )
+
+    _PAIRS_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    _EDGES_SCHEMA = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("sim", pa.float64())]
+    )
+
+    def build_edges() -> Dataset:
+        deduped = ensure_schema(
+            _dedup_pairs(gen_pairs(), n_buckets=cfg.join_buckets), _PAIRS_SCHEMA
+        )
+        e = ensure_schema(verify_distributed(deduped, sigs, cfg), _EDGES_SCHEMA)
+        if cfg.exact_set_verify:
+            e = ensure_schema(
+                filter_edges_by_set_hash_ds(e, sigs, cfg), _EDGES_SCHEMA
+            )
+        return e
+
+    if checkpoint is not None:
+        edges = checkpoint.load_or_run("p4_edges", build_edges)
+    else:
+        # pinned once: consumed by label_propagation AND returned to the
+        # caller; a lazy Dataset would re-run the verify joins per consumer
+        edges = build_edges().materialize()
+    tick("verify (dataset)")
+
+    if edges.count() == 0:
+        labels = rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "label": pa.array([], pa.int64())})
+        )
+    else:
+        labels = label_propagation(
+            edges.map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow"),
+            n_buckets=cfg.join_buckets,
+        )
+    tick("label_propagation")
+
+    narrow = ing.select_columns(["url", "doc_hash", "size_bytes"])
+    joined = bucketed_join(
+        narrow, labels, "doc_hash", "node", n_buckets=cfg.join_buckets, how="left"
+    )
+
+    def coalesce(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cid = pc.coalesce(batch.column("label"), batch.column("doc_hash"))
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "doc_hash": batch.column("doc_hash"),
+                "cluster_id": cid.cast(pa.int64()) if cid.type != pa.int64() else cid,
+                "size_bytes": batch.column("size_bytes"),
+            }
+        )
+
+    # pinned: scanned twice (count pass + final join)
+    assigned = joined.map_batches(coalesce, batch_format="pyarrow").materialize()
+    cnts = (
+        key_counts(assigned.select_columns(["cluster_id"]), "cluster_id")
+        .filter(expr="cnt > 1")
+        .map_batches(
+            lambda t: pa.table(
+                {"__cid": t.column("cluster_id"), "cluster_size": t.column("cnt")}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    clusters = bucketed_join(
+        assigned, cnts, "cluster_id", "__cid", n_buckets=cfg.join_buckets
+    ).map_batches(
+        lambda t: t.select(
+            ["url", "doc_hash", "cluster_id", "cluster_size", "size_bytes"]
+        ),
+        batch_format="pyarrow",
+    )
+    tick("assign (dataset)")
     return NearDupResult(clusters=clusters, edges=edges)
 
 

@@ -226,12 +226,23 @@ def label_propagation(
     edges = pairs.materialize()
 
     def checksum(lds: Dataset) -> int:
-        tot = 0
-        for b in lds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        """Order-insensitive fixpoint detector: XOR of mixed (node, label)
+        rows. The XOR fold runs inside map_batches — one 8-byte partial per
+        batch reaches the driver, never the label rows themselves."""
+
+        def part(b: pa.Table) -> pa.Table:
             n = b.column("node").to_numpy(zero_copy_only=False).view(np.uint64)
             l = b.column("label").to_numpy(zero_copy_only=False).view(np.uint64)
             with np.errstate(over="ignore"):
-                tot = (tot + int(fmix64(n ^ l).sum(dtype=np.uint64))) & ((1 << 64) - 1)
+                x = int(np.bitwise_xor.reduce(fmix64(n ^ l), initial=np.uint64(0)))
+            return pa.table({"x": pa.array([x - (1 << 63)], pa.int64())})
+
+        tot = 0
+        for b in lds.map_batches(part, batch_format="pyarrow").iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        ):
+            for v in b.column("x").to_numpy(zero_copy_only=False):
+                tot ^= int(v) + (1 << 63)
         return tot
 
     prev = checksum(labels)

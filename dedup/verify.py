@@ -148,7 +148,7 @@ def verify_pairs(
     )
 
 
-def dedup_pairs(pairs: Dataset) -> Dataset:
+def dedup_pairs(pairs: Dataset, n_buckets: int = 64) -> Dataset:
     """Canonicalize (a<b uint64 order, drop self) and globally de-duplicate
     candidate pairs — the same pair arrives once per shared band, so at
     scale the dedup MUST happen before signatures are attached (narrow
@@ -179,7 +179,7 @@ def dedup_pairs(pairs: Dataset) -> Dataset:
         with np.errstate(over="ignore"):
             h = fmix64(a.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ b.view(np.uint64))
         return batch.append_column(
-            "__bucket", pa.array((h % np.uint64(64)).astype(np.int32), pa.int32())
+            "__bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int32), pa.int32())
         )
 
     def bucket_unique(g: pa.Table) -> pa.Table:
@@ -229,7 +229,7 @@ def verify_auto(pairs: Dataset, sigs: Dataset, cfg: DedupConfig) -> pa.Table:
     # large raw stream: de-duplicate in Ray (parallel; the serial driver
     # lexsort over the raw stream is the cost being avoided), then verify
     # against the broadcast signature matrix
-    deduped = dedup_pairs(pairs)
+    deduped = dedup_pairs(pairs, n_buckets=cfg.join_buckets)
     return verify_broadcast(deduped, sigs, cfg)
 
 
@@ -340,3 +340,34 @@ def verify_distributed(pairs: Dataset, sigs: Dataset, cfg: DedupConfig) -> Datas
         )
 
     return j2.map_batches(agree, batch_format="pyarrow")
+
+
+def filter_edges_by_set_hash_ds(
+    edges: Dataset, sigs: Dataset, cfg: DedupConfig
+) -> Dataset:
+    """Dataset-native exact-mode filter: keep verified pairs whose 64-bit
+    shingle-SET hashes agree. Set hashes re-attach via two bucketed hash
+    joins on narrow (doc_hash, set_hash) rows — the scale twin of
+    ``pipeline._filter_edges_by_set_hash`` (which collects the candidate
+    set-hash map to the driver)."""
+
+    def half(key_out: str, hash_out: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {key_out: batch.column("doc_hash"), hash_out: batch.column("set_hash")}
+            )
+
+        return fn
+
+    narrow = sigs.select_columns(["doc_hash", "set_hash"])
+    sa = narrow.map_batches(half("__ka", "__ha"), batch_format="pyarrow")
+    sb = narrow.map_batches(half("__kb", "__hb"), batch_format="pyarrow")
+    j1 = bucketed_join(edges, sa, "a", "__ka", n_buckets=cfg.join_buckets)
+    j2 = bucketed_join(j1, sb, "b", "__kb", n_buckets=cfg.join_buckets)
+
+    def keep_equal(batch: pa.Table) -> pa.Table:
+        ha = batch.column("__ha").to_numpy(zero_copy_only=False)
+        hb = batch.column("__hb").to_numpy(zero_copy_only=False)
+        return batch.select(["a", "b", "sim"]).filter(pa.array(ha == hb))
+
+    return j2.map_batches(keep_equal, batch_format="pyarrow")

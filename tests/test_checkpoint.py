@@ -74,6 +74,35 @@ def test_partial_checkpoint_resumes_later_stage_only(tmp_path):
     assert second == first
 
 
+def test_distributed_backend_checkpoints_edges_as_parquet(tmp_path):
+    """The fully-Dataset backend writes p4_edges as a parquet checkpoint
+    (never a driver Arrow table) and resumes from it."""
+    table, _ = make_pages(n_exact_groups=4, n_near_groups=4, n_singletons=20)
+    cfg = DedupConfig(min_size=1, cluster_backend="distributed")
+    first, ck1 = _run(tmp_path, cfg, table)
+    assert _kinds(ck1.events) == [
+        ("write", "p1_ingested"),
+        ("write", "p3_signatures"),
+        ("write", "p4_edges"),
+    ]
+    edir = os.path.join(str(tmp_path), "p4_edges", "data")
+    assert any(f.endswith(".parquet") for f in os.listdir(edir))
+    second, ck2 = _run(tmp_path, cfg, table)
+    assert _kinds(ck2.events) == [
+        ("hit", "p1_ingested"),
+        ("hit", "p3_signatures"),
+        ("hit", "p4_edges"),
+    ]
+    assert second == first
+    # and the partition equals the driver backend's (no-checkpoint run)
+    drv = cluster_partition(
+        near_dup_pipeline(
+            rd.from_arrow(table), DedupConfig(min_size=1, cluster_backend="driver")
+        ).clusters
+    )
+    assert first == drv
+
+
 def test_config_change_invalidates(tmp_path):
     table, _ = make_pages(n_exact_groups=3, n_near_groups=2, n_singletons=10)
     _run(tmp_path, DedupConfig(min_size=1), table)

@@ -158,6 +158,69 @@ def test_pipeline_actor_backend_matches_driver():
     assert p_driver == p_actors
 
 
+def test_pipeline_distributed_backend_matches_driver():
+    """The fully-Dataset path (dedup_pairs → verify_distributed →
+    label_propagation → bucketed-join assignment) must produce the
+    bit-identical cluster table — ids, sizes and membership — while its
+    edges handoff stays a Dataset (never a driver Arrow table)."""
+    from ray.data import Dataset
+
+    table, _ = make_pages(n_exact_groups=4, n_near_groups=6, n_singletons=25)
+    ds = rd.from_arrow(table)
+    r_driver = near_dup_pipeline(ds, DedupConfig(min_size=1, cluster_backend="driver"))
+    r_dist = near_dup_pipeline(
+        ds, DedupConfig(min_size=1, cluster_backend="distributed")
+    )
+    assert isinstance(r_dist.edges, Dataset)
+    d1 = r_driver.clusters.to_pandas().sort_values("url").reset_index(drop=True)
+    d2 = (
+        r_dist.clusters.to_pandas()[d1.columns.tolist()]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert d1.equals(d2)
+    # edge sets agree too (a, b sorted)
+    e1 = {(a, b) for a, b in zip(r_driver.edges["a"].to_pylist(),
+                                 r_driver.edges["b"].to_pylist())}
+    ed = r_dist.edges.to_pandas()
+    e2 = set(zip(ed["a"], ed["b"]))
+    assert e1 == e2
+
+
+def test_pipeline_distributed_backend_exact_mode_and_empty_edges():
+    """Distributed path under exact-set verification (join-based set-hash
+    filter), and with a corpus that yields no LSH edges at all (exact-dup
+    identity clusters must still come out)."""
+    table, _ = make_pages(n_exact_groups=3, n_near_groups=3, n_singletons=10)
+    ds = rd.from_arrow(table)
+    for kw in ({"verify_threshold": 1.0, "exact_set_verify": True},):
+        p1 = cluster_partition(
+            near_dup_pipeline(
+                ds, DedupConfig(min_size=1, cluster_backend="driver", **kw)
+            ).clusters
+        )
+        p2 = cluster_partition(
+            near_dup_pipeline(
+                ds, DedupConfig(min_size=1, cluster_backend="distributed", **kw)
+            ).clusters
+        )
+        assert p1 == p2
+
+    t = pa.table(
+        {
+            "url": pa.array(["u1", "u2", "u3"]),
+            "warc_ts": pa.array([0, 1, 2], pa.timestamp("us")),
+            "html": pa.array([b""] * 3, pa.binary()),
+            "text": pa.array(["tiny doc", "tiny doc", "other thing"]),
+            "lang": pa.array(["en"] * 3),
+        }
+    )
+    res = near_dup_pipeline(
+        rd.from_arrow(t), DedupConfig(min_size=1, cluster_backend="distributed")
+    )
+    assert cluster_partition(res.clusters) == [["u1", "u2"]]
+
+
 def test_near_dup_corpus_keeps_one_rep_per_cluster():
     """The dedupped-corpus artifact: every cluster collapses to its min
     url; singletons pass through byte-identical."""
