@@ -57,6 +57,11 @@ class DedupConfig:
     # per-shard component maps); "distributed" = Ray Data min-label
     # propagation (pure-Dataset path)
     cluster_backend: str = "driver"
+    # dup-bounded broadcast guard: lookup/filter maps larger than this many
+    # rows abandon the ray.put broadcast path for a bucketed hash join
+    # (exchange.small_join / semi_filter_auto) — the regime where even the
+    # duplicate-involved key set outgrows one node's memory
+    broadcast_max_rows: int = 5_000_000
 
     # --- url filters (≅ exclude globs, options.rs:186-204)
     exclude_url_regex: str | None = None
@@ -79,9 +84,30 @@ class DedupConfig:
         """Stable hash of the config — stored in checkpoint manifests so a
         resume with a different config invalidates the checkpoint (≅ the
         reference's invalidate-checksums-on-size-change, file_db.rs:311-342).
+
+        Fields added after schema v1 are included ONLY when set to a
+        non-default value: a schema bump that merely adds knobs must not
+        flip every pre-bump manifest's fingerprint, or the in-place
+        migration chain (checkpoint.MIGRATIONS) could never keep a stage's
+        data — every old checkpoint would fail the fingerprint gate before
+        migration ran.
         """
-        blob = json.dumps(asdict(self), sort_keys=True, default=str)
+        d = asdict(self)
+        blob = json.dumps(
+            {
+                k: v
+                for k, v in d.items()
+                if k not in _POST_V1_FIELDS or v != _FIELD_DEFAULTS[k]
+            },
+            sort_keys=True,
+            default=str,
+        )
         return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
+# Fields added after schema v1 (see dedup/schema.py): excluded from the
+# fingerprint while at their default so genuine v1 manifests still match.
+_POST_V1_FIELDS = {"exact_set_verify", "sign_partitions", "broadcast_max_rows"}
+
 DEFAULT = DedupConfig()
+_FIELD_DEFAULTS = asdict(DEFAULT)

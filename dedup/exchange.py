@@ -241,7 +241,10 @@ def bucketed_join(
                     if df[c].dtype == np.int64:
                         df[c] = df[c].astype("Int64")
         out = l.merge(r, left_on=left_on, right_on=right_on, how=how)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # drop the pandas round-trip metadata: an Int64 extension column
+        # would otherwise resurface as pandas Int64 on later to_pandas
+        # calls while the broadcast path yields plain int64/float64
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
 
@@ -283,6 +286,117 @@ def min_by_key(ds: Dataset, key_col: str, val_col: str, n_buckets: int = 32) -> 
         .map_groups(reduce_bucket, batch_format="pandas")
         .map_batches(lambda t: t.select([key_col, val_col]), batch_format="pyarrow")
     )
+
+
+BROADCAST_MAX_ROWS = 5_000_000  # default guard; DedupConfig.broadcast_max_rows
+
+
+def small_join(
+    ds: Dataset,
+    key_col: str,
+    right: pa.Table,
+    right_key: str,
+    how: str = "inner",
+    max_broadcast_rows: int | None = None,
+    n_buckets: int = 32,
+) -> Dataset:
+    """Attach ``right``'s non-key columns to ``ds`` by an int64 key.
+
+    The dup-bounded broadcast pattern with a size guard: while ``right``
+    fits the bound it is ``ray.put`` once and looked up per batch with a
+    sorted-key searchsorted (zero shuffle — the standard small-side
+    broadcast join); past the bound it falls back to ``bucketed_join``
+    (both sides shuffle once on narrow bucketed blocks). Identical output
+    either way (asserted in tests/test_exchange_guard.py).
+
+    ``how="inner"`` keeps matched rows only; ``how="left"`` null-pads the
+    right columns for unmatched rows.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"small_join: unsupported how={how!r}")
+    cap = BROADCAST_MAX_ROWS if max_broadcast_rows is None else max_broadcast_rows
+    if len(right) > cap:
+        import ray.data as rd
+
+        out = bucketed_join(
+            ds, rd.from_arrow(right), key_col, right_key, n_buckets=n_buckets, how=how
+        )
+        if right_key != key_col:
+            # match the broadcast branch's schema exactly (left cols +
+            # right value cols; the join key appears once)
+            out = out.map_batches(
+                lambda t: t.drop_columns([right_key]), batch_format="pyarrow"
+            )
+        return out
+
+    rkeys = right.column(right_key).to_numpy(zero_copy_only=False)
+    order = np.argsort(rkeys)
+    vals = right.drop_columns([right_key]).take(pa.array(order, pa.int64())).combine_chunks()
+    ref = ray.put((rkeys[order], vals))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sk, vt = ray.get(ref)
+        col = batch.column(key_col).to_numpy(zero_copy_only=False)
+        if len(sk):
+            idx = np.minimum(np.searchsorted(sk, col), len(sk) - 1)
+            hit = sk[idx] == col
+        else:
+            idx = np.zeros(len(col), np.int64)
+            hit = np.zeros(len(col), bool)
+        if how == "inner":
+            out = batch.filter(pa.array(hit))
+            g = vt.take(pa.array(idx[hit], pa.int64()))
+            for name in g.column_names:
+                out = out.append_column(name, g.column(name))
+            return out
+        if not len(sk):
+            out = batch
+            for f in vt.schema:
+                out = out.append_column(f.name, pa.nulls(len(batch), f.type))
+            return out
+        g = vt.take(pa.array(idx, pa.int64()))
+        mask = pa.array(hit)
+        out = batch
+        for name in g.column_names:
+            c = g.column(name)
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            out = out.append_column(
+                name, pc.if_else(mask, c, pa.scalar(None, type=c.type))
+            )
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def semi_filter_auto(
+    ds: Dataset,
+    key_col: str,
+    keys_sorted: np.ndarray,
+    keep: bool = True,
+    max_broadcast_rows: int | None = None,
+    n_buckets: int = 32,
+) -> Dataset:
+    """``semi_filter`` with the same size guard: small key sets broadcast
+    (searchsorted membership per batch); past the bound the membership
+    test becomes a bucketed left join + null check (semi / anti join).
+    Identical row set either way."""
+    cap = BROADCAST_MAX_ROWS if max_broadcast_rows is None else max_broadcast_rows
+    if len(keys_sorted) <= cap:
+        return semi_filter(ds, key_col, keys_sorted, keep)
+    import ray.data as rd
+
+    kt = rd.from_arrow(
+        pa.table({"__semi_key": pa.array(keys_sorted, pa.int64())})
+    )
+    j = bucketed_join(ds, kt, key_col, "__semi_key", n_buckets=n_buckets, how="left")
+
+    def fl(batch: pa.Table) -> pa.Table:
+        hit = pc.is_valid(batch.column("__semi_key"))
+        mask = hit if keep else pc.invert(hit)
+        return batch.filter(mask).drop_columns(["__semi_key"])
+
+    return j.map_batches(fl, batch_format="pyarrow")
 
 
 def ensure_schema(ds: Dataset, schema: pa.Schema) -> Dataset:

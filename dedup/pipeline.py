@@ -278,36 +278,48 @@ def near_dup_pipeline(
     so = np.argsort(size_keys)
     size_keys, size_vals = size_keys[so], size_vals[so]
 
-    import ray as _ray
+    # assignment: two guarded small-side joins (exchange.small_join — a
+    # ray.put broadcast lookup while the dup-bounded maps fit
+    # cfg.broadcast_max_rows, a bucketed hash join past it).
+    from .exchange import small_join
 
-    ref = _ray.put((np.sort(keys), cids[np.argsort(keys)], size_keys, size_vals))
+    lab_t = pa.table(
+        {"__node": pa.array(keys, pa.int64()), "__cid": pa.array(cids, pa.int64())}
+    )
+    # size table holds only clusters of ≥2 urls, so the inner join below
+    # IS the n>1 filter (identity singletons have no row to match)
+    size_t = pa.table(
+        {"__sk": pa.array(size_keys, pa.int64()),
+         "cluster_size": pa.array(size_vals, pa.int64())}
+    )
+    narrow = ing.select_columns(["url", "doc_hash", "size_bytes"])
+    withcid = small_join(
+        narrow, "doc_hash", lab_t, "__node", how="left",
+        max_broadcast_rows=cfg.broadcast_max_rows, n_buckets=cfg.join_buckets,
+    )
 
-    def finish(batch: pa.Table) -> pa.Table:
-        hk, hc, sk, sv = _ray.get(ref)
-        dh = batch.column("doc_hash").to_numpy(zero_copy_only=False)
-        cid = dh.copy()  # identity default
-        if len(hk):
-            idx = np.minimum(np.searchsorted(hk, dh), len(hk) - 1)
-            hit = hk[idx] == dh
-            cid[hit] = hc[idx[hit]]
-        n = np.ones(len(cid), np.int64)
-        if len(sk):
-            idx = np.minimum(np.searchsorted(sk, cid), len(sk) - 1)
-            hit = sk[idx] == cid
-            n[hit] = sv[idx[hit]]
-        out = pa.table(
+    def coalesce(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cid = pc.coalesce(batch.column("__cid"), batch.column("doc_hash"))
+        return pa.table(
             {
                 "url": batch.column("url"),
                 "doc_hash": batch.column("doc_hash"),
-                "cluster_id": pa.array(cid, pa.int64()),
-                "cluster_size": pa.array(n, pa.int64()),
+                "cluster_id": cid.cast(pa.int64()) if cid.type != pa.int64() else cid,
                 "size_bytes": batch.column("size_bytes"),
             }
         )
-        return out.filter(pa.array(n > 1))
 
-    clusters = ing.select_columns(["url", "doc_hash", "size_bytes"]).map_batches(
-        finish, batch_format="pyarrow"
+    clusters = small_join(
+        withcid.map_batches(coalesce, batch_format="pyarrow"),
+        "cluster_id", size_t, "__sk", how="inner",
+        max_broadcast_rows=cfg.broadcast_max_rows, n_buckets=cfg.join_buckets,
+    ).map_batches(
+        lambda t: t.select(
+            ["url", "doc_hash", "cluster_id", "cluster_size", "size_bytes"]
+        ),
+        batch_format="pyarrow",
     )
     tick("components+finish")
     return NearDupResult(clusters=clusters, edges=edges)
@@ -467,11 +479,12 @@ def near_dup_corpus(
     hashed = ing.select_columns(["url", "size_bytes"]).map_batches(
         add_url_hash, batch_format="pyarrow"
     )
-    from .exchange import semi_filter as _semi
+    from .exchange import semi_filter_auto as _semi
 
-    return _semi(hashed, "url_hash", drop_hashes, keep=False).select_columns(
-        ["url", "size_bytes"]
-    )
+    return _semi(
+        hashed, "url_hash", drop_hashes, keep=False,
+        max_broadcast_rows=cfg.broadcast_max_rows, n_buckets=cfg.join_buckets,
+    ).select_columns(["url", "size_bytes"])
 
 
 def cluster_partition(clusters: Dataset) -> list[list[str]]:

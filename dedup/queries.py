@@ -127,47 +127,40 @@ def _exact_cluster_info(surv):
 def q_exact_dup_clusters(sf_dir: str):
     """Exact-duplicate clusters over planted pages (the reference cascade,
     SURVEY §2.2-2.4). cluster_id = lexicographic-min member url. Member
-    emission is a broadcast lookup (bounded by duplicate groups), never a
-    per-group Python call."""
-    import ray
+    emission is a guarded small-side join (``exchange.small_join``:
+    broadcast lookup while the dup-group map fits, bucketed hash join
+    past the bound), never a per-group Python call."""
+    from .exchange import collect_table, small_join
 
     pages = pages_from_documents(sf_dir)
     surv = exact_survivors(ingest(pages, CFG), CFG).materialize()
-    info = pa.concat_tables(
-        list(_exact_cluster_info(surv).iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-        or [pa.table({"doc_hash": pa.array([], pa.int64()), "rep": pa.array([], pa.string()),
-                      "size": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})]
-    )
-    keys = info.column("doc_hash").to_numpy(zero_copy_only=False)
-    cnts = info.column("cnt").to_numpy(zero_copy_only=False)
-    reps = np.asarray(info.column("rep").to_pylist(), dtype=object)
-    order = np.argsort(keys)
-    ref = ray.put((keys[order], cnts[order], reps[order]))
+    info = collect_table(_exact_cluster_info(surv))
+    if len(info):
+        info = info.filter(
+            pa.compute.greater(info.column("cnt"), pa.scalar(1, pa.int64()))
+        ).select(["doc_hash", "rep", "cnt"])
+    else:
+        info = pa.table({"doc_hash": pa.array([], pa.int64()),
+                         "rep": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
 
     def emit(batch: pa.Table) -> pa.Table:
-        ks, cs, rs = ray.get(ref)
-        dh = batch.column("doc_hash").to_numpy(zero_copy_only=False)
+        n = batch.column("cnt").to_numpy(zero_copy_only=False)
         sz = batch.column("size_bytes").to_numpy(zero_copy_only=False)
-        if len(ks):
-            idx = np.minimum(np.searchsorted(ks, dh), len(ks) - 1)
-            n = cs[idx]
-            rep = rs[idx]
-        else:
-            n = np.zeros(len(dh), np.int64)
-            rep = np.empty(0, object)
-        keep = n > 1
         return pa.table(
             {
                 "url": batch.column("url"),
-                "cluster_id": pa.array(rep.tolist(), pa.string()),
+                "cluster_id": batch.column("rep"),
                 "cluster_size": pa.array(n, pa.int64()),
                 "redundant_bytes": pa.array((n - 1) * sz, pa.int64()),
             }
-        ).filter(pa.array(keep))
+        )
 
-    return surv.select_columns(["url", "doc_hash", "size_bytes"]).map_batches(
-        emit, batch_format="pyarrow"
-    )
+    return small_join(
+        surv.select_columns(["url", "doc_hash", "size_bytes"]),
+        "doc_hash", info, "doc_hash", how="inner",
+        max_broadcast_rows=CFG.broadcast_max_rows, n_buckets=CFG.join_buckets,
+    ).map_batches(emit, batch_format="pyarrow")
 
 
 def q_top_clusters(sf_dir: str):
@@ -340,31 +333,32 @@ def q_clean_corpus(sf_dir: str):
     dups = dup_keys(ing, "doc_hash")
     uniq = semi_filter(ing, "doc_hash", dups, keep=False)
     if len(dups):
+        from .exchange import collect_table, semi_filter_auto
+
         dup_rows = semi_filter(ing, "doc_hash", dups)
         reps = (
             dup_rows.select_columns(["doc_hash", "url"])
             .groupby("doc_hash")
             .aggregate(Min("url", alias_name="rep"))
         )
-        rt = pa.concat_tables(
-            list(reps.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-        )
+        rt = collect_table(reps)
         rep_urls = pa.array(rt.column("rep").to_pylist(), pa.string())
         keep_hashes = np.sort(xxh64_arrow(rep_urls).view(np.int64))
-        ref = ray.put(keep_hashes)
 
-        def keep_rep(batch: pa.Table) -> pa.Table:
-            kh = ray.get(ref)
+        def add_url_hash(batch: pa.Table) -> pa.Table:
             uh = xxh64_arrow(
                 batch.column("url").combine_chunks()
                 if isinstance(batch.column("url"), pa.ChunkedArray)
                 else batch.column("url")
             ).view(np.int64)
-            idx = np.minimum(np.searchsorted(kh, uh), max(len(kh) - 1, 0))
-            keep = kh[idx] == uh if len(kh) else np.zeros(len(uh), bool)
-            return batch.filter(pa.array(keep))
+            return batch.append_column("__uh", pa.array(uh, pa.int64()))
 
-        deduped = uniq.union(dup_rows.map_batches(keep_rep, batch_format="pyarrow"))
+        kept = semi_filter_auto(
+            dup_rows.map_batches(add_url_hash, batch_format="pyarrow"),
+            "__uh", keep_hashes,
+            max_broadcast_rows=CFG.broadcast_max_rows, n_buckets=CFG.join_buckets,
+        ).map_batches(lambda t: t.drop_columns(["__uh"]), batch_format="pyarrow")
+        deduped = uniq.union(kept)
     else:
         deduped = uniq
     return line_dedup(
@@ -401,38 +395,32 @@ def _relabel_by_min_url(clusters):
     Makes hash-labelled cluster tables oracle-comparable: SQL cannot
     compute xxhash64 labels, but it can compute min-url labels. Narrow:
     only one (cluster_id → rep) row per cluster shuffles; the map is
-    broadcast once and applied per batch (bounded by duplicate-involved
-    clusters, the same bound every broadcast path here relies on)."""
-    import ray
+    applied via the guarded small-side join (broadcast while it fits
+    CFG.broadcast_max_rows, bucketed hash join past it)."""
     from ray.data.aggregate import Min
 
+    from .exchange import collect_table, small_join
+
     agg = clusters.groupby("cluster_id").aggregate(Min("url", alias_name="rep"))
-    t = pa.concat_tables(
-        list(agg.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-        or [pa.table({"cluster_id": pa.array([], pa.int64()), "rep": pa.array([], pa.string())})]
-    )
-    keys = t.column("cluster_id").to_numpy(zero_copy_only=False)
-    reps = np.asarray(t.column("rep").to_pylist(), dtype=object)
-    order = np.argsort(keys)
-    ref = ray.put((keys[order], reps[order]))
+    t = collect_table(agg)
+    if not len(t):
+        t = pa.table({"cluster_id": pa.array([], pa.int64()),
+                      "rep": pa.array([], pa.string())})
 
-    def fn(batch: pa.Table) -> pa.Table:
-        ks, rs = ray.get(ref)
-        cid = batch.column("cluster_id").to_numpy(zero_copy_only=False)
-        if len(ks):
-            idx = np.minimum(np.searchsorted(ks, cid), len(ks) - 1)
-            rep = rs[idx]
-        else:
-            rep = np.empty(0, object)
-        return pa.table(
+    return small_join(
+        clusters.select_columns(["url", "cluster_id", "cluster_size"]),
+        "cluster_id", t, "cluster_id", how="inner",
+        max_broadcast_rows=CFG.broadcast_max_rows, n_buckets=CFG.join_buckets,
+    ).map_batches(
+        lambda b: pa.table(
             {
-                "url": batch.column("url"),
-                "cluster_id": pa.array(rep.tolist(), pa.string()),
-                "cluster_size": batch.column("cluster_size"),
+                "url": b.column("url"),
+                "cluster_id": b.column("rep"),
+                "cluster_size": b.column("cluster_size"),
             }
-        )
-
-    return clusters.map_batches(fn, batch_format="pyarrow")
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def q_minhash_lsh_exact_mode(sf_dir: str):

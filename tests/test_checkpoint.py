@@ -172,11 +172,29 @@ def test_schema_migration_in_place(tmp_path):
     ck.load_or_run("p3_signatures", build("p3"))
     assert runs == ["p1", "p3"]
 
-    # rewrite both manifests as schema v1 (simulating a pre-upgrade run)
+    # rewrite both manifests as GENUINE v1 manifests: schema_version 1 and
+    # the fingerprint a v1 build would have computed — sha256 over the v1
+    # field set only (no exact_set_verify / sign_partitions /
+    # broadcast_max_rows keys existed then). fingerprint() must still
+    # match it for a default config, or migration is dead code (every v1
+    # stage would fail the fingerprint gate before migration ran).
+    import hashlib as _hl
+    from dataclasses import asdict as _asdict
+
+    from dedup.config import _POST_V1_FIELDS
+
+    v1_fields = {
+        k: v for k, v in _asdict(cfg).items() if k not in _POST_V1_FIELDS
+    }
+    v1_fp = _hl.sha256(
+        json.dumps(v1_fields, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+    assert v1_fp == cfg.fingerprint(), "v1 manifests would never validate"
     for stage in ("p1_ingested", "p3_signatures"):
         mpath = os.path.join(str(tmp_path), stage, "manifest.json")
         m = json.load(open(mpath))
         m["schema_version"] = 1
+        m["config_fingerprint"] = v1_fp
         json.dump(m, open(mpath, "w"))
 
     ck2 = CheckpointManager(str(tmp_path), cfg)

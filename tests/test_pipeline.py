@@ -221,6 +221,18 @@ def test_pipeline_distributed_backend_exact_mode_and_empty_edges():
     assert cluster_partition(res.clusters) == [["u1", "u2"]]
 
 
+def test_pipeline_broadcast_guard_fallback_matches():
+    """broadcast_max_rows=0 forces every dup-bounded map through the
+    bucketed-join fallback; the cluster partition must not change."""
+    table, _ = make_pages(n_exact_groups=3, n_near_groups=4, n_singletons=15)
+    ds = rd.from_arrow(table)
+    p1 = cluster_partition(near_dup_pipeline(ds, DedupConfig(min_size=1)).clusters)
+    p2 = cluster_partition(
+        near_dup_pipeline(ds, DedupConfig(min_size=1, broadcast_max_rows=0)).clusters
+    )
+    assert p1 == p2
+
+
 def test_near_dup_corpus_keeps_one_rep_per_cluster():
     """The dedupped-corpus artifact: every cluster collapses to its min
     url; singletons pass through byte-identical."""
