@@ -62,6 +62,18 @@ def _migrate_v1_to_v2(name: str, manifest: dict, stage_dir: str) -> dict | None:
     return manifest
 
 
+@register_migration(2)
+def _migrate_v2_to_v3(name: str, manifest: dict, stage_dir: str) -> dict | None:
+    """v3 changed candidate generation (within-bucket all-pairs up to
+    allpairs_bucket_max): verified-edge checkpoints are stale and must
+    recompute; ingest and signature layouts are untouched."""
+    if name == "p4_edges":
+        return None
+    manifest = dict(manifest)
+    manifest["schema_version"] = 3
+    return manifest
+
+
 class CheckpointManager:
     def __init__(self, root: str, cfg: DedupConfig):
         self.root = root

@@ -33,6 +33,10 @@ class DedupConfig:
     verify_threshold: float = 0.5
     # skew guard: an LSH bucket larger than this is salted/capped
     max_bucket: int = 2000
+    # buckets up to this size emit all member-member candidate pairs
+    # (complete under per-pair verification); larger buckets fall back to
+    # linear star edges (the hot-band skew guard, documented recall loss)
+    allpairs_bucket_max: int = 64
     # exact mode: verified pairs must ALSO have equal shingle-set hashes
     # (deterministic partition = "identical distinct-shingle set", which a
     # SQL oracle can reproduce; signature equality alone is probabilistic)
@@ -106,8 +110,15 @@ class DedupConfig:
 
 
 # Fields added after schema v1 (see dedup/schema.py): excluded from the
-# fingerprint while at their default so genuine v1 manifests still match.
-_POST_V1_FIELDS = {"exact_set_verify", "sign_partitions", "broadcast_max_rows"}
+# fingerprint while at their default so genuine pre-bump manifests still
+# match — semantic changes to the DEFAULTS are covered by SCHEMA_VERSION
+# and its migration chain, not the fingerprint.
+_POST_V1_FIELDS = {
+    "exact_set_verify",
+    "sign_partitions",
+    "broadcast_max_rows",
+    "allpairs_bucket_max",
+}
 
 DEFAULT = DedupConfig()
 _FIELD_DEFAULTS = asdict(DEFAULT)

@@ -162,6 +162,30 @@ _PAIRS_EMPTY = pa.table(
      "sim": pa.array([], pa.float64())}
 )
 
+_PARALLEL_EXACT_VERIFY_MIN = 200_000  # pairs; below this one core wins
+
+
+def _exact_pair_sims(
+    ids_sorted: np.ndarray, M_sorted: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Cosine of each (a, b) pair against the sorted normalized matrix;
+    pairs with an id absent from the matrix get -inf."""
+    n = len(ids_sorted)
+    sim = np.full(len(a), -np.inf)
+    if n == 0:
+        return sim
+    ia = np.minimum(np.searchsorted(ids_sorted, a), n - 1)
+    ib = np.minimum(np.searchsorted(ids_sorted, b), n - 1)
+    ok = (ids_sorted[ia] == a) & (ids_sorted[ib] == b)
+    sim[ok] = np.einsum("ij,ij->i", M_sorted[ia[ok]], M_sorted[ib[ok]])
+    return sim
+
+
+@ray.remote
+def _exact_pair_slice(mat, a, b):
+    # `mat` arrives as the plasma-resident (ids, matrix) tuple, zero-copy
+    return _exact_pair_sims(mat[0], mat[1], a, b)
+
 
 def _prep_block(batch: pa.Table, id_col: str, emb_col: str) -> pa.Table:
     """(id, normalized embedding) block — the tiling unit for block-pair
@@ -405,13 +429,16 @@ def lsh_bucketed_pairs(
             }
         )
 
-    # Candidate generation reuses the skew-proof sorted-segment star
-    # machinery from lsh.candidate_pairs: band rows shuffle (16 B each),
-    # every bucket becomes star edges in one linear pass — a hot bucket
-    # (all-near-identical corpus) stays O(n), never the O(n²)
-    # triu_indices blowup of the earlier driver-side loop. Star edges are
-    # connectivity-equivalent to within-bucket all-pairs, which is what a
-    # near-dup candidate set needs.
+    # Candidate generation reuses the skew-proof sorted-segment machinery
+    # from lsh.candidate_pairs: band rows shuffle (16 B each); buckets up
+    # to cfg.allpairs_bucket_max emit ALL member-member pairs (the
+    # post-verification filter is not connectivity-preserving, so star
+    # edges alone would lose member pairs whose edges to a dissimilar
+    # bucket rep fail — tests/test_lsh_allpairs.py pins the scenario);
+    # a hot bucket (all-near-identical corpus) stays O(n) via the star
+    # fallback, never the O(n²) triu_indices blowup of the earlier
+    # driver-side loop. Residual recall loss beyond the cap is documented
+    # in COVERAGE.md.
     from .config import DedupConfig as _Cfg
     from .exchange import collect_table, semi_filter
     from .lsh import candidate_pairs
@@ -447,11 +474,20 @@ def lsh_bucketed_pairs(
     ids_s, M_s = _unpack_block(sub)
     o = np.argsort(ids_s)
     ids_s, M_s = ids_s[o], M_s[o]
-    ia = np.minimum(np.searchsorted(ids_s, ca), len(ids_s) - 1)
-    ib = np.minimum(np.searchsorted(ids_s, cb), len(ids_s) - 1)
-    ok = (ids_s[ia] == ca) & (ids_s[ib] == cb)
-    sim = np.full(len(ca), -np.inf)
-    sim[ok] = np.einsum("ij,ij->i", M_s[ia[ok]], M_s[ib[ok]])
+    if len(ca) >= _PARALLEL_EXACT_VERIFY_MIN:
+        # distributed exact check: the candidate-involved matrix is put in
+        # plasma ONCE; Ray tasks each verify a pair slice against the one
+        # shared zero-copy copy — no driver einsum over the full set
+        mref = ray.put((ids_s, M_s))
+        n_slices = 16
+        step = -(-len(ca) // n_slices)
+        futs = [
+            _exact_pair_slice.remote(mref, ca[s : s + step], cb[s : s + step])
+            for s in range(0, len(ca), step)
+        ]
+        sim = np.concatenate(ray.get(futs))
+    else:
+        sim = _exact_pair_sims(ids_s, M_s, ca, cb)
     keep = sim >= threshold
     lo = np.minimum(ca[keep], cb[keep])
     hi = np.maximum(ca[keep], cb[keep])

@@ -42,6 +42,22 @@ class Ingester:
     def __init__(self, cfg: DedupConfig):
         self.cfg = cfg
         self.url_re = re.compile(cfg.exclude_url_regex) if cfg.exclude_url_regex else None
+        if cfg.exclude_url_regex:
+            # the batch-time matcher is Arrow RE2, whose syntax is narrower
+            # than Python re (no lookaround/backrefs) — probe it here so a
+            # bad pattern fails at construction with a clear error, not
+            # mid-pipeline inside a Ray task
+            try:
+                # one-element probe: Arrow skips regex compilation entirely
+                # on an empty array
+                pc.match_substring_regex(
+                    pa.array([""], pa.string()), cfg.exclude_url_regex
+                )
+            except pa.lib.ArrowException as e:
+                raise ValueError(
+                    f"exclude_url_regex {cfg.exclude_url_regex!r} is not "
+                    f"RE2-compatible (Arrow match_substring_regex): {e}"
+                ) from e
         self.langs = set(cfg.lang_filter) if cfg.lang_filter else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:

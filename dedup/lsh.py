@@ -82,8 +82,20 @@ def band_rows(signatures: Dataset, cfg: DedupConfig) -> Dataset:
     )
 
 
-def _emit_star(batch: pa.Table) -> pa.Table:
-    """One sorted batch → star edges + boundary records.
+def _emit_star(batch: pa.Table, allpairs_max: int = 64) -> pa.Table:
+    """One sorted batch → candidate edges + boundary records.
+
+    Buckets with ≤ ``allpairs_max`` members emit ALL member–member pairs:
+    the downstream per-pair verification filter is NOT connectivity-
+    preserving (two members may pass the similarity threshold while both
+    their edges to the bucket's min-hash representative fail), so star
+    edges alone would silently lose such pairs. Buckets beyond the cap
+    (boilerplate/hot bands — the skew case) fall back to star edges
+    (bucket-min → member, linear in bucket size); their post-filter
+    recall loss is the documented price of skew-proofness (COVERAGE.md).
+    A small bucket split across two sorted blocks is chained for
+    connectivity via the boundary records but its cross-fragment member
+    pairs are not individually verified — same documented caveat.
 
     Output columns: a, b, boundary(int8). Boundary rows carry
     (a=bkey, b=local_rep) for the batch's first and last bucket.
@@ -101,12 +113,28 @@ def _emit_star(batch: pa.Table) -> pa.Table:
     dh = dh[order]
     du = dh.view(U64)
     seg_starts = np.concatenate([[0], np.flatnonzero(bk[1:] != bk[:-1]) + 1])
+    seg_len = np.diff(np.append(seg_starts, n))
     rep_u = np.minimum.reduceat(du, seg_starts)
     seg_id = np.cumsum(np.concatenate([[0], (bk[1:] != bk[:-1]).astype(np.int8)]))
+    small = seg_len <= allpairs_max
+    small_row = small[seg_id]
+    # star edges for jumbo segments only
     rep_per_row = rep_u[seg_id].view(np.int64)
-    is_member = dh != rep_per_row
-    edges_a = rep_per_row[is_member]
-    edges_b = dh[is_member]
+    is_member = (dh != rep_per_row) & ~small_row
+    parts_a = [rep_per_row[is_member]]
+    parts_b = [dh[is_member]]
+    # all-pairs for small segments: one vectorized pass per offset d —
+    # pair row k with row k+d when both sit in the same small segment.
+    # O(allpairs_max) passes, each a boolean AND over the batch.
+    max_small = int(seg_len[small].max()) if small.any() else 0
+    for d in range(1, max_small):
+        ok = small_row[: n - d] & (seg_id[: n - d] == seg_id[d:])
+        if not ok.any():
+            continue
+        parts_a.append(dh[: n - d][ok])
+        parts_b.append(dh[d:][ok])
+    edges_a = np.concatenate(parts_a)
+    edges_b = np.concatenate(parts_b)
     # boundary records for first and last segment
     rep_i = rep_u.view(np.int64)
     brec_a = [int(bk[0]), int(bk[-1])]
@@ -124,17 +152,21 @@ def _emit_star(batch: pa.Table) -> pa.Table:
 
 
 def candidate_pairs(bands: Dataset, cfg: DedupConfig) -> tuple[Dataset, pa.Table]:
-    """band rows → (star-edge Dataset(a,b), boundary-chain edges table).
+    """band rows → (candidate-edge Dataset(a,b), boundary-chain edges table).
 
-    Star edges are connectivity-equivalent to all-pairs within each bucket.
-    The returned boundary table (driver-side, ≤2 rows per sorted batch) is
-    already chained into extra edges connecting straddled bucket fragments.
+    Buckets ≤ ``cfg.allpairs_bucket_max`` emit all member–member pairs
+    (complete under the downstream per-pair verification filter); jumbo
+    buckets emit star edges (linear — the skew guard). The returned
+    boundary table (driver-side, ≤2 rows per sorted batch) is already
+    chained into extra edges connecting straddled bucket fragments.
     """
     sorted_bands = bands.sort("bkey")
+    cap = cfg.allpairs_bucket_max
     # materialize: both the edge filter and the boundary filter below
     # consume this stream — lazy, the whole sort would execute twice
     out = sorted_bands.map_batches(
-        _emit_star, batch_format="pyarrow", batch_size=None
+        lambda t: _emit_star(t, allpairs_max=cap),
+        batch_format="pyarrow", batch_size=None,
     ).materialize()
     edges = out.filter(expr="boundary == 0").select_columns(["a", "b"])
 

@@ -12,7 +12,11 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-SCHEMA_VERSION = 2  # v2: signatures carry set_hash (≅ reference SCHEMA_VERSION=3, file_db.rs:26)
+# v2: signatures carry set_hash (≅ reference SCHEMA_VERSION=3, file_db.rs:26)
+# v3: candidate generation emits within-bucket all-pairs for buckets ≤
+#     allpairs_bucket_max (star edges only beyond the cap) — p4_edges
+#     results change; upstream stage layouts do not
+SCHEMA_VERSION = 3
 
 PAGES = pa.schema(
     [

@@ -47,9 +47,15 @@ def tumbling_aggregate(
         if isinstance(keyc, pa.ChunkedArray):
             keyc = keyc.combine_chunks()
         # dictionary-encode the key: the combiner groups on small int
-        # codes, never materializing per-row Python strings
+        # codes, never materializing per-row Python strings. Null keys
+        # get sentinel code -1 (a null index would surface as NaN in
+        # to_numpy and corrupt the int cast) and re-emerge as null.
         enc = pc.dictionary_encode(keyc)
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = (
+            pc.fill_null(enc.indices, -1)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
         # cents as int64 → associative integer sums, oracle-exact
         # (floor, not round: np.round is banker's, SQL ROUND is
         # half-away — floor(x*100) is bit-identical on both sides)
@@ -58,14 +64,31 @@ def tumbling_aggregate(
         ).astype(np.int64)
         uw, inv = np.unique(np.stack([win, codes], axis=1), axis=0, return_inverse=True)
         pn = np.bincount(inv, minlength=len(uw)).astype(np.int64)
-        # int64 cents are < 2^53 per (batch, window, key) → float64 sum exact
-        psum = np.bincount(inv, weights=cents.astype(np.float64), minlength=len(uw))
+        # exact int64 segment sums (a float64 bincount is exact only below
+        # 2^53): group rows by inv, then one reduceat per group
+        order = np.argsort(inv, kind="stable")
+        starts = np.searchsorted(inv[order], np.arange(len(uw)))
+        psum = np.add.reduceat(cents[order], starts)
+        kidx = uw[:, 1]
+        if (kidx >= 0).all():
+            keys = enc.dictionary.take(pa.array(kidx, pa.int64()))
+        else:
+            take = np.where(kidx < 0, 0, kidx)
+            keys = (
+                pc.if_else(
+                    pa.array(kidx >= 0),
+                    enc.dictionary.take(pa.array(take, pa.int64())),
+                    pa.scalar(None, type=enc.dictionary.type),
+                )
+                if len(enc.dictionary)
+                else pa.nulls(len(kidx), keyc.type)
+            )
         return pa.table(
             {
                 "w": pa.array(uw[:, 0], pa.int64()),
-                key_col: enc.dictionary.take(pa.array(uw[:, 1], pa.int64())),
+                key_col: keys,
                 "pn": pa.array(pn, pa.int64()),
-                "pc": pa.array(psum.astype(np.int64), pa.int64()),
+                "pc": pa.array(psum, pa.int64()),
             }
         )
 
@@ -110,6 +133,8 @@ def sessionize(
     gap_us = gap_sec * US
 
     def bucketize(batch: pa.Table) -> pa.Table:
+        from .hashing import fmix64, xxh64_arrow
+
         uid = batch.column(user_col)
         ts = batch.column(ts_col)
         # explicit µs conversion: pandas astype('int64') on a non-µs
@@ -117,26 +142,34 @@ def sessionize(
         if pa.types.is_timestamp(ts.type):
             ts = ts.cast(pa.timestamp("us"))
         ts = ts.cast(pa.int64())
-        u = uid.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        bucket = (u.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(64 - 6)
+        if pa.types.is_integer(uid.type):
+            u = uid.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            with np.errstate(over="ignore"):
+                h = fmix64(u.view(np.uint64))
+        else:
+            # string (or other) user ids hash through xxh64 — same
+            # pattern as near_dup_corpus's url hashing
+            col = uid.combine_chunks() if isinstance(uid, pa.ChunkedArray) else uid
+            h = xxh64_arrow(col.cast(pa.string()))
         return pa.table(
             {
                 user_col: uid,
                 "__ts_us": ts,
                 "__bucket": pa.array(
-                    (bucket % np.uint64(n_buckets)).astype(np.int32), pa.int32()
+                    (h % np.uint64(n_buckets)).astype(np.int32), pa.int32()
                 ),
             }
         )
 
     def per_bucket(batch: pa.Table) -> pa.Table:
+        uid_type = batch.column(user_col).type
         uid = batch.column(user_col).to_numpy(zero_copy_only=False)
         ts = batch.column("__ts_us").to_numpy(zero_copy_only=False)
         n = len(uid)
         if n == 0:
             return pa.table(
                 {
-                    user_col: pa.array([], pa.int64()),
+                    user_col: pa.array([], uid_type),
                     "session_id": pa.array([], pa.int64()),
                     "n_events": pa.array([], pa.int64()),
                     "session_start": pa.array([], pa.int64()),
@@ -163,7 +196,11 @@ def sessionize(
         sid = np.arange(nseg) - np.maximum.accumulate(first_of_user)
         return pa.table(
             {
-                user_col: pa.array(seg_uid, pa.int64()),
+                user_col: (
+                    pa.array(seg_uid, pa.int64())
+                    if seg_uid.dtype == np.int64
+                    else pa.array(seg_uid.tolist(), uid_type)
+                ),
                 "session_id": pa.array(sid, pa.int64()),
                 "n_events": pa.array(n_events, pa.int64()),
                 "session_start": pa.array(s_start, pa.int64()),

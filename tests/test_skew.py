@@ -26,11 +26,13 @@ def test_hot_band_pair_count_linear():
     pairs, chain = candidate_pairs(bands, cfg)
     n_pairs = pairs.count() + len(chain)
     n_hot = int(n * hot_frac)
-    # star emission: ≤ (members−1) edges per bucket per band; the hot
-    # template occupies ≤ bands buckets → raw edges O(n_hot × bands),
-    # NOT O(n_hot²). Assert well below the quadratic count.
+    # jumbo-bucket emission: ≤ (members−1) star edges per bucket per band;
+    # small buckets (and ≤cap tail fragments of the hot bucket at sorted-
+    # block boundaries) add all-pairs bounded by cap²/2 per fragment — a
+    # constant per block, still O(n_hot × bands), NOT O(n_hot²). Assert
+    # well below the quadratic count (which would be ~bands × 4.5M here).
     quadratic = n_hot * (n_hot - 1) // 2  # 4.5M for 3000 hot docs
-    linear_bound = cfg.bands * n  # 192k
+    linear_bound = 2 * cfg.bands * n  # 384k — quadratic would be >100M
     assert n_pairs <= linear_bound, (n_pairs, linear_bound)
     assert n_pairs < quadratic / 10
 

@@ -135,6 +135,60 @@ def test_sessionize_many_users_matches_pandas_reference():
     pd.testing.assert_frame_equal(out.astype("int64"), ref.astype("int64"))
 
 
+def test_sessionize_string_user_ids_and_odd_bucket_count():
+    """String user ids hash through xxh64 (no int cast), and a non-64
+    bucket count actually uses all buckets (ADVICE round 2)."""
+    G = 1800 * US
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array([0, 100 * US, 3 * G, 0, 50 * US], pa.timestamp("us")),
+                "user_id": pa.array(["alice", "alice", "alice", "bob", "bob"]),
+            }
+        )
+    )
+    out = (
+        sessionize(ev, gap_sec=1800, n_buckets=7)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == ["alice", "alice", "bob"]
+    assert out["n_events"].tolist() == [2, 1, 2]
+    assert out["session_start"].tolist() == [0, 3 * G, 0]
+
+
+def test_tumbling_null_keys_grouped_not_corrupted():
+    """Null event_type must form its own group (sentinel code path), not
+    corrupt the int cast (ADVICE round 2)."""
+    H = 3600 * US
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array([0, 1, H], pa.timestamp("us")),
+                "event_type": pa.array(["a", None, None], pa.string()),
+                "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            }
+        )
+    )
+    out = tumbling_aggregate(ev, window_sec=3600).to_pandas()
+    nullg = out[out.event_type.isna()].sort_values("window_start")
+    assert nullg["n_events"].tolist() == [1, 1]
+    assert nullg["sum_cents"].tolist() == [200, 300]
+    assert out[out.event_type == "a"]["sum_cents"].tolist() == [100]
+
+
+def test_exclude_url_regex_validated_at_construction():
+    """Python-only regex syntax (lookahead) compiles under re but not RE2;
+    the Ingester must fail fast with a clear error, not mid-pipeline."""
+    import pytest
+
+    from dedup.ingest import Ingester
+
+    with pytest.raises(ValueError, match="RE2"):
+        Ingester(DedupConfig(exclude_url_regex=r"foo(?=bar)"))
+
+
 def test_url_exclude_regex_gate():
     """Vectorized RE2 url filter: matching urls are rejected with reason
     'url'; non-matching pass (mirrors re.search substring semantics)."""
