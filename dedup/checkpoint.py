@@ -230,3 +230,39 @@ class CheckpointManager:
         stage_dir, _, _ = self._paths(name)
         if os.path.exists(stage_dir):
             shutil.rmtree(stage_dir)
+
+    def stage_stats(self) -> list[dict]:
+        """Per-stage rows / bytes / wall from the manifests — the G7
+        progress-counter analogue (reference interrupt-time progress,
+        src/main.rs:51-80 / process_matches.rs:85-96), surfaced as one
+        JSON-able block by ``cli --stats``."""
+        out = []
+        for name in sorted(os.listdir(self.root)):
+            m = self.manifest(name)
+            if not m:
+                continue
+            _, data_dir, _ = self._paths(name)
+            nbytes = 0
+            for dirpath, _dirs, files in os.walk(data_dir):
+                nbytes += sum(
+                    os.path.getsize(os.path.join(dirpath, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+            parts = m.get("parts") if m.get("partitioned") else None
+            wall = (
+                round(sum(p.get("wall_sec", 0.0) for p in parts.values()), 3)
+                if parts
+                else m.get("wall_sec", 0.0)
+            )
+            out.append(
+                {
+                    "stage": m.get("stage", name),
+                    "rows": int(m.get("rows", 0)),
+                    "bytes": nbytes,
+                    "wall_sec": wall,
+                    "parts": len(parts) if parts else 1,
+                    "completed": bool(m.get("completed")),
+                }
+            )
+        return out

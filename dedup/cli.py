@@ -109,6 +109,8 @@ def main(argv=None) -> int:
         }
         if ckpt is not None and args.print_lineage:
             summary["lineage"] = ckpt.events
+        if args.stats and ckpt is not None:
+            print(json.dumps({"stage_stats": ckpt.stage_stats()}))
         with open(os.path.join(args.output, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2)
         print(json.dumps(summary))
@@ -145,6 +147,10 @@ def main(argv=None) -> int:
     if ckpt is not None and args.print_lineage:
         summary["lineage"] = ckpt.events
     if args.stats:
+        if ckpt is not None:
+            # one JSON block of per-stage rows/bytes/wall from the
+            # checkpoint manifests (G7 progress-counter analogue)
+            print(json.dumps({"stage_stats": ckpt.stage_stats()}))
         print(clusters.stats())
     with open(os.path.join(args.output, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)

@@ -37,13 +37,14 @@ def consolidation_plan(
     reclaim — the fully-hardlinked-group filter F5 analogue)."""
     cfg = cfg or DedupConfig()
     surv = exact_survivors(ingest(pages, cfg), cfg)
+    n_buckets = cfg.join_buckets  # scale-derived fan-out (one bucket / worker)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         from .hashing import fmix64
 
         dh = batch.column("doc_hash").to_numpy(zero_copy_only=False)
         with np.errstate(over="ignore"):
-            b = (fmix64(dh.view(np.uint64)) % np.uint64(64)).astype(np.int32)
+            b = (fmix64(dh.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int32)
         return batch.append_column("__bucket", pa.array(b, pa.int32()))
 
     def plan_bucket(batch: pa.Table) -> pa.Table:

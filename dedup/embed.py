@@ -447,13 +447,14 @@ def lsh_bucketed_pairs(
     rows = embeddings.map_batches(bucketize, batch_format="pyarrow").map_batches(
         lambda t: t.rename_columns(["bkey", "doc_hash"]), batch_format="pyarrow"
     )
-    edges, chain = candidate_pairs(rows, _Cfg())
+    _cfg = _Cfg()
+    edges, chain = candidate_pairs(rows, _cfg)
     import ray.data as rd
 
     pairs = edges
     if len(chain):
         pairs = pairs.union(rd.from_arrow(chain))
-    cand_tbl = collect_table(dedup_pairs(pairs))
+    cand_tbl = collect_table(dedup_pairs(pairs, n_buckets=_cfg.join_buckets))
     if not len(cand_tbl):
         return _PAIRS_EMPTY
     ca = cand_tbl.column("a").to_numpy(zero_copy_only=False)

@@ -2,12 +2,20 @@
 
 Image/audio/video payloads ride as Arrow ``binary`` columns; decode /
 resize / feature-extract / frame-sample are **actor-pool map_batches
-stages** (codec state built once per actor in ``__init__``). The
-image/audio libraries are not in this container, so the codec calls are
-STUBBED: ``decode_image``/``decode_audio`` raise ``NotImplementedError``
-unless ``fake=True``, in which case a deterministic payload-hash-seeded
-fake is produced. The Ray-side plumbing — schema, batch sizing, actor
-signature, output layout — is real and tested (tests/test_media.py).
+stages** (codec state built once per actor in ``__init__``). No image or
+audio library ships in this container, so the two formats the synthetic
+corpus uses are decoded with **pure numpy + stdlib zlib/struct**:
+
+  - ``decode_image``: real PNG decode — IHDR parse, concatenated-IDAT
+    zlib inflate, per-scanline unfilter (None/Sub/Up/Average/Paeth) for
+    8-bit gray/RGB/gray+alpha/RGBA → (H, W, C) uint8.
+  - ``decode_audio``: real WAV decode — RIFF/fmt/data chunk walk for
+    PCM 8/16/32-bit int and 32-bit IEEE float → ((frames, channels)
+    float32 in [-1, 1], sample_rate).
+
+``encode_png``/``encode_wav`` are the matching minimal encoders (used to
+synthesize deterministic payloads in tests/benches). Formats needing a
+real codec lib (JPEG/GIF/MP3) raise ``NotImplementedError``.
 
 Scale notes: binary payloads dominate block memory → use small
 ``batch_size`` (default 64) and let the streaming executor backpressure;
@@ -16,6 +24,9 @@ embedding ops (dedup.embed) consume them directly.
 """
 
 from __future__ import annotations
+
+import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -60,28 +71,154 @@ def sniff_types(payload: pa.Array) -> list[str]:
     ]
 
 
-def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """STUB: real decode requires PIL/cv2 (not in this container).
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
 
-    With ``fake=True`` returns a deterministic 8×8×3 uint8 array seeded by
-    the payload hash — stands in for pixel data in tests/benches.
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Pure-numpy PNG decode → (H, W, C) uint8.
+
+    Supports the baseline subset the synthetic corpus emits: 8-bit depth,
+    color types 0/2/4/6, non-interlaced, zlib-inflated concatenated IDAT,
+    all five scanline filters. Other image formats raise
+    ``NotImplementedError`` (JPEG/GIF need codec libs not in this
+    container).
     """
-    if not fake:
-        raise NotImplementedError("image decode requires PIL/cv2 (not installed)")
-    from .hashing import xxh64
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise NotImplementedError(
+            f"unsupported image format (magic {payload[:4]!r}); only PNG is "
+            "decodable without codec libs"
+        )
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT")
+    width, height, depth, ctype_, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or ctype_ not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG variant not supported (depth={depth} color={ctype_} interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[ctype_]
+    stride = width * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(raw) != height * (stride + 1):
+        raise ValueError("malformed PNG: bad decompressed length")
+    raw = raw.reshape(height, stride + 1)
+    filters, lines = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.zeros((height, stride), np.int32)
+    prev = np.zeros(stride, np.int32)
+    for y in range(height):
+        f, cur = filters[y], lines[y]
+        if f == 0:  # None
+            rec = cur.copy()
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        else:  # Sub/Average/Paeth need the in-row left neighbor: per-pixel
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                up = prev[x]
+                if f == 1:  # Sub
+                    pred = left
+                elif f == 3:  # Average
+                    pred = (left + up) >> 1
+                elif f == 4:  # Paeth
+                    ul = prev[x - ch] if x >= ch else 0
+                    p = left + up - ul
+                    pa_, pb_, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa_ <= pb_ and pa_ <= pc_ else (up if pb_ <= pc_ else ul)
+                else:
+                    raise ValueError(f"bad PNG filter byte {f}")
+                rec[x] = (cur[x] + pred) & 0xFF
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8).reshape(height, width, ch)
 
-    rng = np.random.default_rng(xxh64(payload))
-    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-numpy WAV decode → ((frames, channels) float32 in [-1, 1],
+    sample_rate).
+
+    Supports PCM 8/16/32-bit int and 32-bit IEEE float. Other audio
+    containers raise ``NotImplementedError``.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"unsupported audio format (magic {payload[:4]!r}); only RIFF/WAV "
+            "is decodable without codec libs"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    audio_format, channels, sample_rate, _brate, _balign, bits = fmt
+    if audio_format == 1 and bits == 8:
+        x = (np.frombuffer(data, np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif audio_format == 1 and bits == 16:
+        x = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+    elif audio_format == 1 and bits == 32:
+        x = np.frombuffer(data, "<i4").astype(np.float32) / 2147483648.0
+    elif audio_format == 3 and bits == 32:
+        x = np.frombuffer(data, "<f4").astype(np.float32)
+    else:
+        raise NotImplementedError(f"WAV encoding not supported (format={audio_format} bits={bits})")
+    frames = len(x) // channels
+    return x[: frames * channels].reshape(frames, channels), sample_rate
 
 
-def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
-    """STUB: real decode requires soundfile/ffmpeg (not in this container)."""
-    if not fake:
-        raise NotImplementedError("audio decode requires soundfile/ffmpeg")
-    from .hashing import xxh64
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal PNG encoder (filter 0, one IDAT) for (H, W, C) uint8 with
+    C ∈ {1, 2, 3, 4} — the deterministic payload source for tests/benches."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
 
-    rng = np.random.default_rng(xxh64(payload))
-    return rng.standard_normal(256).astype(np.float32)
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), pixels.reshape(h, w * c)], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Minimal PCM-16 WAV encoder for (frames,) or (frames, channels)
+    float32 in [-1, 1]."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    frames, channels = samples.shape
+    pcm = np.clip(np.round(samples * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 class MediaFeaturizer:
@@ -92,10 +229,9 @@ class MediaFeaturizer:
     actor shape (weights loaded once in ``__init__``) is already right.
     """
 
-    def __init__(self, payload_col: str = "html", id_col: str = "url", fake: bool = True):
+    def __init__(self, payload_col: str = "html", id_col: str = "url"):
         self.payload_col = payload_col
         self.id_col = id_col
-        self.fake = fake
         # ≅ model load: per-actor deterministic projection matrix
         rng = np.random.default_rng(1234)
         self.proj = rng.standard_normal((8, FEATURE_DIM)).astype(np.float32)

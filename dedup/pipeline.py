@@ -35,7 +35,9 @@ from .minhash import sign
 from .verify import verify_auto
 
 
-def distinct_reps(ingested: Dataset, dups: np.ndarray | None = None) -> Dataset:
+def distinct_reps(
+    ingested: Dataset, dups: np.ndarray | None = None, n_buckets: int = 32
+) -> Dataset:
     """One row per distinct doc_hash, keeping (doc_hash, text).
 
     Unique-content rows (the overwhelming majority) pass through with **no
@@ -43,7 +45,8 @@ def distinct_reps(ingested: Dataset, dups: np.ndarray | None = None) -> Dataset:
     the narrow combiner) shuffle — and by hash BUCKET, not by doc_hash:
     a ``groupby(doc_hash).map_groups(head)`` pays per-group Python
     overhead once per duplicate group (seconds at 10^4 groups); grouping
-    ~64 buckets instead keeps each call a single vectorized pandas
+    ``n_buckets`` (cfg.join_buckets — sized so one bucket's duplicate rows
+    fit a worker) keeps each call a single vectorized pandas
     ``drop_duplicates`` over co-located whole groups.
 
     ``dups``: precomputed sorted duplicated-key array (callers that
@@ -66,7 +69,7 @@ def distinct_reps(ingested: Dataset, dups: np.ndarray | None = None) -> Dataset:
         from .hashing import fmix64
 
         dh = batch.column("doc_hash").to_numpy(zero_copy_only=False)
-        b = (fmix64(dh.view(np.uint64)) % np.uint64(64)).astype(np.int32)
+        b = (fmix64(dh.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int32)
         return batch.append_column("__bucket", pa.array(b, pa.int32()))
 
     def bucket_first(g: pd.DataFrame) -> pd.DataFrame:
@@ -114,6 +117,10 @@ class NearDupResult:
     # backends, a Dataset on the fully-distributed backend (edges never
     # transit the driver there)
     edges: "pa.Table | Dataset"
+    # the pinned P1 ingest Dataset — downstream consumers (near_dup_corpus)
+    # reuse it instead of re-running ingest (one less full-text pass
+    # through the object store)
+    ingested: Dataset | None = None
     n_candidate_docs: int = 0
 
     def n_edges(self) -> int:
@@ -158,9 +165,13 @@ def near_dup_pipeline(
     # sizing (url count per duplicated doc_hash)
     dup_hashes, dup_cnts = dup_key_counts(ing, "doc_hash")
     tick("dup_counts")
-    # pin reps: its 5-op DAG (two semi-filter scans + bucket dedup +
-    # union) otherwise fuses into downstream consumers and re-executes
-    reps = distinct_reps(ing, dups=dup_hashes).materialize()
+    reps = distinct_reps(ing, dups=dup_hashes, n_buckets=cfg.join_buckets)
+    if checkpoint is not None:
+        # the per-partition signing loop below scans reps P times — pin it.
+        # Without a checkpoint reps has exactly ONE consumer (sign), so the
+        # rep texts stream straight into the signer without an extra
+        # object-store round-trip (ingest→sign fusion).
+        reps = reps.materialize()
     tick("reps")
     if checkpoint is not None:
         # per-PARTITION signing checkpoint: reps hash-partition on
@@ -322,7 +333,7 @@ def near_dup_pipeline(
         batch_format="pyarrow",
     )
     tick("components+finish")
-    return NearDupResult(clusters=clusters, edges=edges)
+    return NearDupResult(clusters=clusters, edges=edges, ingested=ing)
 
 
 def _near_dup_distributed(
@@ -425,7 +436,7 @@ def _near_dup_distributed(
         batch_format="pyarrow",
     )
     tick("assign (dataset)")
-    return NearDupResult(clusters=clusters, edges=edges)
+    return NearDupResult(clusters=clusters, edges=edges, ingested=ing)
 
 
 def near_dup_corpus(
@@ -441,10 +452,7 @@ def near_dup_corpus(
     semi-filter over the ingest stream, so the corpus itself never
     collects.
     """
-    import ray.data as _rd
-
     from .hashing import xxh64_arrow
-    from .ingest import ingest as _ingest
 
     cfg = cfg or DedupConfig()
     res = near_dup_pipeline(pages, cfg, checkpoint=checkpoint)
@@ -468,7 +476,9 @@ def near_dup_corpus(
         xxh64_arrow(pa.array(drop.tolist(), pa.string())).view(np.int64)
     ) if len(drop) else np.empty(0, np.int64)
 
-    ing = _ingest(pages, cfg)
+    # reuse the pipeline's pinned P1 ingest — re-running ingest here would
+    # push the full corpus text through the object store a second time
+    ing = res.ingested
 
     def add_url_hash(batch: pa.Table) -> pa.Table:
         h = xxh64_arrow(batch.column("url").combine_chunks()

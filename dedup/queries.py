@@ -303,6 +303,19 @@ def q_near_dup_corpus(sf_dir: str):
     return near_dup_corpus(pages, CFG)
 
 
+def q_near_dup_corpus_exact_mode(sf_dir: str):
+    """near_dup_corpus through the full MinHash→LSH→verify→UF→collapse
+    machinery, in exact-set mode (threshold 1.0 + set-hash verification):
+    clusters degenerate to "identical distinct-shingle set", so the kept
+    corpus is exactly one min-url representative per shingle-set key —
+    SQL-expressible, same pattern as q_minhash_lsh_exact_mode."""
+    from .pipeline import near_dup_corpus
+
+    pages = pages_from_documents(sf_dir)
+    cfg = DedupConfig(verify_threshold=1.0, exact_set_verify=True)
+    return near_dup_corpus(pages, cfg)
+
+
 # url exclude pattern shared by the gate queries and their oracles —
 # RE2 on both sides (Arrow match_substring_regex / DuckDB regexp_matches)
 GATE_URL_RE = "9$"
@@ -531,6 +544,34 @@ def q_ann_ivf(sf_dir: str):
     return ivf_search(emb, query_ids=list(range(10)), k=5, n_centroids=16, n_probe=4)
 
 
+# vec_id offset for planted exact-twin embeddings (q_ann_ivf_planted)
+PLANT_OFFSET = 10_000_000
+
+
+def q_ann_ivf_planted(sf_dir: str):
+    """IVF ANN over the corpus augmented with exact twins of the query
+    vectors (vec_id + PLANT_OFFSET). A twin is bit-identical to its query,
+    so it lands in the query's own coarse cell (always probed) and scores
+    cosine 1.0 against a near-orthogonal corpus (max ≈ 0.5) — IVF must
+    return it at rank 1. That planted structure IS SQL-expressible, giving
+    the IVF path a partial DuckDB oracle (full top-k stays rows-only in
+    q_ann_ivf)."""
+    from .embed import ivf_search
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def shift(t: pa.Table) -> pa.Table:
+        vid = pa.compute.add(t.column("vec_id"), pa.scalar(PLANT_OFFSET, pa.int64()))
+        return t.set_column(t.schema.get_field_index("vec_id"), "vec_id", vid)
+
+    twins = emb.filter(expr="vec_id < 10").map_batches(shift, batch_format="pyarrow")
+    res = ivf_search(
+        emb.union(twins), query_ids=list(range(10)), k=5, n_centroids=16, n_probe=4
+    )
+    top1 = res[res["rank"] == 1][["query_id", "neighbor_id"]]
+    return top1.reset_index(drop=True)
+
+
 def q_events_windowed(sf_dir: str):
     """Tumbling 1-hour window aggregate over the events stream (the
     windowed-aggregate custom op — SURVEY §2.7 notes the reference has
@@ -582,6 +623,7 @@ QUERIES = {
     "consolidation_plan": q_consolidation_plan,
     "dedup_corpus": q_dedup_corpus,
     "near_dup_corpus": q_near_dup_corpus,
+    "near_dup_corpus_exact_mode": q_near_dup_corpus_exact_mode,
     "line_dedup": q_line_dedup,
     "clean_corpus": q_clean_corpus,
     "filter_gates": q_filter_gates,
@@ -589,6 +631,7 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "gate_rejects": q_gate_rejects,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_planted": q_ann_ivf_planted,
     "events_last_order": q_events_last_order,
     "fingerprint_stats": q_fingerprint_stats,
     "long_repeated_spans": q_long_repeated_spans,
@@ -786,6 +829,18 @@ sh AS (SELECT url, {_shingle_key_sql(distinct=True)} AS key FROM toks),
 g AS (SELECT key, MIN(url) AS cluster_id, COUNT(*) AS cluster_size
       FROM sh GROUP BY key HAVING COUNT(*) > 1)
 SELECT s.url, g.cluster_id, g.cluster_size FROM sh s JOIN g USING (key)
+""".strip(),
+    "near_dup_corpus_exact_mode": f"""
+WITH {PAGES_SQL},
+toks AS (SELECT url, text, {TOKENS_SQL} AS ts FROM pages),
+sh AS (SELECT url, text, {_shingle_key_sql(distinct=True)} AS key FROM toks),
+g AS (SELECT key, MIN(url) AS rep FROM sh GROUP BY key)
+SELECT s.url, strlen(s.text) AS size_bytes
+FROM sh s JOIN g ON s.key = g.key AND s.url = g.rep
+""".strip(),
+    "ann_ivf_planted": f"""
+SELECT vec_id AS query_id, vec_id + {PLANT_OFFSET} AS neighbor_id
+FROM embeddings WHERE vec_id < 10
 """.strip(),
     "simhash_exact_mode": f"""
 WITH {PAGES_SQL},

@@ -43,6 +43,28 @@ def test_cli_near_mode_with_checkpoint_resume(pages_file, tmp_path, capsys):
     assert s2["n_clusters"] == s1["n_clusters"]
 
 
+def test_cli_stats_block_schema(pages_file, tmp_path, capsys):
+    """--stats with a checkpoint prints one JSON block of per-stage
+    rows/bytes/wall from the manifests (G7 progress-counter analogue)."""
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ckpt")
+    rc = main(["--input", pages_file, "--output", out, "--checkpoint", ck,
+               "--stats"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    block = next(
+        json.loads(l) for l in lines
+        if l.startswith("{") and "stage_stats" in l
+    )
+    stats = block["stage_stats"]
+    assert {s["stage"] for s in stats} >= {"p1_ingested", "p3_signatures"}
+    for s in stats:
+        assert set(s) == {"stage", "rows", "bytes", "wall_sec", "parts", "completed"}
+        assert s["rows"] > 0 and s["bytes"] > 0 and s["completed"] is True
+    sign = next(s for s in stats if s["stage"] == "p3_signatures")
+    assert sign["parts"] > 1  # per-partition signing checkpoint
+
+
 def test_cli_exact_mode(pages_file, tmp_path, capsys):
     out = str(tmp_path / "out")
     rc = main(["--input", pages_file, "--output", out, "--mode", "exact"])

@@ -1,4 +1,5 @@
-"""Multimodal plumbing tests: schema, actor-pool stage, stubbed codecs."""
+"""Multimodal plumbing tests: schema, actor-pool stage, real pure-numpy
+PNG/WAV codecs (round-trip pinned)."""
 
 import numpy as np
 import pyarrow as pa
@@ -9,20 +10,27 @@ from dedup.media import (
     FEATURE_DIM,
     decode_audio,
     decode_image,
+    encode_png,
+    encode_wav,
     media_featurize,
     media_features,
     sniff_type,
 )
 
 
-def _pages():
-    payloads = [
+def _payloads():
+    rng = np.random.default_rng(5)
+    return [
         b"<html><body>hello</body></html>",
-        b"\x89PNG\r\n\x1a\n" + b"\x00" * 64,
+        encode_png(rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)),
         b"\xff\xd8\xff\xe0" + b"\x00" * 32,
-        b"RIFF" + b"\x00" * 16,
+        encode_wav(rng.standard_normal(64).astype(np.float32) * 0.1),
         b"\x00\x01\x02",
     ]
+
+
+def _pages():
+    payloads = _payloads()
     return rd.from_arrow(
         pa.table(
             {
@@ -41,20 +49,76 @@ def test_sniff_types():
     assert sniff_type(b"\x00\x01") == "application/octet-stream"
 
 
-def test_decode_stubs_raise_without_fake():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
-    with pytest.raises(NotImplementedError):
-        decode_audio(b"RIFF")
+def test_png_roundtrip_all_color_types():
+    rng = np.random.default_rng(7)
+    for c in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(13, 9, c), dtype=np.uint8)
+        out = decode_image(encode_png(px))
+        assert out.shape == (13, 9, c)
+        assert (out == px).all()
 
 
-def test_decode_fakes_deterministic():
-    a = decode_image(b"payload", fake=True)
-    b = decode_image(b"payload", fake=True)
-    c = decode_image(b"other", fake=True)
-    assert a.shape == (8, 8, 3) and (a == b).all() and not (a == c).all()
-    s1 = decode_audio(b"x", fake=True)
-    assert s1.shape == (256,) and s1.dtype == np.float32
+def test_png_all_filter_types_decode():
+    # hand-build a 4-row RGB PNG using one scanline filter per row
+    # (encode_png only emits filter 0) and check against a reference
+    # unfilter done straight from the spec
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(3)
+    h, w, c = 4, 6, 3
+    px = rng.integers(0, 256, size=(h, w * c), dtype=np.uint8).astype(np.int32)
+    filters = [1, 2, 3, 4]
+    raw = bytearray()
+    prev = np.zeros(w * c, np.int32)
+    for y, f in enumerate(filters):
+        cur = px[y]
+        line = np.empty(w * c, np.int32)
+        for x in range(w * c):
+            left = cur[x - c] if x >= c else 0
+            up = prev[x]
+            ul = prev[x - c] if x >= c else 0
+            if f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa_, pb_, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa_ <= pb_ and pa_ <= pc_ else (up if pb_ <= pc_ else ul)
+            line[x] = (cur[x] - pred) & 0xFF
+        raw.append(f)
+        raw.extend(line.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    out = decode_image(payload)
+    assert (out.reshape(h, w * c) == px.astype(np.uint8)).all()
+
+
+def test_wav_roundtrip():
+    rng = np.random.default_rng(11)
+    x = np.clip(rng.standard_normal((480, 2)) * 0.3, -0.99, 0.99).astype(np.float32)
+    samples, rate = decode_audio(encode_wav(x, sample_rate=8000))
+    assert rate == 8000 and samples.shape == (480, 2)
+    # encode scales by 32767, decode by 32768 (the PCM16 convention) →
+    # worst-case round-trip error (0.5 + |x|) / 32768
+    assert np.abs(samples - x).max() <= (0.5 + np.abs(x).max()) / 32768
+
+
+def test_decode_unsupported_formats_raise():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0jpeg...")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04mp3...")
 
 
 def test_featurize_actor_pool_schema_and_determinism():
@@ -73,4 +137,16 @@ def test_featurize_actor_pool_schema_and_determinism():
 
 def test_media_features_projection():
     out = media_features(_pages()).to_pandas().sort_values("url")
-    assert out["media_bytes"].tolist() == [31, 72, 36, 20, 3]
+    assert out["media_bytes"].tolist() == [len(p) for p in _payloads()]
+
+
+def test_sniffed_payloads_decode():
+    # the typed-metadata sniff and the decoders agree: every payload
+    # sniffed image/png or audio/wav actually decodes
+    for p in _payloads():
+        t = sniff_type(p)
+        if t == "image/png":
+            assert decode_image(p).shape == (8, 8, 3)
+        elif t == "audio/wav":
+            samples, rate = decode_audio(p)
+            assert rate == 16000 and samples.shape == (64, 1)
