@@ -27,8 +27,30 @@ import ray
 from ray.data import Dataset
 
 from .config import DedupConfig
-from .exchange import dup_keys, key_counts, semi_filter
+from .exchange import dup_key_counts, dup_keys, semi_filter
 from .ingest import ingest
+
+
+def _dup_fulls(ingested: Dataset) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted dup doc_hashes, counts) after the three-stage cascade,
+    computed entirely on NARROW projections of the pinned ingest.
+
+    The stage chain (size → short → full, process_matches.rs:51-61) runs
+    over (size_bytes, short_hash, doc_hash) columns only — zero-copy
+    column reads of the materialized blocks; the text payload is never
+    filtered or re-written between stages. Row-set equivalence with
+    filtering the full rows per stage holds because equal doc_hash ⇒
+    identical text ⇒ equal size and short_hash: every row of a
+    globally-duplicated doc_hash survives stages 1-2 automatically, so
+    stage-3 counts over narrow survivors equal counts over full-row
+    survivors (pinned by the `cascade_stage_counts` oracle).
+    """
+    narrow = ingested.select_columns(["size_bytes", "short_hash", "doc_hash"])
+    sizes = dup_keys(narrow, "size_bytes")
+    n1 = semi_filter(narrow, "size_bytes", sizes)
+    shorts = dup_keys(n1, "short_hash")
+    n2 = semi_filter(n1, "short_hash", shorts)
+    return dup_key_counts(n2, "doc_hash")
 
 
 def exact_survivors(ingested: Dataset, cfg: DedupConfig) -> Dataset:
@@ -36,18 +58,13 @@ def exact_survivors(ingested: Dataset, cfg: DedupConfig) -> Dataset:
     more than once. Returns the filtered ingested dataset (url, text, ...,
     doc_hash).
 
-    Each stage is consumed twice (count pass + filter pass), so stages
-    are pinned in the object store; survivors shrink monotonically
-    (process_matches.rs:51-61), so each pin is smaller than the last.
+    One full-text object-store write (the ingest pin); the cascade's
+    inter-stage pruning happens on narrow columns (`_dup_fulls`), then
+    the text is filtered ONCE by the final key set.
     """
     ingested = ingested.materialize()
-    sizes = dup_keys(ingested, "size_bytes")
-    s1 = semi_filter(ingested, "size_bytes", sizes).materialize()
-    shorts = dup_keys(s1, "short_hash")
-    s2 = semi_filter(s1, "short_hash", shorts).materialize()
-    fulls = dup_keys(s2, "doc_hash")
-    s3 = semi_filter(s2, "doc_hash", fulls)
-    return s3
+    fulls, _ = _dup_fulls(ingested)
+    return semi_filter(ingested, "doc_hash", fulls)
 
 
 def exact_clusters(pages: Dataset, cfg: DedupConfig | None = None) -> Dataset:
@@ -60,25 +77,20 @@ def exact_clusters(pages: Dataset, cfg: DedupConfig | None = None) -> Dataset:
     url≅hard-link mapping (every url beyond the first is redundant).
     """
     cfg = cfg or DedupConfig()
-    ing = ingest(pages, cfg)
-    surv = exact_survivors(ing, cfg).materialize()  # consumed twice below
-
-    # per-doc_hash counts of survivors (narrow aggregate, then broadcast)
-    counts = key_counts(surv, "doc_hash")
-    ct = pa.concat_tables(
-        list(counts.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-        or [pa.table({"doc_hash": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})]
-    )
-    keys = ct.column("doc_hash").to_numpy(zero_copy_only=False)
-    cnts = ct.column("cnt").to_numpy(zero_copy_only=False)
-    order = np.argsort(keys)
-    ref = ray.put((keys[order], cnts[order]))
+    ing = ingest(pages, cfg).materialize()
+    # cascade counts from ONE narrow pass chain; the emit below fuses the
+    # survivor filter and the cluster columns into a single text pass
+    keys, cnts = _dup_fulls(ing)
+    ref = ray.put((keys, cnts))
 
     def emit(batch: pa.Table) -> pa.Table:
         k_sorted, c_sorted = ray.get(ref)
         dh = batch.column("doc_hash").to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(k_sorted, dh)
-        n = c_sorted[np.minimum(idx, len(k_sorted) - 1)] if len(k_sorted) else np.zeros(len(dh), np.int64)
+        if len(k_sorted):
+            idx = np.minimum(np.searchsorted(k_sorted, dh), len(k_sorted) - 1)
+            n = np.where(k_sorted[idx] == dh, c_sorted[idx], 0)
+        else:
+            n = np.zeros(len(dh), np.int64)
         sz = batch.column("size_bytes").to_numpy(zero_copy_only=False)
         keep = n > 1
         out = pa.table(
@@ -93,7 +105,7 @@ def exact_clusters(pages: Dataset, cfg: DedupConfig | None = None) -> Dataset:
         )
         return out.filter(pa.array(keep))
 
-    return surv.map_batches(emit, batch_format="pyarrow")
+    return ing.map_batches(emit, batch_format="pyarrow")
 
 
 def dedup_corpus(pages: Dataset, cfg: DedupConfig) -> Dataset:
@@ -109,9 +121,15 @@ def dedup_corpus(pages: Dataset, cfg: DedupConfig) -> Dataset:
 
     from .ingest import ingest as _ingest
 
-    ing = _ingest(pages, cfg)
-    narrow = ing.select_columns(["url", "doc_hash", "size_bytes"])
-    dups = dup_keys(ing, "doc_hash")
+    # pin the NARROW projection only: ingest (regex + full-text hashing)
+    # runs once, the text payload never enters the object store at all —
+    # the artifact is (url, size_bytes), derivable from narrow columns
+    narrow = (
+        _ingest(pages, cfg)
+        .select_columns(["url", "doc_hash", "size_bytes"])
+        .materialize()
+    )
+    dups = dup_keys(narrow, "doc_hash")
     uniq = semi_filter(narrow, "doc_hash", dups, keep=False).select_columns(
         ["url", "size_bytes"]
     )

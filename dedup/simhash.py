@@ -145,7 +145,10 @@ def simhash_clusters(
 
     cfg = cfg or DedupConfig()
     ing = ingest(pages, cfg).materialize()  # consumed by reps + assignment
-    reps = distinct_reps(ing).materialize()  # pin: stop DAG re-execution
+    # reps has exactly one consumer (the fingerprint pass, pinned next
+    # line): leave it lazy so rep texts stream straight into the
+    # fingerprinter without an extra full-text object-store round-trip
+    reps = distinct_reps(ing)
     fps = simhash_fingerprints(reps, cfg).materialize()
     chunks = _chunk_rows(fps)
     pairs, chain = candidate_pairs(chunks, cfg)

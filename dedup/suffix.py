@@ -149,8 +149,8 @@ def long_span_pairs(
 
     cfg = cfg or DedupConfig()
     ing = ingest(pages, cfg).materialize()  # distinct_reps makes 3 passes
-    reps = distinct_reps(ing).materialize()
-    sigs = sign(reps, cfg)
+    reps = distinct_reps(ing).materialize()  # consumed by sign + text attach
+    sigs = sign(reps, cfg).materialize()  # consumed by band_rows + verify
     bands = band_rows(sigs, cfg)
     pairs, chain = candidate_pairs(bands, cfg)
     if len(chain):
