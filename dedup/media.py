@@ -209,11 +209,15 @@ def encode_png(pixels: np.ndarray) -> bytes:
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """Minimal PCM-16 WAV encoder for (frames,) or (frames, channels)
-    float32 in [-1, 1]."""
+    samples: float32 in [-1, 1] (quantized ×32767) or int16 (written
+    verbatim — the exact-round-trip path used by planted-media tests)."""
     if samples.ndim == 1:
         samples = samples[:, None]
     frames, channels = samples.shape
-    pcm = np.clip(np.round(samples * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    if samples.dtype == np.int16:
+        pcm = samples.astype("<i2").tobytes()
+    else:
+        pcm = np.clip(np.round(samples * 32767.0), -32768, 32767).astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
                       sample_rate * channels * 2, channels * 2, 16)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -305,3 +309,107 @@ def media_features(ds: Dataset, payload_col: str = "html", id_col: str = "url") 
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=256, zero_copy_batch=True)
+
+
+# --- planted-media synthesis + decode stage -------------------------------
+#
+# Deterministic PNG/WAV payloads generated from an integer id by the
+# closed-form formulas below; the SQL oracle (queries.ORACLES
+# ["media_decode"]) regenerates the expected dims and content sums from
+# the SAME formulas, so the decode stage must recover every pixel /
+# sample exactly to pass. Even ids carry an image, odd ids audio.
+
+def synth_media_payload(i: int) -> bytes:
+    """One deterministic payload for integer id ``i`` (formulas mirrored
+    in the media_decode oracle SQL)."""
+    if i % 2 == 0:
+        h = 8 + i % 9
+        w = 8 + i % 7
+        c = 1 if i % 4 == 0 else 3
+        y, x, ch = np.ogrid[0:h, 0:w, 0:c]
+        px = ((i * 7 + y * 5 + x * 3 + ch) % 256).astype(np.uint8)
+        return encode_png(px)
+    frames = 32 + i % 33
+    channels = 1 + (i // 2) % 2
+    rate = 8000 * (1 + i % 3)
+    n = frames * channels
+    v = (((i * 31 + np.arange(n, dtype=np.int64) * 17) % 65536) - 32768).astype(
+        np.int16
+    )
+    return encode_wav(v.reshape(frames, channels), sample_rate=rate)
+
+
+def synth_media(ds: Dataset, id_col: str = "doc_id", payload_col: str = "payload") -> Dataset:
+    """Append the planted binary payload column to ``ds``."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            payload_col, pa.array([synth_media_payload(int(i)) for i in ids], pa.binary())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=256, zero_copy_batch=True)
+
+
+class MediaDecoder:
+    """Actor-pool stage: PNG/WAV payload column → decoded metadata table
+    (kind, height, width, channels, frames, sample_rate, content_sum).
+
+    ``content_sum`` is the exact integer content checksum — Σ pixel
+    values for images, Σ int16 sample values for audio (the float32
+    samples are re-quantized ×32768; exact because /32768 is a power of
+    two). Per-payload decode is inherently row-wise (each payload is its
+    own container) — the batch loop IS the codec work, not a missing
+    vectorization.
+    """
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "doc_id"):
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch.column(self.payload_col)
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        n = len(batch)
+        kind = [""] * n
+        cols = {k: np.zeros(n, np.int64) for k in
+                ("height", "width", "channels", "frames", "sample_rate", "content_sum")}
+        for j in range(n):
+            p = payload[j].as_py()
+            t = sniff_type(p)
+            if t == "image/png":
+                px = decode_image(p)
+                kind[j] = "image"
+                cols["height"][j], cols["width"][j], cols["channels"][j] = px.shape
+                cols["content_sum"][j] = int(px.astype(np.int64).sum())
+            elif t == "audio/wav":
+                x, rate = decode_audio(p)
+                kind[j] = "audio"
+                cols["frames"][j], cols["channels"][j] = x.shape
+                cols["sample_rate"][j] = rate
+                cols["content_sum"][j] = int(np.round(x.astype(np.float64) * 32768.0).sum())
+            else:
+                kind[j] = "other"
+        out = {self.id_col: batch.column(self.id_col),
+               "kind": pa.array(kind, pa.string())}
+        out.update({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+        return pa.table(out)
+
+
+def media_decode(
+    ds: Dataset,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    concurrency: tuple[int, int] = (1, 8),
+    batch_size: int = 64,
+) -> Dataset:
+    """Decode stage as an actor pool (small batches: wide binary rows)."""
+    return ds.map_batches(
+        MediaDecoder,
+        fn_constructor_kwargs={"payload_col": payload_col, "id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )

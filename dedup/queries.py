@@ -275,6 +275,19 @@ def q_media_features(sf_dir: str):
     return media_features(pages)
 
 
+def q_media_decode(sf_dir: str):
+    """Planted-media decode: synthesize deterministic PNG/WAV payloads
+    from doc_id (even → image, odd → audio), decode them with the real
+    pure-numpy codecs in an actor-pool stage, and emit dims + exact
+    integer content checksums. The oracle regenerates the expected
+    values from the SAME closed-form formulas in SQL — a wrong pixel or
+    sample anywhere changes content_sum and fails the hash gate."""
+    from .media import media_decode, synth_media
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return media_decode(synth_media(ds))
+
+
 def q_consolidation_plan(sf_dir: str):
     """Representative-selection action table (≅ consolidation dry-run,
     consolidation.rs:25-173)."""
@@ -620,6 +633,7 @@ QUERIES = {
     "knn_cosine": q_knn_cosine,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "media_features": q_media_features,
+    "media_decode": q_media_decode,
     "consolidation_plan": q_consolidation_plan,
     "dedup_corpus": q_dedup_corpus,
     "near_dup_corpus": q_near_dup_corpus,
@@ -746,6 +760,43 @@ SELECT 'doc://' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
        strlen(text) + 26 AS media_bytes,
        'text/html' AS media_type
 FROM documents
+""".strip(),
+    # regenerates the planted-payload formulas of media.synth_media_payload
+    # in SQL: the Ray side must decode every pixel/sample exactly
+    "media_decode": """
+WITH d AS (SELECT doc_id FROM documents),
+img AS (SELECT doc_id, 8 + doc_id % 9 AS height, 8 + doc_id % 7 AS width,
+               CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END AS channels
+        FROM d WHERE doc_id % 2 = 0),
+imgs AS (SELECT i.doc_id, 'image' AS kind, i.height, i.width, i.channels,
+                0 AS frames, 0 AS sample_rate,
+                SUM((i.doc_id * 7 + y.y * 5 + x.x * 3 + ch.ch) % 256) AS content_sum
+         FROM img i,
+              LATERAL (SELECT unnest(range(i.height)) AS y) y,
+              LATERAL (SELECT unnest(range(i.width)) AS x) x,
+              LATERAL (SELECT unnest(range(i.channels)) AS ch) ch
+         GROUP BY ALL),
+aud AS (SELECT doc_id, 32 + doc_id % 33 AS frames,
+               1 + (doc_id // 2) % 2 AS channels,
+               8000 * (1 + doc_id % 3) AS sample_rate
+        FROM d WHERE doc_id % 2 = 1),
+auds AS (SELECT a.doc_id, 'audio' AS kind, 0 AS height, 0 AS width,
+                a.channels, a.frames, a.sample_rate,
+                SUM(((a.doc_id * 31 + i.i * 17) % 65536) - 32768) AS content_sum
+         FROM aud a,
+              LATERAL (SELECT unnest(range(a.frames * a.channels)) AS i) i
+         GROUP BY ALL)
+SELECT doc_id, kind, CAST(height AS BIGINT) AS height,
+       CAST(width AS BIGINT) AS width, CAST(channels AS BIGINT) AS channels,
+       CAST(frames AS BIGINT) AS frames,
+       CAST(sample_rate AS BIGINT) AS sample_rate,
+       CAST(content_sum AS BIGINT) AS content_sum FROM imgs
+UNION ALL
+SELECT doc_id, kind, CAST(height AS BIGINT) AS height,
+       CAST(width AS BIGINT) AS width, CAST(channels AS BIGINT) AS channels,
+       CAST(frames AS BIGINT) AS frames,
+       CAST(sample_rate AS BIGINT) AS sample_rate,
+       CAST(content_sum AS BIGINT) AS content_sum FROM auds
 """.strip(),
     "consolidation_plan": f"""
 WITH {PAGES_SQL},

@@ -150,3 +150,39 @@ def test_sniffed_payloads_decode():
         elif t == "audio/wav":
             samples, rate = decode_audio(p)
             assert rate == 16000 and samples.shape == (64, 1)
+
+
+def test_synth_media_payload_decodes_to_formulas():
+    from dedup.media import synth_media_payload
+
+    for i in (0, 1, 2, 3, 7, 12, 33, 64, 101):
+        p = synth_media_payload(i)
+        if i % 2 == 0:
+            px = decode_image(p)
+            h, w, c = 8 + i % 9, 8 + i % 7, 1 if i % 4 == 0 else 3
+            assert px.shape == (h, w, c)
+            y, x, ch = np.ogrid[0:h, 0:w, 0:c]
+            assert (px == ((i * 7 + y * 5 + x * 3 + ch) % 256)).all()
+        else:
+            x, rate = decode_audio(p)
+            frames, channels = 32 + i % 33, 1 + (i // 2) % 2
+            assert x.shape == (frames, channels)
+            assert rate == 8000 * (1 + i % 3)
+            n = frames * channels
+            v = ((i * 31 + np.arange(n) * 17) % 65536) - 32768
+            assert (np.round(x.reshape(-1) * 32768.0).astype(np.int64) == v).all()
+
+
+def test_media_decode_stage():
+    from dedup.media import media_decode, synth_media
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(20), pa.int64())}))
+    out = media_decode(synth_media(ds)).to_pandas().sort_values("doc_id")
+    assert len(out) == 20
+    assert (out["kind"] == ["image", "audio"] * 10).all()
+    img = out[out["kind"] == "image"]
+    assert (img["height"] == 8 + img["doc_id"] % 9).all()
+    assert (img["frames"] == 0).all()
+    aud = out[out["kind"] == "audio"]
+    assert (aud["sample_rate"] == 8000 * (1 + aud["doc_id"] % 3)).all()
+    assert (aud["height"] == 0).all()
