@@ -41,6 +41,39 @@ def build_config(args) -> "DedupConfig":
     return DedupConfig(**kw)
 
 
+def _install_interrupt_progress(ckpt, t0) -> None:
+    """Interrupt-time progress reporting (≅ reference ctrl-c handler,
+    src/main.rs:54-80): the first SIGINT prints a JSON progress block —
+    elapsed wall + per-stage rows/bytes/wall from the checkpoint
+    manifests written so far — and the run CONTINUES; a second SIGINT
+    within 1.5 s exits."""
+    import signal
+    import sys
+    import time as _t
+
+    state: dict = {"last": None}
+
+    def handler(signum, frame):
+        now = _t.monotonic()
+        if state["last"] is not None and now - state["last"] < 1.5:
+            sys.exit(1)
+        state["last"] = now
+        block: dict = {"elapsed_sec": round(now - t0, 3)}
+        if ckpt is not None:
+            try:
+                block["stage_stats"] = ckpt.stage_stats()
+            except Exception:  # progress must never crash the run
+                pass
+        print(json.dumps({"progress": block}), file=sys.stderr, flush=True)
+        print(
+            "Interrupt caught. Quickly press ctrl-c again to exit.",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    signal.signal(signal.SIGINT, handler)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="dedup", description=__doc__)
     ap.add_argument("--input", required=True, help="parquet file/dir of pages")
@@ -92,6 +125,7 @@ def main(argv=None) -> int:
     t0 = time.monotonic()
     pages = rd.read_parquet(args.input)
     ckpt = CheckpointManager(args.checkpoint, cfg) if args.checkpoint else None
+    _install_interrupt_progress(ckpt, t0)
 
     if args.mode == "corpus":
         from .pipeline import near_dup_corpus

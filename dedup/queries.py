@@ -515,6 +515,28 @@ def q_ann_lsh_near_dup(sf_dir: str):
     return t.select(["a", "b"])
 
 
+def q_ann_lsh_planted(sf_dir: str):
+    """Hyperplane-LSH ANN over the corpus augmented with exact twins of
+    the first 10 vectors (vec_id + PLANT_OFFSET). Identical vectors land
+    in the same sign bucket in EVERY table, so each twin pair is a
+    guaranteed candidate and verifies at cosine ≈ 1.0; the corpus max
+    pairwise cosine is ~0.51, so at threshold 0.999 the planted twin
+    pairs are exactly the output — SQL-expressible, pinning the full
+    bucketize → candidate → exact-verify path (the approximate default-
+    threshold output stays rows-only in q_ann_lsh_near_dup)."""
+    from .embed import lsh_bucketed_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def shift(t: pa.Table) -> pa.Table:
+        vid = pa.compute.add(t.column("vec_id"), pa.scalar(PLANT_OFFSET, pa.int64()))
+        return t.set_column(t.schema.get_field_index("vec_id"), "vec_id", vid)
+
+    twins = emb.filter(expr="vec_id < 10").map_batches(shift, batch_format="pyarrow")
+    t = lsh_bucketed_pairs(emb.union(twins), threshold=0.999, n_planes=8, n_tables=8)
+    return t.select(["a", "b"]).sort_by("a")
+
+
 def q_events_last_order(sf_dir: str):
     """As-of join: each event matched to the user's most recent order
     at event time (backward as-of; Ray Data lacks this natively)."""
@@ -622,6 +644,79 @@ def q_long_repeated_spans(sf_dir: str):
     return long_span_pairs(pages, CFG, min_span=64)
 
 
+# planted-span constants (q_long_spans_planted): doc i's two pages share
+# exactly their first LSP_PREFIX of LSP_NTOK namespaced tokens
+LSP_NTOK = 40
+LSP_PREFIX = 38
+
+
+def _lsp_texts(i: int) -> tuple[str, str]:
+    """The planted page-pair texts for doc id ``i`` (mirrored in SQL)."""
+    toks = [f"t{i}_{j}" for j in range(LSP_NTOK)]
+    a = " ".join(toks)
+    b = " ".join(toks[:LSP_PREFIX] + [f"d{i}_{j}" for j in range(LSP_PREFIX, LSP_NTOK)])
+    return a, b
+
+
+def q_long_spans_planted(sf_dir: str):
+    """Long-repeated-span detection over planted pairs: per doc_id, two
+    synthetic pages (urls ``a/<id>``, ``b/<id>``) share exactly their
+    first LSP_PREFIX tokens then diverge; token names are namespaced by
+    doc_id so cross-doc Jaccard is 0. The full MinHash→LSH→verify→
+    rolling-hash-LCS machinery must report lcs_len == len(prefix)+1 (the
+    shared prefix plus the token separator, after which 't' vs 'd'
+    differ) for exactly the planted pairs. The oracle regenerates the
+    prefix strings — and hence the expected lengths — in SQL, so a wrong
+    span length anywhere fails the hash gate (the free-threshold variant
+    stays rows-only in q_long_repeated_spans)."""
+    from .exchange import collect_table
+    from .hashing import xxh64_arrow
+    from .suffix import long_span_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def mk_pages(t: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        texts: list[str] = []
+        for i in t.column("doc_id").to_pylist():  # planted-fixture gen, not a hot path
+            a, b = _lsp_texts(i)
+            urls += [f"a/{i}", f"b/{i}"]
+            texts += [a, b]
+        return pa.table(
+            {"url": pa.array(urls, pa.string()), "text": pa.array(texts, pa.string())}
+        )
+
+    pages = ds.map_batches(mk_pages, batch_format="pyarrow")
+    res = collect_table(long_span_pairs(pages, CFG, min_span=64))
+
+    # map doc_hash identities back to the planted urls (driver-side over
+    # the planted fixture only — bounded by the doc count, not a corpus)
+    ids = collect_table(ds).column("doc_id").to_pylist()
+    all_urls, all_texts = [], []
+    for i in ids:
+        a, b = _lsp_texts(i)
+        all_urls += [f"a/{i}", f"b/{i}"]
+        all_texts += [a, b]
+    hashes = xxh64_arrow(pa.array(all_texts, pa.string()), seed=CFG.hash_seed).view(
+        np.int64
+    )
+    h2u = dict(zip(hashes.tolist(), all_urls))
+    ua = np.array([h2u[x] for x in res.column("a").to_pylist()])
+    ub = np.array([h2u[x] for x in res.column("b").to_pylist()])
+    # canonicalize by url (a/<i> first); doc_hash order is not SQL-visible
+    swap = ua > ub
+    lo = np.where(swap, ub, ua)
+    hi = np.where(swap, ua, ub)
+    out = pa.table(
+        {
+            "url_a": pa.array(lo, pa.string()),
+            "url_b": pa.array(hi, pa.string()),
+            "lcs_len": res.column("lcs_len").cast(pa.int64()),
+        }
+    )
+    return out.sort_by("url_a")
+
+
 QUERIES = {
     "exact_dup_clusters": q_exact_dup_clusters,
     "top_clusters": q_top_clusters,
@@ -655,6 +750,8 @@ QUERIES = {
     "simhash_exact_mode": q_simhash_exact_mode,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_lsh_near_dup": q_ann_lsh_near_dup,
+    "ann_lsh_planted": q_ann_lsh_planted,
+    "long_spans_planted": q_long_spans_planted,
 }
 
 
@@ -892,6 +989,22 @@ FROM sh s JOIN g ON s.key = g.key AND s.url = g.rep
     "ann_ivf_planted": f"""
 SELECT vec_id AS query_id, vec_id + {PLANT_OFFSET} AS neighbor_id
 FROM embeddings WHERE vec_id < 10
+""".strip(),
+    "ann_lsh_planted": f"""
+SELECT CAST(vec_id AS BIGINT) AS a, CAST(vec_id + {PLANT_OFFSET} AS BIGINT) AS b
+FROM embeddings WHERE vec_id < 10
+""".strip(),
+    "long_spans_planted": f"""
+WITH p AS (
+  SELECT doc_id,
+    string_agg('t' || CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR),
+               ' ' ORDER BY j) AS pref
+  FROM documents, generate_series(0, {LSP_PREFIX - 1}) AS g(j)
+  GROUP BY doc_id)
+SELECT 'a/' || CAST(doc_id AS VARCHAR) AS url_a,
+       'b/' || CAST(doc_id AS VARCHAR) AS url_b,
+       CAST(length(pref) + 1 AS BIGINT) AS lcs_len
+FROM p
 """.strip(),
     "simhash_exact_mode": f"""
 WITH {PAGES_SQL},

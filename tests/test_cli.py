@@ -102,3 +102,30 @@ def test_cli_corpus_mode(pages_file, tmp_path, capsys):
     n_in = pq.read_metadata(pages_file).num_rows
     assert len(corpus) < n_in
     assert corpus["url"].is_unique
+
+
+def test_interrupt_progress_handler(pages_file, tmp_path, capsys):
+    """First SIGINT prints a progress block and the run continues; a
+    second within 1.5 s exits (reference ctrl-c semantics,
+    src/main.rs:54-80)."""
+    import signal
+    import time
+
+    from dedup.checkpoint import CheckpointManager
+    from dedup.cli import _install_interrupt_progress
+    from dedup.config import DedupConfig
+
+    ck = CheckpointManager(str(tmp_path / "ckpt"), DedupConfig())
+    try:
+        _install_interrupt_progress(ck, time.monotonic())
+        os.kill(os.getpid(), signal.SIGINT)
+        time.sleep(0.05)  # let the handler run
+        err = capsys.readouterr().err
+        assert '"progress"' in err and "elapsed_sec" in err
+        assert "press ctrl-c again" in err
+        # second interrupt inside the window exits
+        with pytest.raises(SystemExit):
+            os.kill(os.getpid(), signal.SIGINT)
+            time.sleep(0.05)
+    finally:
+        signal.signal(signal.SIGINT, signal.default_int_handler)

@@ -192,3 +192,14 @@ def test_lsh_bucketed_recall_vs_exact():
     ap = set(zip(approx.column("a").to_pylist(), approx.column("b").to_pylist()))
     assert ap <= ex                      # exact verification → no false positives
     assert len(ap & ex) / len(ex) >= 0.9
+
+
+def test_ann_lsh_planted_twins(sf_dir):
+    """Exact twins must surface through hyperplane-LSH buckets in every
+    table and verify at cosine ~1.0; at threshold 0.999 over a
+    near-orthogonal corpus they are the entire output."""
+    from dedup.queries import PLANT_OFFSET, q_ann_lsh_planted
+
+    t = q_ann_lsh_planted(sf_dir).to_pandas()
+    assert t.a.tolist() == list(range(10))
+    assert t.b.tolist() == [i + PLANT_OFFSET for i in range(10)]

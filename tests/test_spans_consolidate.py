@@ -254,3 +254,26 @@ def test_text_fingerprint_stats_property():
             assert got.loc[i, "min_fingerprint"] == (min(fps) if fps else "")
 
     check()
+
+
+def test_long_spans_planted_matches_formula(sf_dir):
+    """Planted page-pairs: the LSH->verify->LCS path must find exactly one
+    pair per doc with lcs_len == shared-prefix length (+1 separator)."""
+    import duckdb
+
+    from dedup.queries import _lsp_texts, q_long_spans_planted
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    out = q_long_spans_planted(sf_dir).to_pandas().sort_values("url_a")
+    assert len(out) == n_docs
+    assert out.url_a.str.startswith("a/").all()
+    assert out.url_b.str.startswith("b/").all()
+    # spot-check the span length formula on a few ids
+    for i in (0, 5, 17):
+        a, b = _lsp_texts(i)
+        n = 0
+        while n < min(len(a), len(b)) and a[n] == b[n]:
+            n += 1
+        assert out[out.url_a == f"a/{i}"].lcs_len.iloc[0] == n
