@@ -329,6 +329,37 @@ def q_near_dup_corpus_exact_mode(sf_dir: str):
     return near_dup_corpus(pages, cfg)
 
 
+def q_incremental_exact_mode(sf_dir: str):
+    """Incremental dedup (dedup/incremental.py) end-to-end in exact-set
+    mode: the corpus (docs with doc_id % 4 < 2, dups planted) is built
+    into a persisted signature index, then the remaining docs are deduped
+    against it as a new batch. In exact mode a batch page drops iff its
+    distinct-shingle-set key appears in the corpus, else one min-url
+    representative per batch key survives — SQL-expressible."""
+    import tempfile
+
+    from .incremental import build_index, incremental_dedup
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    from .adapters import _to_pages
+
+    def half(lo: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            did = b.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (did % 4 < 2) if lo else (did % 4 >= 2)
+            return _to_pages(b.filter(pa.array(mask)), plant_dups=True)
+
+        return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    cfg = DedupConfig(verify_threshold=1.0, exact_set_verify=True)
+    idx = tempfile.mkdtemp(prefix="dedup_incr_idx_", dir="/tmp")
+    build_index(half(True), cfg, idx)
+    res = incremental_dedup(half(False), idx, cfg)
+    return res.kept.select_columns(["url", "size_bytes"])
+
+
 # url exclude pattern shared by the gate queries and their oracles —
 # RE2 on both sides (Arrow match_substring_regex / DuckDB regexp_matches)
 GATE_URL_RE = "9$"
@@ -733,6 +764,7 @@ QUERIES = {
     "dedup_corpus": q_dedup_corpus,
     "near_dup_corpus": q_near_dup_corpus,
     "near_dup_corpus_exact_mode": q_near_dup_corpus_exact_mode,
+    "incremental_exact_mode": q_incremental_exact_mode,
     "line_dedup": q_line_dedup,
     "clean_corpus": q_clean_corpus,
     "filter_gates": q_filter_gates,
@@ -985,6 +1017,23 @@ sh AS (SELECT url, text, {_shingle_key_sql(distinct=True)} AS key FROM toks),
 g AS (SELECT key, MIN(url) AS rep FROM sh GROUP BY key)
 SELECT s.url, strlen(s.text) AS size_bytes
 FROM sh s JOIN g ON s.key = g.key AND s.url = g.rep
+""".strip(),
+    "incremental_exact_mode": f"""
+WITH allp AS (
+  SELECT doc_id, 'doc://' || source || '/' || CAST(doc_id AS VARCHAR) AS url, text FROM documents
+  UNION ALL
+  SELECT doc_id, 'doc://' || source || '/' || CAST(doc_id AS VARCHAR) || '#dup1', text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, 'doc://' || source || '/' || CAST(doc_id AS VARCHAR) || '#dup2', text FROM documents WHERE doc_id % 20 = 0
+),
+toks AS (SELECT doc_id, url, text, {TOKENS_SQL} AS ts FROM allp),
+sh AS (SELECT doc_id, url, text, {_shingle_key_sql(distinct=True)} AS key FROM toks),
+ck AS (SELECT DISTINCT key FROM sh WHERE doc_id % 4 < 2),
+b AS (SELECT url, text, key FROM sh WHERE doc_id % 4 >= 2),
+g AS (SELECT key, MIN(url) AS rep FROM b
+      WHERE key NOT IN (SELECT key FROM ck) GROUP BY key)
+SELECT b.url, strlen(b.text) AS size_bytes
+FROM b JOIN g ON b.key = g.key AND b.url = g.rep
 """.strip(),
     "ann_ivf_planted": f"""
 SELECT vec_id AS query_id, vec_id + {PLANT_OFFSET} AS neighbor_id
