@@ -31,14 +31,16 @@ Semantics (append-only corpus — history is never rewritten):
   parquet files in the same directory (no rewrite of existing parts)
   and bumps the manifest.
 
-Data movement at scale (new batch ≪ corpus, the normal regime):
-the index is scanned once per batch — a narrow column-pruned parquet
-read (no text) — and filtered down to rows matching the batch's
-doc_hashes / band_hashes via ``semi_filter_auto``: broadcast
-membership while the batch's key set fits ``cfg.broadcast_max_rows``,
-bucketed hash join past it. Candidate pairs, verified edges and the
-drop report are bounded by duplicate-INVOLVED docs, not by the corpus
-or the batch.
+Data movement at scale (new batch ≪ corpus, the normal regime): each
+batch run scans only the index's NARROW tables — the 8 B/doc hash
+column for exact membership and the persisted 16 B/row ``bands`` table
+(precomputed at build/update time) for LSH probing; the 1 KB/doc
+signature rows are fetched only for band-bucket-sharing candidates,
+with the membership filter pushed into the parquet scan. Membership
+tests are size-guarded via ``semi_filter_auto``: broadcast while the
+batch's key set fits ``cfg.broadcast_max_rows``, bucketed hash join
+past it. Candidate pairs, verified edges and the drop report are
+bounded by duplicate-INVOLVED docs, not by the corpus or the batch.
 """
 
 from __future__ import annotations
@@ -65,12 +67,16 @@ from .verify import verify_auto
 INDEX_SCHEMA_VERSION = 1
 
 
-def _paths(index_dir: str) -> tuple[str, str]:
-    return os.path.join(index_dir, "sigs"), os.path.join(index_dir, "manifest.json")
+def _paths(index_dir: str) -> tuple[str, str, str]:
+    return (
+        os.path.join(index_dir, "sigs"),
+        os.path.join(index_dir, "bands"),
+        os.path.join(index_dir, "manifest.json"),
+    )
 
 
 def _manifest(index_dir: str) -> dict | None:
-    _, mpath = _paths(index_dir)
+    _, _, mpath = _paths(index_dir)
     if not os.path.exists(mpath):
         return None
     with open(mpath) as f:
@@ -78,7 +84,7 @@ def _manifest(index_dir: str) -> dict | None:
 
 
 def _write_manifest(index_dir: str, cfg: DedupConfig, n_docs: int) -> None:
-    _, mpath = _paths(index_dir)
+    _, _, mpath = _paths(index_dir)
     tmp = mpath + ".tmp"
     with open(tmp, "w") as f:
         json.dump(
@@ -114,17 +120,24 @@ def build_index(pages: Dataset, cfg: DedupConfig, index_dir: str) -> dict:
     Writes to ``<index_dir>.tmp`` then renames, so a killed build never
     leaves a half-index behind a valid manifest."""
     tmp = index_dir.rstrip("/") + ".tmp"
-    sigs_dir, _ = _paths(tmp)
+    sigs_dir, bands_dir, _ = _paths(tmp)
     if os.path.exists(tmp):
         import shutil
 
         shutil.rmtree(tmp)
     os.makedirs(sigs_dir, exist_ok=True)
+    os.makedirs(bands_dir, exist_ok=True)
     ing = ingest(pages, cfg)
     reps = distinct_reps(ing, n_buckets=cfg.join_buckets)
     sigs = sign(reps, cfg)
     sigs.write_parquet(sigs_dir)
-    n = rd.read_parquet(sigs_dir).count()
+    # precomputed band table: each batch run probes (doc_hash, bkey) rows
+    # (16 B/row) instead of re-reading + re-banding every 1 KB signature —
+    # the per-batch index scan a 100-TB corpus actually pays
+    band_rows(
+        rd.read_parquet(sigs_dir, columns=["doc_hash", "sig", "n_shingles"]), cfg
+    ).write_parquet(bands_dir)
+    n = rd.read_parquet(sigs_dir, columns=["doc_hash"]).count()
     _write_manifest(tmp, cfg, n)
     if os.path.exists(index_dir):
         import shutil
@@ -161,7 +174,7 @@ def incremental_dedup(
     """Dedup a new batch against the persisted index (see module doc)."""
     cfg = cfg or DedupConfig()
     _check_manifest(index_dir, cfg)
-    sigs_dir, _ = _paths(index_dir)
+    sigs_dir, bands_dir, _ = _paths(index_dir)
     # column-pruned index scans: membership needs doc_hash only; banding
     # needs (doc_hash, sig); verification adds set_hash in exact mode
     old_docs = rd.read_parquet(sigs_dir, columns=["doc_hash"])
@@ -218,9 +231,14 @@ def incremental_dedup(
     sig_cols = ["doc_hash", "sig", "n_shingles"] + (
         ["set_hash"] if cfg.exact_set_verify else []
     )
-    old_sigs = rd.read_parquet(sigs_dir, columns=sig_cols)
+    if os.path.isdir(bands_dir):
+        bands_idx = rd.read_parquet(bands_dir, columns=["doc_hash", "bkey"])
+    else:  # index built before band persistence: band the sig table once
+        bands_idx = band_rows(
+            rd.read_parquet(sigs_dir, columns=["doc_hash", "sig", "n_shingles"]), cfg
+        )
     bands_old_hit = semi_filter_auto(
-        band_rows(old_sigs, cfg), "bkey", nb_keys,
+        bands_idx.select_columns(["doc_hash", "bkey"]), "bkey", nb_keys,
         max_broadcast_rows=cfg.broadcast_max_rows, n_buckets=cfg.join_buckets,
     )
     pairs, chain = candidate_pairs(bands_new.union(bands_old_hit), cfg)
@@ -251,12 +269,25 @@ def incremental_dedup(
         .column("doc_hash")
         .to_numpy(zero_copy_only=False)
     )
-    sigs_union = active_sigs.select_columns(sig_cols).union(
-        semi_filter_auto(
-            old_sigs, "doc_hash", old_cand,
+    # fetch the candidate docs' signatures. When the candidate set is
+    # modest, push the membership filter into the parquet scan itself so
+    # non-candidate signature rows (the 1 KB/doc bulk of the index) never
+    # enter the object store; past that, stream the scan through the
+    # size-guarded membership filter.
+    import pyarrow.compute as pc
+
+    if len(old_cand) <= (1 << 17):
+        old_sig_rows = rd.read_parquet(
+            sigs_dir,
+            columns=sig_cols,
+            filter=pc.field("doc_hash").isin(pa.array(old_cand, pa.int64())),
+        )
+    else:
+        old_sig_rows = semi_filter_auto(
+            rd.read_parquet(sigs_dir, columns=sig_cols), "doc_hash", old_cand,
             max_broadcast_rows=cfg.broadcast_max_rows, n_buckets=cfg.join_buckets,
         )
-    ).materialize()
+    sigs_union = active_sigs.select_columns(sig_cols).union(old_sig_rows).materialize()
     edges = verify_auto(pairs, sigs_union, cfg)
     if cfg.exact_set_verify and len(edges):
         edges = _filter_edges_by_set_hash(edges, sigs_union)
@@ -402,9 +433,12 @@ def update_index(index_dir: str, kept_sigs: Dataset, cfg: DedupConfig) -> dict:
     extra sig rows with a stale count — harmless for membership (the
     rows are genuine) and fixed by the next successful update."""
     mf = _check_manifest(index_dir, cfg)
-    sigs_dir, _ = _paths(index_dir)
+    sigs_dir, bands_dir, _ = _paths(index_dir)
     n_add = kept_sigs.count()
     if n_add:
+        kept_sigs = kept_sigs.materialize()
         kept_sigs.write_parquet(sigs_dir)
+        if os.path.isdir(bands_dir):
+            band_rows(kept_sigs, cfg).write_parquet(bands_dir)
     _write_manifest(index_dir, cfg, mf["n_docs"] + n_add)
     return _manifest(index_dir)  # type: ignore[return-value]

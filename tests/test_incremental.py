@@ -123,6 +123,20 @@ def test_update_index_then_batch_is_fully_dropped(scenario, tmp_path):
     assert sum(reasons.values()) == len(batch)
 
 
+def test_legacy_index_without_band_table(scenario, tmp_path):
+    """An index written before band persistence (no bands/ dir) still
+    works — the sig table is banded on the fly."""
+    import shutil
+
+    corpus, batch, _, cfg = scenario
+    idx = str(tmp_path / "legacy")
+    build_index(_pages(corpus), cfg, idx)
+    shutil.rmtree(f"{idx}/bands")
+    res = incremental_dedup(_pages(batch), idx, cfg)
+    kept = sorted(collect_table(res.kept).column("url").to_pylist())
+    assert kept == ["b://fresh", "b://n1", "b://p1"]
+
+
 def test_config_fingerprint_mismatch_refuses(scenario):
     _, batch, idx, _ = scenario
     other = DedupConfig(shingle_k=7)
