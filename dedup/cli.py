@@ -2,7 +2,9 @@
 --resume semantics per --resume-stage3/4, main.rs:114-119).
 
     python -m dedup.cli --input pages_dir_or_file.parquet --output out/ \
-        [--checkpoint ckpt_dir] [--mode near|exact|simhash] \
+        [--checkpoint ckpt_dir] \
+        [--mode near|exact|simhash|corpus|index-build|index-dedup] \
+        [--index index_dir] [--update-index] \
         [--min-size N] [--max-size N] [--lang en de] \
         [--exclude-url REGEX] [--cluster-backend driver|distributed]
 
@@ -79,9 +81,22 @@ def main(argv=None) -> int:
     ap.add_argument("--input", required=True, help="parquet file/dir of pages")
     ap.add_argument("--output", required=True, help="output directory")
     ap.add_argument(
-        "--mode", choices=["near", "exact", "simhash", "corpus"], default="near",
+        "--mode",
+        choices=["near", "exact", "simhash", "corpus", "index-build", "index-dedup"],
+        default="near",
         help="corpus = write the deduplicated pages (one representative "
-             "per near-dup cluster) instead of the clusters table",
+             "per near-dup cluster) instead of the clusters table; "
+             "index-build = persist a signature index of the input corpus "
+             "at --index; index-dedup = dedup the input as a NEW batch "
+             "against the --index corpus (kept pages + drop report)",
+    )
+    ap.add_argument(
+        "--index", default=None,
+        help="signature index dir (required for index-build / index-dedup)",
+    )
+    ap.add_argument(
+        "--update-index", action="store_true",
+        help="after index-dedup, append the kept docs' signatures to the index",
     )
     ap.add_argument("--checkpoint", default=None, help="checkpoint root dir")
     ap.add_argument("--min-size", type=int, default=None)
@@ -126,6 +141,54 @@ def main(argv=None) -> int:
     pages = rd.read_parquet(args.input)
     ckpt = CheckpointManager(args.checkpoint, cfg) if args.checkpoint else None
     _install_interrupt_progress(ckpt, t0)
+
+    if args.mode in ("index-build", "index-dedup"):
+        if not args.index:
+            ap.error(f"--mode {args.mode} requires --index")
+        os.makedirs(args.output, exist_ok=True)
+        if args.mode == "index-build":
+            from .incremental import build_index
+
+            mf = build_index(pages, cfg, args.index)
+            summary = {
+                "mode": args.mode,
+                "input": args.input,
+                "index": args.index,
+                "index_docs": mf["n_docs"],
+                "wall_sec": round(time.monotonic() - t0, 3),
+                "config_fingerprint": cfg.fingerprint(),
+            }
+        else:
+            import collections
+
+            import pyarrow.parquet as pq
+
+            from .incremental import incremental_dedup, update_index
+
+            res = incremental_dedup(pages, args.index, cfg)
+            kept_dir = os.path.join(args.output, "kept")
+            kept = res.kept.materialize()
+            kept.write_parquet(kept_dir)
+            pq.write_table(res.report, os.path.join(args.output, "report.parquet"))
+            summary = {
+                "mode": args.mode,
+                "input": args.input,
+                "index": args.index,
+                "rows_kept": kept.count(),
+                "rows_dropped": res.report.num_rows,
+                "drop_reasons": dict(
+                    collections.Counter(res.report.column("reason").to_pylist())
+                ),
+                "wall_sec": round(time.monotonic() - t0, 3),
+                "config_fingerprint": cfg.fingerprint(),
+            }
+            if args.update_index:
+                mf = update_index(args.index, res.kept_sigs, cfg)
+                summary["index_docs"] = mf["n_docs"]
+        with open(os.path.join(args.output, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        print(json.dumps(summary))
+        return 0
 
     if args.mode == "corpus":
         from .pipeline import near_dup_corpus

@@ -137,6 +137,58 @@ def test_legacy_index_without_band_table(scenario, tmp_path):
     assert kept == ["b://fresh", "b://n1", "b://p1"]
 
 
+def test_cli_index_lifecycle(scenario, tmp_path, capsys):
+    """CLI: index-build → index-dedup (--update-index) → replay drops all."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from dedup.cli import main
+
+    corpus, batch, _, _ = scenario
+
+    def _write(rows, name):
+        urls, texts = zip(*rows)
+        p = str(tmp_path / name)
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(["en"] * len(urls), pa.string()),
+                }
+            ),
+            p,
+        )
+        return p
+
+    cpath, bpath = _write(corpus, "corpus.parquet"), _write(batch, "batch.parquet")
+    idx = str(tmp_path / "index")
+    rc = main(["--input", cpath, "--output", str(tmp_path / "o1"),
+               "--mode", "index-build", "--index", idx])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["index_docs"] == 4
+
+    rc = main(["--input", bpath, "--output", str(tmp_path / "o2"),
+               "--mode", "index-dedup", "--index", idx, "--update-index"])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["rows_kept"] == 3 and s["rows_dropped"] == 5
+    assert s["drop_reasons"] == {
+        "exact_corpus": 1, "near_corpus": 2, "exact_batch": 1, "near_batch": 1,
+    }
+    assert s["index_docs"] == 7
+    rep = pq.read_table(str(tmp_path / "o2" / "report.parquet"))
+    assert rep.num_rows == 5
+
+    rc = main(["--input", bpath, "--output", str(tmp_path / "o3"),
+               "--mode", "index-dedup", "--index", idx])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["rows_kept"] == 0 and s["rows_dropped"] == len(batch)
+
+
 def test_config_fingerprint_mismatch_refuses(scenario):
     _, batch, idx, _ = scenario
     other = DedupConfig(shingle_k=7)
