@@ -360,6 +360,29 @@ def q_incremental_exact_mode(sf_dir: str):
     return res.kept.select_columns(["url", "size_bytes"])
 
 
+# per-host cap shared by q_domain_cap and its oracle
+DOMAIN_CAP = 20
+
+
+def q_domain_stats(sf_dir: str):
+    """Per-host audit table (pages vs distinct docs vs bytes) — the
+    signal domain frequency capping acts on."""
+    from .domains import domain_stats
+
+    pages = pages_from_documents(sf_dir)
+    return domain_stats(pages, CFG)
+
+
+def q_domain_cap(sf_dir: str):
+    """Frequency-capped corpus: at most DOMAIN_CAP pages per host,
+    keeping the lexicographically smallest urls (RefinedWeb-style
+    per-domain budget)."""
+    from .domains import domain_cap
+
+    pages = pages_from_documents(sf_dir)
+    return domain_cap(pages, CFG, cap=DOMAIN_CAP)
+
+
 # url exclude pattern shared by the gate queries and their oracles —
 # RE2 on both sides (Arrow match_substring_regex / DuckDB regexp_matches)
 GATE_URL_RE = "9$"
@@ -765,6 +788,8 @@ QUERIES = {
     "near_dup_corpus": q_near_dup_corpus,
     "near_dup_corpus_exact_mode": q_near_dup_corpus_exact_mode,
     "incremental_exact_mode": q_incremental_exact_mode,
+    "domain_stats": q_domain_stats,
+    "domain_cap": q_domain_cap,
     "line_dedup": q_line_dedup,
     "clean_corpus": q_clean_corpus,
     "filter_gates": q_filter_gates,
@@ -1034,6 +1059,23 @@ g AS (SELECT key, MIN(url) AS rep FROM b
       WHERE key NOT IN (SELECT key FROM ck) GROUP BY key)
 SELECT b.url, strlen(b.text) AS size_bytes
 FROM b JOIN g ON b.key = g.key AND b.url = g.rep
+""".strip(),
+    "domain_stats": f"""
+WITH {PAGES_SQL},
+h AS (SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS host, text
+      FROM pages)
+SELECT host, COUNT(*) AS n_pages,
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+       COUNT(DISTINCT text) AS n_docs
+FROM h GROUP BY host
+""".strip(),
+    "domain_cap": f"""
+WITH {PAGES_SQL},
+h AS (SELECT url, text,
+             regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS host
+      FROM pages)
+SELECT url, strlen(text) AS size_bytes FROM h
+QUALIFY ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) <= {DOMAIN_CAP}
 """.strip(),
     "ann_ivf_planted": f"""
 SELECT vec_id AS query_id, vec_id + {PLANT_OFFSET} AS neighbor_id
