@@ -383,6 +383,20 @@ def q_domain_cap(sf_dir: str):
     return domain_cap(pages, CFG, cap=DOMAIN_CAP)
 
 
+# chunking params shared by q_chunk_documents and its oracle
+CHUNK_WINDOW, CHUNK_STRIDE = 64, 48
+
+
+def q_chunk_documents(sf_dir: str):
+    """Context-window chunking: each document's token stream split into
+    64-token windows at stride 48 (16-token overlap) — training-sequence
+    preparation over the cleaned corpus."""
+    from .chunking import chunk_documents
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_documents(docs, window=CHUNK_WINDOW, stride=CHUNK_STRIDE)
+
+
 # url exclude pattern shared by the gate queries and their oracles —
 # RE2 on both sides (Arrow match_substring_regex / DuckDB regexp_matches)
 GATE_URL_RE = "9$"
@@ -790,6 +804,7 @@ QUERIES = {
     "incremental_exact_mode": q_incremental_exact_mode,
     "domain_stats": q_domain_stats,
     "domain_cap": q_domain_cap,
+    "chunk_documents": q_chunk_documents,
     "line_dedup": q_line_dedup,
     "clean_corpus": q_clean_corpus,
     "filter_gates": q_filter_gates,
@@ -1076,6 +1091,20 @@ h AS (SELECT url, text,
       FROM pages)
 SELECT url, strlen(text) AS size_bytes FROM h
 QUALIFY ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) <= {DOMAIN_CAP}
+""".strip(),
+    "chunk_documents": f"""
+WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS ts FROM documents),
+e AS (SELECT doc_id, ts,
+        CAST(ceil(len(ts) / {CHUNK_STRIDE}.0) AS BIGINT) AS nc
+      FROM toks WHERE len(ts) > 0),
+u AS (SELECT doc_id, ts, UNNEST(range(0, nc)) AS c FROM e)
+SELECT doc_id, c AS chunk_id,
+       len(list_slice(ts, c * {CHUNK_STRIDE} + 1,
+                      c * {CHUNK_STRIDE} + {CHUNK_WINDOW})) AS n_tokens,
+       array_to_string(list_slice(ts, c * {CHUNK_STRIDE} + 1,
+                                  c * {CHUNK_STRIDE} + {CHUNK_WINDOW}), ' ')
+         AS chunk_text
+FROM u
 """.strip(),
     "ann_ivf_planted": f"""
 SELECT vec_id AS query_id, vec_id + {PLANT_OFFSET} AS neighbor_id
