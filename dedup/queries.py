@@ -397,6 +397,33 @@ def q_chunk_documents(sf_dir: str):
     return chunk_documents(docs, window=CHUNK_WINDOW, stride=CHUNK_STRIDE)
 
 
+def q_redact_pii(sf_dir: str):
+    """PII scrub over the corpus with planted, SQL-reproducible PII:
+    docs with doc_id % 5 == 0 get a deterministic email/IP/phone suffix,
+    then every doc is redacted. Output: per-doc match counts + the
+    redacted text (both regenerated in SQL via the same RE2 patterns)."""
+    from .redact import redact_pii
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = b.column("text").to_pylist()
+        for i in np.flatnonzero(did % 5 == 0):
+            d = int(did[i])
+            texts[i] += (
+                f" contact user{d}@example.com from 10.{d % 200}.3.7"
+                f" call +49 555 0199"
+            )
+        return b.set_column(
+            b.schema.get_field_index("text"), "text", pa.array(texts, pa.string())
+        )
+
+    return redact_pii(
+        docs.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
 # url exclude pattern shared by the gate queries and their oracles —
 # RE2 on both sides (Arrow match_substring_regex / DuckDB regexp_matches)
 GATE_URL_RE = "9$"
@@ -805,6 +832,7 @@ QUERIES = {
     "domain_stats": q_domain_stats,
     "domain_cap": q_domain_cap,
     "chunk_documents": q_chunk_documents,
+    "redact_pii": q_redact_pii,
     "line_dedup": q_line_dedup,
     "clean_corpus": q_clean_corpus,
     "filter_gates": q_filter_gates,
@@ -858,7 +886,29 @@ FROM s
 """.strip()
 
 
+def _redact_sql() -> str:
+    """Generated from redact.PII_PATTERNS so both sides move together;
+    counts and replacements chain in the same order as the Redactor."""
+    from .redact import PII_PATTERNS
+
+    planted = (
+        "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text"
+        " || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.'"
+        " || CAST(doc_id % 200 AS VARCHAR) || '.3.7 call +49 555 0199'"
+        " ELSE text END AS text FROM documents"
+    )
+    expr, cols = "text", []
+    for name, pat, repl in PII_PATTERNS:
+        cols.append(f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS BIGINT) AS n_{name}")
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return (
+        f"WITH p AS ({planted})\n"
+        f"SELECT doc_id, {', '.join(cols)}, {expr} AS text_redacted FROM p"
+    )
+
+
 ORACLES = {
+    "redact_pii": _redact_sql(),
     "exact_dup_clusters": f"""
 WITH {PAGES_SQL},
 g AS (SELECT text, MIN(url) AS cluster_id, COUNT(*) AS cluster_size
