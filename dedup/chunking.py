@@ -24,7 +24,9 @@ from ray.data import Dataset
 from .textstats import _tokenize
 
 
-def _chunk_batch(batch: pa.Table, window: int, stride: int) -> pa.Table:
+def _chunk_batch(
+    batch: pa.Table, window: int, stride: int, id_col: str = "doc_id"
+) -> pa.Table:
     text = batch.column("text")
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
@@ -34,7 +36,7 @@ def _chunk_batch(batch: pa.Table, window: int, stride: int) -> pa.Table:
     total_chunks = int(nc.sum())
     empty = pa.table(
         {
-            "doc_id": pa.array([], batch.column("doc_id").type),
+            id_col: pa.array([], batch.column(id_col).type),
             "chunk_id": pa.array([], pa.int64()),
             "n_tokens": pa.array([], pa.int64()),
             "chunk_text": pa.array([], pa.string()),
@@ -55,7 +57,7 @@ def _chunk_batch(batch: pa.Table, window: int, stride: int) -> pa.Table:
     la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), taken)
     return pa.table(
         {
-            "doc_id": batch.column("doc_id").take(pa.array(doc_row, pa.int64())),
+            id_col: batch.column(id_col).take(pa.array(doc_row, pa.int64())),
             "chunk_id": pa.array(chunk_id, pa.int64()),
             "n_tokens": pa.array(lens_out, pa.int64()),
             "chunk_text": pc.binary_join(la, " "),
@@ -63,8 +65,10 @@ def _chunk_batch(batch: pa.Table, window: int, stride: int) -> pa.Table:
     )
 
 
-def chunk_documents(docs: Dataset, window: int, stride: int | None = None) -> Dataset:
-    """(doc_id, text) rows → (doc_id, chunk_id, n_tokens, chunk_text).
+def chunk_documents(
+    docs: Dataset, window: int, stride: int | None = None, id_col: str = "doc_id"
+) -> Dataset:
+    """(id_col, text) rows → (id_col, chunk_id, n_tokens, chunk_text).
 
     Chunk ``c`` of a document covers tokens ``[c*stride, c*stride+window)``
     (clamped at the end); chunks are emitted while ``c*stride`` is inside
@@ -78,7 +82,7 @@ def chunk_documents(docs: Dataset, window: int, stride: int | None = None) -> Da
     if stride > window:
         raise ValueError("stride > window would drop tokens")
     return docs.map_batches(
-        lambda b: _chunk_batch(b, window, stride),
+        lambda b: _chunk_batch(b, window, stride, id_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

@@ -424,6 +424,37 @@ def q_redact_pii(sf_dir: str):
     )
 
 
+def q_training_export(sf_dir: str):
+    """The full training-data export, end-to-end: clean (quality → exact
+    dedup → line dedup) → context-window chunking → seeded global
+    shuffle. The shuffle randomizes row order for training but is
+    invisible to the sorted oracle compare, so the whole composition
+    stays SQL-checkable."""
+    from .chunking import chunk_documents
+
+    clean = q_clean_corpus(sf_dir)
+    chunks = chunk_documents(
+        clean, window=CHUNK_WINDOW, stride=CHUNK_STRIDE, id_col="url"
+    )
+    return chunks.random_shuffle(seed=7)
+
+
+def q_mix_sources(sf_dir: str):
+    """Deterministic data-mixture sampling: source srcK keeps rows at
+    rate ((K % 4) + 1)/4 via a Knuth multiplicative coin on doc_id —
+    reproducible and exactly regenerable in SQL."""
+    import re as _re
+
+    from .mixing import mix_sources
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    srcs = docs.unique("source")  # source list is config-scale, not corpus-scale
+    rates = {
+        s: ((int(_re.search(r"\d+", s).group()) % 4) + 1) / 4 for s in srcs
+    }
+    return mix_sources(docs, rates)
+
+
 # url exclude pattern shared by the gate queries and their oracles —
 # RE2 on both sides (Arrow match_substring_regex / DuckDB regexp_matches)
 GATE_URL_RE = "9$"
@@ -833,6 +864,8 @@ QUERIES = {
     "domain_cap": q_domain_cap,
     "chunk_documents": q_chunk_documents,
     "redact_pii": q_redact_pii,
+    "training_export": q_training_export,
+    "mix_sources": q_mix_sources,
     "line_dedup": q_line_dedup,
     "clean_corpus": q_clean_corpus,
     "filter_gates": q_filter_gates,
@@ -883,6 +916,27 @@ SELECT doc_id, n_tokens, {", ".join(f"n_stop_{l}" for l in LANGS)},
        AND greatest({", ".join(f"n_stop_{l}" for l in LANGS)}) * {QUALITY_STOP_DEN}
            >= n_tokens * {QUALITY_STOP_NUM} AS BIGINT) AS is_quality
 FROM s
+""".strip()
+
+
+# clean-corpus recipe SQL, shared by the clean_corpus oracle and the
+# training_export composition (which chunks the cleaned corpus)
+_CLEAN_CORPUS_SQL = f"""
+WITH {PAGES_SQL},
+tok AS (SELECT url, text, {TOKENS_SQL} AS ts FROM pages),
+q AS (SELECT url, text FROM tok
+      WHERE len(ts) >= {QUALITY_MIN_TOKENS}
+        AND greatest({", ".join(_stop_list_sql(l) for l in LANGS)}) * {QUALITY_STOP_DEN}
+            >= len(ts) * {QUALITY_STOP_NUM}),
+d AS (SELECT MIN(url) AS url, text FROM q GROUP BY text),
+l AS (SELECT url, i, ls[i] AS line
+      FROM (SELECT url, string_split(text, chr(10)) AS ls FROM d),
+           UNNEST(range(1, len(ls) + 1)) AS t(i)),
+dup AS (SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT url) >= 2),
+kept AS (SELECT url, string_agg(line, chr(10) ORDER BY i) AS t
+         FROM l ANTI JOIN dup USING (line) GROUP BY url)
+SELECT d.url, COALESCE(k.t, '') AS text
+FROM d LEFT JOIN kept k USING (url)
 """.strip()
 
 
@@ -1032,22 +1086,27 @@ WITH {PAGES_SQL}
 SELECT MIN(url) AS url, strlen(text) AS size_bytes
 FROM pages GROUP BY text
 """.strip(),
-    "clean_corpus": f"""
-WITH {PAGES_SQL},
-tok AS (SELECT url, text, {TOKENS_SQL} AS ts FROM pages),
-q AS (SELECT url, text FROM tok
-      WHERE len(ts) >= {QUALITY_MIN_TOKENS}
-        AND greatest({", ".join(_stop_list_sql(l) for l in LANGS)}) * {QUALITY_STOP_DEN}
-            >= len(ts) * {QUALITY_STOP_NUM}),
-d AS (SELECT MIN(url) AS url, text FROM q GROUP BY text),
-l AS (SELECT url, i, ls[i] AS line
-      FROM (SELECT url, string_split(text, chr(10)) AS ls FROM d),
-           UNNEST(range(1, len(ls) + 1)) AS t(i)),
-dup AS (SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT url) >= 2),
-kept AS (SELECT url, string_agg(line, chr(10) ORDER BY i) AS t
-         FROM l ANTI JOIN dup USING (line) GROUP BY url)
-SELECT d.url, COALESCE(k.t, '') AS text
-FROM d LEFT JOIN kept k USING (url)
+    "clean_corpus": _CLEAN_CORPUS_SQL,
+    "training_export": f"""
+WITH clean AS ({_CLEAN_CORPUS_SQL}),
+ctoks AS (SELECT url, {TOKENS_SQL} AS ts FROM clean),
+ce AS (SELECT url, ts,
+         CAST(ceil(len(ts) / {CHUNK_STRIDE}.0) AS BIGINT) AS nc
+       FROM ctoks WHERE len(ts) > 0),
+cu AS (SELECT url, ts, UNNEST(range(0, nc)) AS c FROM ce)
+SELECT url, c AS chunk_id,
+       len(list_slice(ts, c * {CHUNK_STRIDE} + 1,
+                      c * {CHUNK_STRIDE} + {CHUNK_WINDOW})) AS n_tokens,
+       array_to_string(list_slice(ts, c * {CHUNK_STRIDE} + 1,
+                                  c * {CHUNK_STRIDE} + {CHUNK_WINDOW}), ' ')
+         AS chunk_text
+FROM cu
+""".strip(),
+    "mix_sources": f"""
+SELECT doc_id, source FROM documents
+WHERE (doc_id * 2654435761) % 4294967296
+      < ((CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT) % 4) + 1)
+        * 1073741824
 """.strip(),
     "line_dedup": f"""
 WITH {PAGES_SQL},
