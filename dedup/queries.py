@@ -455,6 +455,15 @@ def q_mix_sources(sf_dir: str):
     return mix_sources(docs, rates)
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style within-document repetition stats (token dominance,
+    duplicate 2/3-gram mass) as exact integers + the is_repetitive gate."""
+    from .repetition import repetition_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return repetition_stats(docs)
+
+
 # url exclude pattern shared by the gate queries and their oracles —
 # RE2 on both sides (Arrow match_substring_regex / DuckDB regexp_matches)
 GATE_URL_RE = "9$"
@@ -866,6 +875,7 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "training_export": q_training_export,
     "mix_sources": q_mix_sources,
+    "repetition_stats": q_repetition_stats,
     "line_dedup": q_line_dedup,
     "clean_corpus": q_clean_corpus,
     "filter_gates": q_filter_gates,
@@ -940,6 +950,43 @@ FROM d LEFT JOIN kept k USING (url)
 """.strip()
 
 
+def _repetition_sql() -> str:
+    """Generated from repetition.py's integer thresholds."""
+    from .repetition import _DEN, _DUP_2G_NUM, _DUP_3G_NUM, _TOP_TOKEN_NUM
+
+    def gram_cte(expr: str, name: str) -> str:
+        return (
+            f"u{name} AS (SELECT doc_id, unnest({expr}) AS g FROM toks),\n"
+            f"c{name} AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n,"
+            f" COUNT(*) AS d, MAX(cnt) AS t FROM"
+            f" (SELECT doc_id, g, COUNT(*) AS cnt FROM u{name}"
+            f" GROUP BY doc_id, g) GROUP BY doc_id)"
+        )
+
+    g2 = "[ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]"
+    g3 = "[ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] FOR i IN range(1, len(ts) - 1)]"
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS ts FROM documents),
+{gram_cte('ts', '1')},
+{gram_cte(g2, '2')},
+{gram_cte(g3, '3')}
+SELECT d.doc_id,
+  COALESCE(c1.n, 0) AS n_tokens, COALESCE(c1.d, 0) AS n_distinct_tokens,
+  COALESCE(c1.t, 0) AS top_token_cnt,
+  COALESCE(c2.n, 0) AS n_2grams, COALESCE(c2.d, 0) AS n_distinct_2grams,
+  COALESCE(c2.t, 0) AS top_2gram_cnt,
+  COALESCE(c3.n, 0) AS n_3grams, COALESCE(c3.d, 0) AS n_distinct_3grams,
+  COALESCE(c3.t, 0) AS top_3gram_cnt,
+  CAST(COALESCE(c1.t, 0) * {_DEN} > COALESCE(c1.n, 0) * {_TOP_TOKEN_NUM}
+    OR (COALESCE(c2.n, 0) - COALESCE(c2.d, 0)) * {_DEN}
+       > COALESCE(c2.n, 0) * {_DUP_2G_NUM}
+    OR (COALESCE(c3.n, 0) - COALESCE(c3.d, 0)) * {_DEN}
+       > COALESCE(c3.n, 0) * {_DUP_3G_NUM} AS BIGINT) AS is_repetitive
+FROM documents d
+LEFT JOIN c1 USING (doc_id) LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+""".strip()
+
+
 def _redact_sql() -> str:
     """Generated from redact.PII_PATTERNS so both sides move together;
     counts and replacements chain in the same order as the Redactor."""
@@ -963,6 +1010,7 @@ def _redact_sql() -> str:
 
 ORACLES = {
     "redact_pii": _redact_sql(),
+    "repetition_stats": _repetition_sql(),
     "exact_dup_clusters": f"""
 WITH {PAGES_SQL},
 g AS (SELECT text, MIN(url) AS cluster_id, COUNT(*) AS cluster_size
