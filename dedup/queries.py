@@ -464,6 +464,53 @@ def q_repetition_stats(sf_dir: str):
     return repetition_stats(docs)
 
 
+# html wrap planted around each document for the extraction query:
+# (pre, mid, post) around (doc_id, text). Exercises every EXTRACT_RULES
+# entry — script/style bodies with tag-like operators, a multi-line
+# comment, entities, block tags — and is concatenated identically in the
+# SQL oracle, so extraction must strip ALL of it back out.
+EXTRACT_HTML_TPL = (
+    "<html><head><title>Doc ",
+    '</title><script type="text/javascript">\nvar threshold = 1 < 2 && 3 > 0;\n'
+    "</script><style>\n body { color: #222 }\n</style></head>\n"
+    "<body><!-- crawler:\n noise --><h1>Doc &#39;",
+    "&#39;</h1>\n<p>",
+    "</p><div>Tail &amp; fin &lt;ok&gt;&nbsp;!</div><br>"
+    "<ul><li>alpha</li><li>beta</li></ul></body></html>",
+)
+
+
+def q_extract_text(sf_dir: str):
+    """HTML→text extraction: each document is wrapped in a deterministic
+    noisy page (scripts, styles, comments, entities, block tags — see
+    EXTRACT_HTML_TPL), serialized to the binary html column, then run
+    through the extraction chain. The oracle rebuilds the same page in
+    SQL and applies the same generated RE2 chain."""
+    from .extract import extract_text
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pre, mid1, mid2, post = EXTRACT_HTML_TPL
+
+    def wrap(b: pa.Table) -> pa.Table:
+        did = pa.compute.cast(b.column("doc_id"), pa.string())
+        html = pa.compute.binary_join_element_wise(
+            pa.array([pre] * len(b)),
+            did,
+            pa.array([mid1] * len(b)),
+            did,
+            pa.array([mid2] * len(b)),
+            b.column("text"),
+            pa.array([post] * len(b)),
+            "",
+        )
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "html": html.cast(pa.binary())}
+        )
+
+    pages = docs.map_batches(wrap, batch_format="pyarrow", zero_copy_batch=True)
+    return extract_text(pages)
+
+
 # url exclude pattern shared by the gate queries and their oracles —
 # RE2 on both sides (Arrow match_substring_regex / DuckDB regexp_matches)
 GATE_URL_RE = "9$"
@@ -876,6 +923,7 @@ QUERIES = {
     "training_export": q_training_export,
     "mix_sources": q_mix_sources,
     "repetition_stats": q_repetition_stats,
+    "extract_text": q_extract_text,
     "line_dedup": q_line_dedup,
     "clean_corpus": q_clean_corpus,
     "filter_gates": q_filter_gates,
@@ -987,6 +1035,22 @@ LEFT JOIN c1 USING (doc_id) LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_
 """.strip()
 
 
+def _extract_text_sql() -> str:
+    """Generated from extract.EXTRACT_RULES + EXTRACT_HTML_TPL so the
+    page construction AND the extraction chain both move with Python."""
+    from .extract import _sql_str, extract_sql
+
+    pre, mid1, mid2, post = EXTRACT_HTML_TPL
+    page = (
+        f"{_sql_str(pre)} || CAST(doc_id AS VARCHAR) || {_sql_str(mid1)}"
+        f" || CAST(doc_id AS VARCHAR) || {_sql_str(mid2)} || text || {_sql_str(post)}"
+    )
+    return (
+        f"SELECT doc_id, {extract_sql(page)} AS extracted,"
+        " CAST(1 AS BIGINT) AS utf8_valid FROM documents"
+    )
+
+
 def _redact_sql() -> str:
     """Generated from redact.PII_PATTERNS so both sides move together;
     counts and replacements chain in the same order as the Redactor."""
@@ -1011,6 +1075,7 @@ def _redact_sql() -> str:
 ORACLES = {
     "redact_pii": _redact_sql(),
     "repetition_stats": _repetition_sql(),
+    "extract_text": _extract_text_sql(),
     "exact_dup_clusters": f"""
 WITH {PAGES_SQL},
 g AS (SELECT text, MIN(url) AS cluster_id, COUNT(*) AS cluster_size
