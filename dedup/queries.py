@@ -511,6 +511,89 @@ def q_extract_text(sf_dir: str):
     return extract_text(pages)
 
 
+def q_canonical_urls(sf_dir: str):
+    """URL canonicalization over deterministically-messy urls: uppercase
+    scheme+host, default ports, tracking params, fragments, trailing
+    slashes — all planted from doc_id so the oracle rebuilds the same
+    inputs and applies the same generated RE2 chain."""
+    from .urls import canonicalize_urls
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def mess(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        urls = []
+        for d in did.tolist():
+            base = (
+                f"HTTP://WWW.Site{d % 7}.COM:80" if d % 2 == 0
+                else f"https://www.site{d % 7}.com:443"
+            )
+            tail = [
+                "/?utm_source=feed&utm_campaign=x",
+                "?id=1&utm_medium=m#middle",
+                "/",
+                "#frag",
+            ][d % 4]
+            urls.append(f"{base}/Path/{d}{tail}")
+        t = pa.table({"doc_id": b.column("doc_id"), "url": pa.array(urls, pa.string())})
+        return t
+
+    messy = docs.map_batches(mess, batch_format="pyarrow", zero_copy_batch=True)
+    return canonicalize_urls(messy)
+
+
+def q_url_revisits(sf_dir: str):
+    """Cross-snapshot revisit dedup: every doc is one url; docs with
+    doc_id % 4 == 0 get a second (1 h later, edited) snapshot and
+    doc_id % 8 == 0 a third. Keep the latest snapshot per url + the
+    snapshot count — dup-bounded combiner/broadcast, the corpus never
+    shuffles."""
+    from .urls import latest_snapshot
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    HOUR = 3_600_000_000
+
+    def snap(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id")
+        url = pa.compute.binary_join_element_wise(
+            pa.array(["http://rev.example.com/"] * len(b)),
+            pa.compute.cast(did, pa.string()),
+            "",
+        )
+        ts0 = pa.compute.add(
+            pa.compute.multiply(did, pa.scalar(1_000_000, pa.int64())),
+            pa.scalar(REVISIT_BASE_US, pa.int64()),
+        )
+        base = pa.table({"url": url, "ts_us": ts0, "text": b.column("text")})
+        parts = [base]
+        dn = did.to_numpy(zero_copy_only=False)
+        for k, (mod, tag) in enumerate(((4, "v2 "), (8, "v3 ")), start=1):
+            mask = pa.array(dn % mod == 0)
+            sub = base.filter(mask)
+            if len(sub):
+                parts.append(
+                    pa.table(
+                        {
+                            "url": sub.column("url"),
+                            "ts_us": pa.compute.add(
+                                sub.column("ts_us"), pa.scalar(k * HOUR, pa.int64())
+                            ),
+                            "text": pa.compute.binary_join_element_wise(
+                                pa.array([tag] * len(sub)), sub.column("text"), ""
+                            ),
+                        }
+                    )
+                )
+        return pa.concat_tables(parts)
+
+    snaps = docs.map_batches(snap, batch_format="pyarrow", zero_copy_batch=True)
+    return latest_snapshot(snaps, url_col="url", ts_col="ts_us")
+
+
+REVISIT_BASE_US = 1_700_000_000_000_000  # matches adapters.BASE_TS
+
+
 # url exclude pattern shared by the gate queries and their oracles —
 # RE2 on both sides (Arrow match_substring_regex / DuckDB regexp_matches)
 GATE_URL_RE = "9$"
@@ -924,6 +1007,8 @@ QUERIES = {
     "mix_sources": q_mix_sources,
     "repetition_stats": q_repetition_stats,
     "extract_text": q_extract_text,
+    "canonical_urls": q_canonical_urls,
+    "url_revisits": q_url_revisits,
     "line_dedup": q_line_dedup,
     "clean_corpus": q_clean_corpus,
     "filter_gates": q_filter_gates,
@@ -1051,6 +1136,48 @@ def _extract_text_sql() -> str:
     )
 
 
+def _canonical_urls_sql() -> str:
+    """Messy-url construction AND the canonicalization chain both
+    generated from the same constants as q_canonical_urls."""
+    from .urls import canonical_sql
+
+    messy = (
+        "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM:80'"
+        " ELSE 'https://www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com:443' END"
+        " || '/Path/' || CAST(doc_id AS VARCHAR) ||"
+        " CASE doc_id % 4 WHEN 0 THEN '/?utm_source=feed&utm_campaign=x'"
+        " WHEN 1 THEN '?id=1&utm_medium=m#middle' WHEN 2 THEN '/' ELSE '#frag' END)"
+    )
+    return (
+        f"WITH m AS (SELECT doc_id, {messy} AS url FROM documents)\n"
+        f"SELECT doc_id, url, {canonical_sql('url')} AS canonical_url FROM m"
+    )
+
+
+_URL_REVISITS_SQL = f"""
+WITH snaps AS (
+  SELECT 'http://rev.example.com/' || CAST(doc_id AS VARCHAR) AS url,
+         CAST({1_700_000_000_000_000} + doc_id * 1000000 AS BIGINT) AS ts_us, text
+  FROM documents
+  UNION ALL
+  SELECT 'http://rev.example.com/' || CAST(doc_id AS VARCHAR),
+         CAST({1_700_000_000_000_000} + doc_id * 1000000 + 3600000000 AS BIGINT),
+         'v2 ' || text
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT 'http://rev.example.com/' || CAST(doc_id AS VARCHAR),
+         CAST({1_700_000_000_000_000} + doc_id * 1000000 + 7200000000 AS BIGINT),
+         'v3 ' || text
+  FROM documents WHERE doc_id % 8 = 0
+)
+SELECT url, ts_us, text, n_snapshots FROM (
+  SELECT url, ts_us, text,
+         COUNT(*) OVER (PARTITION BY url) AS n_snapshots,
+         ROW_NUMBER() OVER (PARTITION BY url ORDER BY ts_us DESC) AS rn
+  FROM snaps) WHERE rn = 1
+""".strip()
+
+
 def _redact_sql() -> str:
     """Generated from redact.PII_PATTERNS so both sides move together;
     counts and replacements chain in the same order as the Redactor."""
@@ -1076,6 +1203,8 @@ ORACLES = {
     "redact_pii": _redact_sql(),
     "repetition_stats": _repetition_sql(),
     "extract_text": _extract_text_sql(),
+    "canonical_urls": _canonical_urls_sql(),
+    "url_revisits": _URL_REVISITS_SQL,
     "exact_dup_clusters": f"""
 WITH {PAGES_SQL},
 g AS (SELECT text, MIN(url) AS cluster_id, COUNT(*) AS cluster_size
