@@ -29,6 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from .adapters import pages_from_documents
@@ -422,6 +423,40 @@ def q_redact_pii(sf_dir: str):
     return redact_pii(
         docs.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+# exact-substring dedup params shared by q_exact_substr and its oracle.
+# Boilerplate tokens are [a-z0-9_]+ words so tokenization is unambiguous.
+SUBSTR_K = 8
+SUBSTR_B7 = "subscribe to our newsletter for weekly updates and special offers today"
+SUBSTR_B11 = (
+    "all rights reserved unauthorized reproduction of this material is"
+    " strictly prohibited"
+)
+
+
+def q_exact_substr(sf_dir: str):
+    """Corpus-level exact-substring dedup (Lee et al. 2021 ExactSubstr):
+    every 8-token window shared by >= 2 distinct documents is a
+    duplicated window; overlapping windows merge into maximal spans that
+    are cut from the document. Planted, SQL-reproducible boilerplate:
+    docs with doc_id % 7 == 0 get one shared trailing sentence, docs
+    with doc_id % 11 == 0 another (% 77 docs carry both)."""
+    from .substr import exact_substr_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        m7 = pa.array(did % 7 == 0)
+        m11 = pa.array(did % 11 == 0)
+        s7 = pc.if_else(m7, pa.scalar(" " + SUBSTR_B7), pa.scalar(""))
+        s11 = pc.if_else(m11, pa.scalar(" " + SUBSTR_B11), pa.scalar(""))
+        text = pc.binary_join_element_wise(b.column("text"), s7, s11, "")
+        return b.set_column(b.schema.get_field_index("text"), "text", text)
+
+    planted = docs.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    return exact_substr_dedup(planted, k=SUBSTR_K, min_docs=2)
 
 
 def q_training_export(sf_dir: str):
@@ -1002,6 +1037,7 @@ QUERIES = {
     "domain_stats": q_domain_stats,
     "domain_cap": q_domain_cap,
     "chunk_documents": q_chunk_documents,
+    "exact_substr": q_exact_substr,
     "redact_pii": q_redact_pii,
     "training_export": q_training_export,
     "mix_sources": q_mix_sources,
@@ -1456,6 +1492,51 @@ SELECT doc_id, c AS chunk_id,
                                   c * {CHUNK_STRIDE} + {CHUNK_WINDOW}), ' ')
          AS chunk_text
 FROM u
+""".strip(),
+    "exact_substr": f"""
+WITH docs2 AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 7 = 0 THEN ' {SUBSTR_B7}' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' {SUBSTR_B11}' ELSE '' END AS text
+  FROM documents),
+toks AS (SELECT doc_id, {TOKENS_SQL} AS ts FROM docs2),
+w AS (SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(ts, i, i + {SUBSTR_K - 1}), ' ') AS win
+      FROM (SELECT doc_id, ts, UNNEST(range(1, len(ts) - {SUBSTR_K} + 2)) AS i
+            FROM toks WHERE len(ts) >= {SUBSTR_K})),
+d AS (SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2),
+m AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (win)),
+s AS (SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM m),
+agg AS (SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS dup_windows,
+    CAST(SUM(CASE WHEN prev IS NULL OR pos - prev > {SUBSTR_K}
+             THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+    CAST(SUM(CASE WHEN prev IS NULL OR pos - prev > {SUBSTR_K}
+             THEN {SUBSTR_K}
+             ELSE LEAST(pos - prev, {SUBSTR_K}) END) AS BIGINT) AS dup_tokens
+  FROM s GROUP BY doc_id),
+tp AS (SELECT doc_id, UNNEST(ts) AS tok,
+              UNNEST(range(0, len(ts))) AS p FROM toks),
+kept AS (SELECT tp.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+           string_agg(tp.tok, ' ' ORDER BY tp.p) AS kept_text
+         FROM tp
+         WHERE NOT EXISTS (SELECT 1 FROM m
+                           WHERE m.doc_id = tp.doc_id
+                             AND tp.p BETWEEN m.pos AND m.pos + {SUBSTR_K} - 1)
+         GROUP BY tp.doc_id)
+SELECT t.doc_id,
+       CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       COALESCE(a.dup_windows, 0) AS dup_windows,
+       COALESCE(a.dup_spans, 0) AS dup_spans,
+       COALESCE(a.dup_tokens, 0) AS dup_tokens,
+       COALESCE(k.kept_tokens, 0) AS kept_tokens,
+       COALESCE(k.kept_text, '') AS kept_text
+FROM toks t
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN kept k USING (doc_id)
 """.strip(),
     "ann_ivf_planted": f"""
 SELECT vec_id AS query_id, vec_id + {PLANT_OFFSET} AS neighbor_id

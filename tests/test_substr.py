@@ -1,0 +1,157 @@
+"""Cross-document exact-substring dedup (ExactSubstr-style)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from dedup.substr import dup_window_hashes, exact_substr_dedup, strip_dup_spans
+
+
+def _docs(texts):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+
+
+def _naive(texts, k, min_docs=2):
+    """Pure-Python reference: per doc (n_tokens, dup_windows, dup_spans,
+    dup_tokens, kept_tokens, kept_text)."""
+    import re
+
+    toks = [
+        [t for t in re.split(r"[^a-z0-9_]+", s.lower()) if t] for s in texts
+    ]
+    wins = {}  # window tuple -> set of doc ids
+    for i, ts in enumerate(toks):
+        for p in range(max(len(ts) - k + 1, 0)):
+            wins.setdefault(tuple(ts[p : p + k]), set()).add(i)
+    dup = {w for w, ds in wins.items() if len(ds) >= min_docs}
+    out = []
+    for i, ts in enumerate(toks):
+        starts = [
+            p for p in range(max(len(ts) - k + 1, 0)) if tuple(ts[p : p + k]) in dup
+        ]
+        covered = set()
+        for p in starts:
+            covered.update(range(p, p + k))
+        spans = 0
+        prev = None
+        for p in starts:
+            if prev is None or p - prev > k:
+                spans += 1
+            prev = p
+        kept = [t for j, t in enumerate(ts) if j not in covered]
+        out.append(
+            (len(ts), len(starts), spans, len(covered), len(kept), " ".join(kept))
+        )
+    return out
+
+
+COLS = ["n_tokens", "dup_windows", "dup_spans", "dup_tokens", "kept_tokens", "kept_text"]
+
+
+def test_exact_substr_matches_naive_reference():
+    boiler = "please subscribe to our newsletter today"  # 6 tokens
+    texts = [
+        f"alpha beta gamma {boiler} delta epsilon",
+        f"zeta eta {boiler} theta",
+        "iota kappa lambda mu nu xi omicron pi",
+        f"{boiler} {boiler} tail",  # adjacent + overlapping dup windows
+        "short doc",  # < k tokens: no windows
+        "",
+    ]
+    k = 4
+    got = (
+        exact_substr_dedup(_docs(texts), k=k, min_docs=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _naive(texts, k)
+    for i, row in got.iterrows():
+        assert tuple(row[c] for c in COLS) == want[i], f"doc {i}"
+
+
+def test_exact_substr_batch_split_invariance():
+    rng = np.random.default_rng(11)
+    vocab = [f"w{j}" for j in range(30)]
+    shared = " ".join(vocab[:9])
+    texts = []
+    for i in range(60):
+        body = " ".join(rng.choice(vocab, size=rng.integers(5, 40)))
+        texts.append(body + (f" {shared}" if i % 4 == 0 else ""))
+    ds = _docs(texts)
+    a = (
+        exact_substr_dedup(ds, k=5, min_docs=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        exact_substr_dedup(ds.repartition(13), k=5, min_docs=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    # the shared tail must be detected in every planted doc
+    planted = a[a.doc_id % 4 == 0]
+    assert (planted.dup_tokens >= 9).all()
+
+
+def test_min_docs_threshold_and_within_doc_repeat_not_cross_doc():
+    rep = "one two three four five"
+    texts = [f"{rep} filler {rep}", "unrelated words here entirely distinct"]
+    # rep appears twice but only in ONE doc → not a cross-doc duplicate
+    out = (
+        exact_substr_dedup(_docs(texts), k=5, min_docs=2)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert (out.dup_windows == 0).all()
+    assert out.iloc[0].kept_text.startswith("one two three")
+
+
+def test_sampled_windows_subset_and_long_span_detected():
+    rng = np.random.default_rng(5)
+    vocab = [f"t{j}" for j in range(50)]
+    long_span = " ".join(rng.choice(vocab, size=64))  # 64-token shared span
+    texts = []
+    for i in range(20):
+        body = " ".join(rng.choice(vocab, size=30))
+        texts.append(body + (f" {long_span}" if i % 3 == 0 else ""))
+    ds = _docs(texts)
+    k = 8
+    exact = dup_window_hashes(ds, k=k, min_docs=2, sample_mod=1)
+    sampled = dup_window_hashes(ds, k=k, min_docs=2, sample_mod=4)
+    # content-defined sampling can only shrink the key set (no false keys)
+    assert np.isin(sampled, exact).all()
+    got = (
+        strip_dup_spans(ds, sampled, k=k, sample_mod=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    planted = got[got.doc_id % 3 == 0]
+    # a 64-token shared span has 57 windows; ~1/4 sampled — detection certain
+    assert (planted.dup_tokens > 0).all()
+    # unplanted docs are 30 random tokens — no shared 8-window (seeded)
+    unplanted = got[got.doc_id % 3 != 0]
+    assert (unplanted.dup_tokens == 0).all()
+
+
+def test_no_duplicates_is_identity_modulo_token_join():
+    texts = ["completely unique alpha beta", "other words entirely different ones"]
+    out = (
+        exact_substr_dedup(_docs(texts), k=3, min_docs=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (out.dup_windows == 0).all()
+    assert out.kept_text.tolist() == [t.lower() for t in texts]
