@@ -39,8 +39,9 @@ class Ingester:
     """Callable for ``map_batches`` (stateless-cheap, but compiled regex is
     per-actor state → actor pool friendly)."""
 
-    def __init__(self, cfg: DedupConfig):
+    def __init__(self, cfg: DedupConfig, extra_cols: tuple[str, ...] = ()):
         self.cfg = cfg
+        self.extra_cols = tuple(extra_cols)
         self.url_re = re.compile(cfg.exclude_url_regex) if cfg.exclude_url_regex else None
         if cfg.exclude_url_regex:
             # the batch-time matcher is Arrow RE2, whose syntax is narrower
@@ -62,7 +63,8 @@ class Ingester:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        cols = {n: batch.column(n) for n in _KEEP if n in batch.column_names}
+        keep = list(_KEEP) + [c for c in self.extra_cols if c not in _KEEP]
+        cols = {n: batch.column(n) for n in keep if n in batch.column_names}
         t = pa.table(cols)
         text = t.column("text")
         if isinstance(text, pa.ChunkedArray):
@@ -111,6 +113,11 @@ class Ingester:
                 "size_bytes": pa.array(size, pa.int64()),
                 "doc_hash": pa.array(doc_hash.view(np.int64), pa.int64()),
                 "short_hash": pa.array(short_key.view(np.int64), pa.int64()),
+                **{
+                    c: t.column(c)
+                    for c in self.extra_cols
+                    if c in t.column_names and c not in _KEEP
+                },
             }
         )
 
@@ -166,11 +173,13 @@ def gate_rejects(pages: Dataset, cfg: DedupConfig) -> Dataset:
     return pages.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def ingest(pages: Dataset, cfg: DedupConfig) -> Dataset:
+def ingest(
+    pages: Dataset, cfg: DedupConfig, extra_cols: tuple[str, ...] = ()
+) -> Dataset:
     # an Ingester INSTANCE is a plain callable → stateless tasks (elastic,
     # no reserved pool); regex compile cost is trivial per task
     return pages.map_batches(
-        Ingester(cfg),
+        Ingester(cfg, extra_cols=extra_cols),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         zero_copy_batch=True,

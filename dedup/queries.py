@@ -628,6 +628,142 @@ def q_url_revisits(sf_dir: str):
 
 REVISIT_BASE_US = 1_700_000_000_000_000  # matches adapters.BASE_TS
 
+# ---- composed Common-Crawl-shape pipeline (BASELINE.json input_hint) ----
+WARC_BASE_US = 1_700_000_000_000_000
+WARC_HOUR_US = 3_600_000_000
+WARC_MIN_SIZE = 50
+
+
+def q_warc_pipeline(sf_dir: str):
+    """The full input_hint-shaped pipeline end-to-end over a synthesized
+    (url, warc_ts, html, text, lang) snapshot table: canonicalize urls
+    (tracking params / fragments planted by doc_id % 3) → extract text
+    from the html column (the ONLY text source downstream — the
+    byte-identical-extraction invariant is load-bearing: a divergent
+    extraction changes hashes and fails the oracle) → keep the latest
+    snapshot per canonical url (revisits planted at doc_id % 4, edited
+    text one hour later) → ingest gates (min size + url-exclude) →
+    exact content dedup (cross-url copies planted at doc_id % 10 == 5),
+    emitting one min-url representative per distinct text with its
+    snapshot count and cluster size."""
+    from .extract import extract_text
+    from .urls import canonicalize_urls, latest_snapshot
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def build(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        tails = ["?utm_source=x", "#sec", ""]
+        raw = pa.array(
+            [
+                f"http://crawl.site{d % 5}.com/p/{d}{tails[d % 3]}"
+                for d in did.tolist()
+            ],
+            pa.string(),
+        )
+
+        def wrap(t: pa.Array) -> pa.Array:
+            return pc.binary_join_element_wise(
+                pa.array(["<html><body>"] * len(t)),
+                t,
+                pa.array(["</body></html>"] * len(t)),
+                "",
+            ).cast(pa.binary())
+
+        base = pa.table(
+            {
+                "raw_url": raw,
+                "ts_us": pa.array(did * 1_000_000 + WARC_BASE_US, pa.int64()),
+                "html": wrap(text),
+                "lang": b.column("lang"),
+            }
+        )
+        parts = [base]
+        m4 = pa.array(did % 4 == 0)
+        if pc.any(m4).as_py():
+            t2 = pc.binary_join_element_wise(
+                pa.array(["v2 "] * int(np.sum(did % 4 == 0))), text.filter(m4), ""
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "raw_url": base.column("raw_url").filter(m4),
+                        "ts_us": pc.add(
+                            base.column("ts_us").filter(m4),
+                            pa.scalar(WARC_HOUR_US, pa.int64()),
+                        ),
+                        "html": wrap(t2),
+                        "lang": base.column("lang").filter(m4),
+                    }
+                )
+            )
+        m5 = pa.array(did % 10 == 5)
+        if pc.any(m5).as_py():
+            copies = pa.array(
+                [
+                    f"http://crawl.site{d % 5}.com/copy/{d}"
+                    for d in did[did % 10 == 5].tolist()
+                ],
+                pa.string(),
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "raw_url": copies,
+                        "ts_us": base.column("ts_us").filter(m5),
+                        "html": base.column("html").filter(m5),
+                        "lang": base.column("lang").filter(m5),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    snaps = docs.map_batches(build, batch_format="pyarrow", zero_copy_batch=True)
+    snaps = canonicalize_urls(snaps, url_col="raw_url", out_col="url")
+    # text exists ONLY through extraction from html from here on
+    snaps = extract_text(snaps, html_col="html", out_col="text").select_columns(
+        ["url", "ts_us", "text", "lang"]
+    )
+    latest = latest_snapshot(snaps, url_col="url", ts_col="ts_us")
+    cfg = DedupConfig(min_size=WARC_MIN_SIZE, exclude_url_regex=GATE_URL_RE)
+    gated = ingest(latest, cfg, extra_cols=("n_snapshots",))
+
+    # exact dedup keeping per-row metadata: narrow columns only, the
+    # dup-involved minority goes through a (dup-bounded) groupby that
+    # picks the min-url member row and stamps the cluster size
+    narrow = gated.select_columns(
+        ["url", "doc_hash", "size_bytes", "n_snapshots"]
+    ).materialize()
+    dups = dup_keys(narrow, "doc_hash")
+
+    def stamp_one(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["doc_hash"]).append_column(
+            "cluster_size", pa.array(np.ones(len(batch), np.int64))
+        )
+
+    uniq = semi_filter(narrow, "doc_hash", dups, keep=False).map_batches(
+        stamp_one, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if len(dups) == 0:
+        return uniq
+
+    def rep_row(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.sort_values("url").iloc[:1].drop(columns=["doc_hash"])
+        r["cluster_size"] = np.int64(len(g))
+        return r
+
+    reps = (
+        semi_filter(narrow, "doc_hash", dups)
+        .groupby("doc_hash")
+        .map_groups(rep_row, batch_format="pandas")
+    )
+    return uniq.union(reps)
+
 
 # url exclude pattern shared by the gate queries and their oracles —
 # RE2 on both sides (Arrow match_substring_regex / DuckDB regexp_matches)
@@ -1045,6 +1181,7 @@ QUERIES = {
     "extract_text": q_extract_text,
     "canonical_urls": q_canonical_urls,
     "url_revisits": q_url_revisits,
+    "warc_pipeline": q_warc_pipeline,
     "line_dedup": q_line_dedup,
     "clean_corpus": q_clean_corpus,
     "filter_gates": q_filter_gates,
@@ -1172,6 +1309,52 @@ def _extract_text_sql() -> str:
     )
 
 
+def _warc_pipeline_sql() -> str:
+    """The whole composed pipeline mirrored: snapshot construction,
+    canonicalization chain, extraction chain, latest-per-url window,
+    gates and exact-dedup grouping — every stage regenerated from the
+    same constants as the Ray side."""
+    from .extract import extract_sql
+    from .urls import canonical_sql
+
+    html = "'<html><body>' || text || '</body></html>'"
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+    'http://crawl.site' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/'
+      || CAST(doc_id AS VARCHAR)
+      || CASE doc_id % 3 WHEN 0 THEN '?utm_source=x'
+                         WHEN 1 THEN '#sec' ELSE '' END AS raw_url,
+    CAST({WARC_BASE_US} AS BIGINT) + doc_id * 1000000 AS ts_us
+  FROM documents),
+snaps AS (
+  SELECT raw_url, ts_us, text FROM base
+  UNION ALL
+  SELECT raw_url, ts_us + {WARC_HOUR_US}, 'v2 ' || text
+  FROM base WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT 'http://crawl.site' || CAST(doc_id % 5 AS VARCHAR) || '.com/copy/'
+           || CAST(doc_id AS VARCHAR), ts_us, text
+  FROM base WHERE doc_id % 10 = 5),
+ext AS (SELECT {canonical_sql('raw_url')} AS url, ts_us,
+               {extract_sql(html)} AS text FROM snaps),
+latest AS (
+  SELECT url, text,
+         CAST(COUNT(*) OVER (PARTITION BY url) AS BIGINT) AS n_snapshots,
+         ROW_NUMBER() OVER (PARTITION BY url ORDER BY ts_us DESC) AS rn
+  FROM ext),
+gated AS (
+  SELECT url, text, n_snapshots FROM latest
+  WHERE rn = 1 AND strlen(text) >= {WARC_MIN_SIZE}
+    AND NOT regexp_matches(url, '{GATE_URL_RE}')),
+g AS (SELECT text, MIN(url) AS rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM gated GROUP BY text)
+SELECT t.url, CAST(strlen(t.text) AS BIGINT) AS size_bytes,
+       t.n_snapshots, g.cluster_size
+FROM gated t JOIN g ON t.text = g.text AND t.url = g.rep
+""".strip()
+
+
 def _canonical_urls_sql() -> str:
     """Messy-url construction AND the canonicalization chain both
     generated from the same constants as q_canonical_urls."""
@@ -1241,6 +1424,7 @@ ORACLES = {
     "extract_text": _extract_text_sql(),
     "canonical_urls": _canonical_urls_sql(),
     "url_revisits": _URL_REVISITS_SQL,
+    "warc_pipeline": _warc_pipeline_sql(),
     "exact_dup_clusters": f"""
 WITH {PAGES_SQL},
 g AS (SELECT text, MIN(url) AS cluster_id, COUNT(*) AS cluster_size
