@@ -139,6 +139,16 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     _consume(simhash_clusters(pages, cfg))
     queries["simhash"] = round(time.monotonic() - t0, 3)
 
+    from dedup.substr import exact_substr_dedup
+
+    t0 = time.monotonic()
+    _consume(
+        exact_substr_dedup(
+            pages.select_columns(["url", "text"]), k=8, min_docs=2, id_col="url"
+        ).select_columns(["url", "dup_tokens", "kept_tokens"])
+    )
+    queries["exact_substr"] = round(time.monotonic() - t0, 3)
+
     t0 = time.monotonic()
     _consume(
         text_stats(

@@ -82,7 +82,10 @@ def main(argv=None) -> int:
     ap.add_argument("--output", required=True, help="output directory")
     ap.add_argument(
         "--mode",
-        choices=["near", "exact", "simhash", "corpus", "index-build", "index-dedup"],
+        choices=[
+            "near", "exact", "simhash", "corpus", "substr",
+            "index-build", "index-dedup",
+        ],
         default="near",
         help="corpus = write the deduplicated pages (one representative "
              "per near-dup cluster) instead of the clusters table; "
@@ -185,6 +188,34 @@ def main(argv=None) -> int:
             if args.update_index:
                 mf = update_index(args.index, res.kept_sigs, cfg)
                 summary["index_docs"] = mf["n_docs"]
+        with open(os.path.join(args.output, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        print(json.dumps(summary))
+        return 0
+
+    if args.mode == "substr":
+        # corpus-level exact-substring dedup: write the span-stripped
+        # corpus + per-doc span stats (dedup/substr.py)
+        from .substr import exact_substr_dedup
+
+        stripped = exact_substr_dedup(
+            pages.select_columns(["url", "text"]), id_col="url"
+        ).materialize()
+        out_dir = os.path.join(args.output, "substr")
+        os.makedirs(args.output, exist_ok=True)
+        stripped.write_parquet(out_dir)
+        from ray.data.aggregate import Sum
+
+        agg = stripped.aggregate(Sum("n_tokens"), Sum("dup_tokens"))
+        summary = {
+            "mode": args.mode,
+            "input": args.input,
+            "rows": stripped.count(),
+            "total_tokens": int(agg["sum(n_tokens)"]),
+            "dup_tokens_removed": int(agg["sum(dup_tokens)"]),
+            "wall_sec": round(time.monotonic() - t0, 3),
+            "config_fingerprint": cfg.fingerprint(),
+        }
         with open(os.path.join(args.output, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2)
         print(json.dumps(summary))

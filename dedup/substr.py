@@ -122,9 +122,21 @@ def dup_window_hashes(
         if keep is not None:
             wh, doc_of = wh[keep], doc_of[keep]
         if len(wh):
-            pairs = np.stack([doc_of, wh.view(np.int64)], axis=1)
-            u = np.unique(pairs, axis=0)  # distinct windows per doc
-            key, cnt = np.unique(u[:, 1], return_counts=True)
+            # one lexsort (wh primary, doc secondary) gives both the
+            # per-doc window dedup AND the per-wh distinct-doc counts as
+            # run-length scans — avoids np.unique(axis=0)'s slow
+            # void-row path on tens of millions of rows
+            h = wh.view(np.int64)
+            order = np.lexsort((doc_of, h))
+            h_s, d_s = h[order], doc_of[order]
+            first = np.ones(len(h_s), dtype=bool)
+            first[1:] = (h_s[1:] != h_s[:-1]) | (d_s[1:] != d_s[:-1])
+            h_u = h_s[first]  # distinct (wh, doc), sorted by wh
+            run = np.ones(len(h_u), dtype=bool)
+            run[1:] = h_u[1:] != h_u[:-1]
+            idx = np.flatnonzero(run)
+            key = h_u[idx]
+            cnt = np.diff(np.append(idx, len(h_u))).astype(np.int64)
         else:
             key = np.empty(0, np.int64)
             cnt = np.empty(0, np.int64)
@@ -132,15 +144,40 @@ def dup_window_hashes(
             {"wh": pa.array(key, pa.int64()), "pd": pa.array(cnt, pa.int64())}
         )
 
-    agg = (
-        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("wh")
-        .aggregate(Sum("pd", alias_name="n_docs"))
+    partials = docs.map_batches(
+        partial, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
     )
+
+    # merge the 16 B (wh, pd) combiner rows on the driver with one
+    # argsort+reduceat while they fit (a Ray groupby shuffle costs tens
+    # of seconds of sort/spill on tens of millions of rows where the
+    # driver merge takes ~1 s); past the bound the groupby path takes
+    # over — same split as exchange.dup_key_counts
+    from .exchange import _DRIVER_AGG_MAX
+
+    batches, n = [], 0
+    for b in partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        batches.append(b)
+        n += len(b)
+        if n > _DRIVER_AGG_MAX:
+            break
+    if n <= _DRIVER_AGG_MAX:
+        if not batches:
+            return np.empty(0, np.int64)
+        tbl = pa.concat_tables(batches)
+        keys = tbl.column("wh").to_numpy(zero_copy_only=False)
+        cnts = tbl.column("pd").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        k_s, c_s = keys[order], cnts[order]
+        starts = np.concatenate([[0], np.flatnonzero(k_s[1:] != k_s[:-1]) + 1])
+        total = np.add.reduceat(c_s, starts)
+        return k_s[starts][total >= min_docs]
+
+    agg = partials.groupby("wh").aggregate(Sum("pd", alias_name="n_docs"))
     out = []
     for b in agg.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        n = b.column("n_docs").to_numpy(zero_copy_only=False)
-        out.append(b.column("wh").to_numpy(zero_copy_only=False)[n >= min_docs])
+        nn = b.column("n_docs").to_numpy(zero_copy_only=False)
+        out.append(b.column("wh").to_numpy(zero_copy_only=False)[nn >= min_docs])
     return np.sort(np.concatenate(out)) if out else np.empty(0, np.int64)
 
 
@@ -192,8 +229,12 @@ def strip_dup_spans(
             contrib = np.where(new_span, k, 0).astype(np.int64)
             cont = ~new_span
             contrib[cont] = np.minimum(gap[cont[1:]], k)
-            dup_tokens = np.zeros(nd, dtype=np.int64)
-            np.add.at(dup_tokens, docw, contrib)
+            # bincount-with-weights beats np.add.at's scatter by ~10×
+            # on millions of dup windows; k ≤ 2^20 keeps the float64
+            # accumulation exact far past any real batch
+            dup_tokens = np.bincount(
+                docw, weights=contrib, minlength=nd
+            ).astype(np.int64)
         else:
             dup_spans = np.zeros(nd, np.int64)
             dup_tokens = np.zeros(nd, np.int64)
@@ -203,10 +244,10 @@ def strip_dup_spans(
         base = np.cumsum(counts) - counts
         covered = np.zeros(total_toks, dtype=bool)
         if len(starts):
-            delta = np.zeros(total_toks + 1, dtype=np.int64)
             g = base[docw] + starts
-            np.add.at(delta, g, 1)
-            np.add.at(delta, g + k, -1)  # starts <= count-k, so g+k <= doc end
+            delta = np.bincount(g, minlength=total_toks + 1).astype(np.int64)
+            # starts <= count-k, so g+k <= doc end
+            delta -= np.bincount(g + k, minlength=total_toks + 1)
             covered = np.cumsum(delta[:-1]) > 0
         keep_tok = ~covered
         doc_of_tok = np.repeat(np.arange(nd, dtype=np.int64), counts)

@@ -129,3 +129,20 @@ def test_interrupt_progress_handler(pages_file, tmp_path, capsys):
             time.sleep(0.05)
     finally:
         signal.signal(signal.SIGINT, signal.default_int_handler)
+
+
+def test_cli_substr_mode(pages_file, tmp_path, capsys):
+    """--mode substr writes the span-stripped corpus + span stats."""
+    out = str(tmp_path / "out")
+    rc = main(["--input", pages_file, "--output", out, "--mode", "substr"])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["rows"] > 0
+    assert s["total_tokens"] > 0
+    # exact/near groups in make_pages share long token runs → spans found
+    assert s["dup_tokens_removed"] > 0
+    assert os.path.isdir(os.path.join(out, "substr"))
+    t = pq.read_table(os.path.join(out, "substr"))
+    assert set(t.column_names) >= {
+        "url", "n_tokens", "dup_spans", "dup_tokens", "kept_text"
+    }
