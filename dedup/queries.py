@@ -1043,6 +1043,41 @@ def q_ann_ivf_planted(sf_dir: str):
     return top1.reset_index(drop=True)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540): k-means cells over the embedding
+    corpus, within-cell cosine components at the working threshold, one
+    representative kept per component. Approximate (cell boundaries can
+    split a borderline pair) → rows-only; the machinery is pinned by the
+    SQL-checked exact-mode twin below."""
+    from .semantic import semantic_dedup
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, threshold=EMB_NEAR_THRESHOLD, n_cells=16)
+
+
+def q_semantic_dedup_exact_mode(sf_dir: str):
+    """Semantic-dedup machinery in exact-duplicate mode over the corpus
+    plus planted bit-identical twins (vec_id + PLANT_OFFSET): candidates
+    still flow assign → cell groupby → tiled within-cell cosine, but a
+    pair only survives if the raw vectors are bit-identical. Identical
+    vectors always share a cell and the within-cell scan is exhaustive,
+    so the output is exactly the partition of rows by identical embedding
+    — SQL-expressible (window MIN over PARTITION BY embedding)."""
+    from .semantic import semantic_dedup
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def shift(t: pa.Table) -> pa.Table:
+        vid = pa.compute.add(t.column("vec_id"), pa.scalar(PLANT_OFFSET, pa.int64()))
+        return t.set_column(t.schema.get_field_index("vec_id"), "vec_id", vid)
+
+    twins = emb.filter(expr="vec_id < 10").map_batches(shift, batch_format="pyarrow")
+    t = semantic_dedup(
+        emb.union(twins), threshold=0.999, exact_verify=True, n_cells=16
+    )
+    return t.select(["vec_id", "rep_id", "kept"])
+
+
 def q_events_windowed(sf_dir: str):
     """Tumbling 1-hour window aggregate over the events stream (the
     windowed-aggregate custom op — SURVEY §2.7 notes the reference has
@@ -1200,6 +1235,8 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "ann_lsh_near_dup": q_ann_lsh_near_dup,
     "ann_lsh_planted": q_ann_lsh_planted,
+    "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_exact_mode": q_semantic_dedup_exact_mode,
     "long_spans_planted": q_long_spans_planted,
 }
 
@@ -1729,6 +1766,17 @@ FROM embeddings WHERE vec_id < 10
     "ann_lsh_planted": f"""
 SELECT CAST(vec_id AS BIGINT) AS a, CAST(vec_id + {PLANT_OFFSET} AS BIGINT) AS b
 FROM embeddings WHERE vec_id < 10
+""".strip(),
+    "semantic_dedup_exact_mode": f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET}, CAST(embedding AS DOUBLE[])
+  FROM embeddings WHERE vec_id < 10
+)
+SELECT vec_id, MIN(vec_id) OVER (PARTITION BY e) AS rep_id,
+       vec_id = MIN(vec_id) OVER (PARTITION BY e) AS kept
+FROM base
 """.strip(),
     "long_spans_planted": f"""
 WITH p AS (

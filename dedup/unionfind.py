@@ -245,8 +245,21 @@ def label_propagation(
                 tot ^= int(v) + (1 << 63)
         return tot
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _timing = bool(_os.environ.get("DEDUP_TIMING"))
+    _t0 = _time.monotonic()
     prev = checksum(labels)
-    for _ in range(max_iter):
+    for _it in range(max_iter):
+        if _timing:
+            print(
+                f"[label_propagation] iter {_it} start "
+                f"(+{_time.monotonic() - _t0:.1f}s)",
+                file=_sys.stderr,
+                flush=True,
+            )
         msgs = []
         for end, other in (("a", "b"), ("b", "a")):
             j = bucketed_join(

@@ -1,0 +1,95 @@
+"""SemDeDup-style semantic dedup (dedup/semantic.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from dedup.semantic import semantic_dedup
+
+
+def _emb_ds(M, ids=None):
+    n, d = M.shape
+    ids = ids if ids is not None else list(range(n))
+    flat = pa.array(M.astype(np.float32).reshape(-1), pa.float32())
+    col = pa.FixedSizeListArray.from_arrays(flat, d).cast(pa.list_(pa.float32()))
+    return rd.from_arrow(
+        pa.table({"vec_id": pa.array(ids, pa.int64()), "embedding": col})
+    )
+
+
+def test_every_row_once_and_singletons_kept():
+    rng = np.random.default_rng(0)
+    M = rng.standard_normal((120, 16))
+    t = semantic_dedup(_emb_ds(M), threshold=0.999, n_cells=4)
+    assert t.num_rows == 120
+    assert sorted(t.column("vec_id").to_pylist()) == list(range(120))
+    # near-orthogonal random vectors: nothing above 0.999 → all kept
+    assert t.column("kept").to_pylist() == [True] * 120
+    assert t.column("rep_id").to_pylist() == t.column("vec_id").to_pylist()
+
+
+def test_planted_near_dup_group_collapses():
+    rng = np.random.default_rng(1)
+    M = rng.standard_normal((80, 32))
+    # group of three near-identical vectors (same cell by construction)
+    M[20] = M[5] + 1e-3 * rng.standard_normal(32)
+    M[60] = M[5] - 1e-3 * rng.standard_normal(32)
+    t = semantic_dedup(_emb_ds(M), threshold=0.99, n_cells=4)
+    df = t.to_pandas().set_index("vec_id")
+    assert df.loc[5, "rep_id"] == df.loc[20, "rep_id"] == df.loc[60, "rep_id"] == 5
+    assert bool(df.loc[5, "kept"]) and not bool(df.loc[20, "kept"])
+    # exactly two rows dropped
+    assert int((~df["kept"]).sum()) == 2
+
+
+def test_exact_verify_requires_bit_identity():
+    rng = np.random.default_rng(2)
+    M = rng.standard_normal((50, 16))
+    M[30] = M[10]  # bit-identical twin
+    M[40] = M[10] + 1e-6  # cosine ~1.0 but NOT bit-identical
+    t = semantic_dedup(_emb_ds(M), threshold=0.999, n_cells=4, exact_verify=True)
+    df = t.to_pandas().set_index("vec_id")
+    assert df.loc[30, "rep_id"] == 10 and not bool(df.loc[30, "kept"])
+    assert df.loc[40, "rep_id"] == 40 and bool(df.loc[40, "kept"])
+
+
+def test_centroid_far_policy_deterministic_rep():
+    rng = np.random.default_rng(3)
+    M = rng.standard_normal((60, 16))
+    M[9] = M[4] + 1e-3 * rng.standard_normal(16)
+    a = semantic_dedup(_emb_ds(M), threshold=0.99, n_cells=4, keep="centroid_far")
+    b = semantic_dedup(_emb_ds(M), threshold=0.99, n_cells=4, keep="centroid_far")
+    assert a.equals(b)
+    df = a.to_pandas().set_index("vec_id")
+    # one of the pair kept, both share the winner as rep
+    assert df.loc[4, "rep_id"] == df.loc[9, "rep_id"]
+    assert bool(df.loc[4, "kept"]) ^ bool(df.loc[9, "kept"])
+    kept_id = int(df.loc[4, "rep_id"])
+    assert bool(df.loc[kept_id, "kept"])
+
+
+def test_tile_invariance():
+    rng = np.random.default_rng(4)
+    M = rng.standard_normal((90, 8))
+    M[33] = M[7] + 1e-3 * rng.standard_normal(8)
+    M[71] = M[7] + 1e-3 * rng.standard_normal(8)
+    big = semantic_dedup(_emb_ds(M), threshold=0.98, n_cells=3)
+    small = semantic_dedup(_emb_ds(M), threshold=0.98, n_cells=3, tile=7)
+    assert big.equals(small)
+
+
+def test_sf_corpus_exact_mode_matches_group_by_embedding(sf_dir):
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def shift(t: pa.Table) -> pa.Table:
+        vid = pc.add(t.column("vec_id"), pa.scalar(10_000_000, pa.int64()))
+        return t.set_column(t.schema.get_field_index("vec_id"), "vec_id", vid)
+
+    twins = emb.filter(expr="vec_id < 10").map_batches(shift, batch_format="pyarrow")
+    t = semantic_dedup(emb.union(twins), threshold=0.999, exact_verify=True)
+    df = t.to_pandas().set_index("vec_id")
+    for i in range(10):
+        assert df.loc[10_000_000 + i, "rep_id"] == i
+        assert not bool(df.loc[10_000_000 + i, "kept"])
+        assert bool(df.loc[i, "kept"])
