@@ -1078,6 +1078,123 @@ def q_semantic_dedup_exact_mode(sf_dir: str):
     return t.select(["vec_id", "rep_id", "kept"])
 
 
+def q_bloom_new_docs(sf_dir: str):
+    """Bloom-screened incremental exact dedup: a new crawl batch
+    (doc_id % 10 == 0, with every 5th batch doc's text replaced by a
+    corpus doc's text to plant true duplicates) is deduped against the
+    corpus (doc_id % 10 != 0) WITHOUT a per-batch corpus scan — a Bloom
+    filter over corpus doc hashes screens the batch (no false negatives,
+    so "absent" is definitive), and only the tiny maybe-set gets the
+    exact confirmation probe. Output is exactly the anti-join → SQL
+    oracle (NOT EXISTS on text equality)."""
+    import ray
+
+    from .bloom import bloom_build, bloom_split
+    from .exchange import collect_table, semi_filter_auto
+    from .hashing import xxh64_arrow
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+        h = xxh64_arrow(txt).view(np.int64)
+        return t.append_column("doc_hash", pa.array(h, pa.int64()))
+
+    def mod_filter(m: int, eq: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % m == 0) if eq else (ids % m != 0)
+            return t.filter(pa.array(mask))
+
+        return fn
+
+    corpus = docs.map_batches(mod_filter(10, False), batch_format="pyarrow").map_batches(
+        add_hash, batch_format="pyarrow"
+    )
+    # donor texts for the planted overlap: doc_id % 50 == 1 → the batch
+    # doc (donor_id - 1) reuses this text. Tiny (n/50 rows), broadcast.
+    def donor_filter(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 50 == 1))
+
+    donors = collect_table(docs.map_batches(donor_filter, batch_format="pyarrow"))
+    donor_ref = ray.put(
+        dict(
+            zip(
+                [i - 1 for i in donors.column("doc_id").to_pylist()],
+                donors.column("text").to_pylist(),
+            )
+        )
+    )
+
+    def plant(t: pa.Table) -> pa.Table:
+        lut = ray.get(donor_ref)
+        ids = t.column("doc_id").to_pylist()
+        txt = t.column("text").to_pylist()
+        out = [lut.get(i, s) if i % 50 == 0 else s for i, s in zip(ids, txt)]
+        return pa.table({"doc_id": t.column("doc_id"), "text": pa.array(out)})
+
+    batch = (
+        docs.map_batches(mod_filter(10, True), batch_format="pyarrow")
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(add_hash, batch_format="pyarrow")
+    )
+
+    n_corpus = corpus.count()
+    bloom = bloom_build(corpus, "doc_hash", n_expected=n_corpus, fpp=0.01)
+    tagged = bloom_split(batch, "doc_hash", bloom).materialize()
+
+    maybe = np.unique(
+        collect_table(tagged.filter(expr="__maybe").select_columns(["doc_hash"]))
+        .column("doc_hash")
+        .to_numpy(zero_copy_only=False)
+    )
+    present = np.unique(
+        collect_table(
+            semi_filter_auto(corpus.select_columns(["doc_hash"]), "doc_hash", maybe)
+        )
+        .column("doc_hash")
+        .to_numpy(zero_copy_only=False)
+    )
+    pref = ray.put(present)
+
+    def finish(t: pa.Table) -> pa.Table:
+        pr = ray.get(pref)
+        h = t.column("doc_hash").to_numpy(zero_copy_only=False)
+        dup = np.isin(h, pr) & t.column("__maybe").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t.column("doc_id"), "is_new": pa.array(~dup)})
+
+    out = collect_table(tagged.map_batches(finish, batch_format="pyarrow"))
+    return out.sort_by("doc_id")
+
+
+DECONTAM_N = 8  # gram width shared by q_decontaminate and its oracle
+DECONTAM_BENCH_MAX_ID = 20  # bench set = documents with doc_id < this
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3 appendix-C-style n-gram overlap):
+    docs with doc_id < 20 stand in for the eval benchmark; every corpus
+    doc is flagged with the number of distinct benchmark 8-grams it
+    contains. Token definition is the shared TOKENS_SQL one, so the
+    DuckDB oracle reproduces the gram universe exactly (the engine
+    compares XXH64 gram hashes; SQL compares gram strings)."""
+    from .decontam import benchmark_grams, decontaminate
+    from .exchange import collect_table
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def bench_filter(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids < DECONTAM_BENCH_MAX_ID))
+
+    bench = docs.map_batches(bench_filter, batch_format="pyarrow")
+    bh = benchmark_grams(bench, n=DECONTAM_N)
+    out = collect_table(decontaminate(docs, bh, n=DECONTAM_N))
+    return out.sort_by("doc_id")
+
+
 def q_events_windowed(sf_dir: str):
     """Tumbling 1-hour window aggregate over the events stream (the
     windowed-aggregate custom op — SURVEY §2.7 notes the reference has
@@ -1237,6 +1354,8 @@ QUERIES = {
     "ann_lsh_planted": q_ann_lsh_planted,
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_exact_mode": q_semantic_dedup_exact_mode,
+    "bloom_new_docs": q_bloom_new_docs,
+    "decontaminate": q_decontaminate,
     "long_spans_planted": q_long_spans_planted,
 }
 
@@ -1777,6 +1896,41 @@ WITH base AS (
 SELECT vec_id, MIN(vec_id) OVER (PARTITION BY e) AS rep_id,
        vec_id = MIN(vec_id) OVER (PARTITION BY e) AS kept
 FROM base
+""".strip(),
+    "bloom_new_docs": """
+WITH batch AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 50 = 0
+              THEN (SELECT c.text FROM documents c WHERE c.doc_id = d.doc_id + 1)
+              ELSE d.text END AS text
+  FROM documents d WHERE d.doc_id % 10 = 0
+)
+SELECT b.doc_id,
+       NOT EXISTS (SELECT 1 FROM documents c
+                   WHERE c.doc_id % 10 <> 0 AND c.text = b.text) AS is_new
+FROM batch b
+""".strip(),
+    "decontaminate": f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_SQL} AS t FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - {DECONTAM_N - 2})) AS i FROM toks
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+{DECONTAM_N - 1}], ' ') AS g FROM idx
+),
+bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id < {DECONTAM_BENCH_MAX_ID}
+),
+hits AS (
+  SELECT dg.doc_id, COUNT(*) AS n
+  FROM (SELECT DISTINCT doc_id, g FROM grams) dg JOIN bench USING (g)
+  GROUP BY dg.doc_id
+)
+SELECT d.doc_id, COALESCE(h.n, 0) > 0 AS contaminated,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_bench_grams
+FROM documents d LEFT JOIN hits h USING (doc_id)
 """.strip(),
     "long_spans_planted": f"""
 WITH p AS (

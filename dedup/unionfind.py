@@ -219,11 +219,21 @@ def label_propagation(
             }
         )
 
-    labels = min_by_key(
-        pairs.map_batches(init_labels, batch_format="pyarrow"),
-        "node", "label", n_buckets=n_buckets,
-    ).materialize()
-    edges = pairs.materialize()
+    labels = (
+        min_by_key(
+            pairs.map_batches(init_labels, batch_format="pyarrow"),
+            "node", "label", n_buckets=n_buckets,
+        )
+        .repartition(n_buckets)
+        .materialize()
+    )
+    # Block count drives per-iteration cost: checkpoint-loaded edge
+    # tables arrive as hundreds of tiny parquet blocks (observed at 2M
+    # docs: 800 × ~170 KB for 5.7M edges), and every iteration pays
+    # per-block driver scheduling across TWO bucketed joins — the driver
+    # pegs one core while workers idle. Repartition once so all
+    # iterations run over n_buckets well-sized blocks.
+    edges = pairs.repartition(n_buckets).materialize()
 
     def checksum(lds: Dataset) -> int:
         """Order-insensitive fixpoint detector: XOR of mixed (node, label)
@@ -282,9 +292,11 @@ def label_propagation(
                     batch_format="pyarrow",
                 )
             )
-        labels = min_by_key(
-            labels.union(*msgs), "node", "label", n_buckets=n_buckets
-        ).materialize()
+        labels = (
+            min_by_key(labels.union(*msgs), "node", "label", n_buckets=n_buckets)
+            .repartition(n_buckets)
+            .materialize()
+        )
         cur = checksum(labels)
         if cur == prev:
             break

@@ -307,6 +307,17 @@ def verify_distributed(pairs: Dataset, sigs: Dataset, cfg: DedupConfig) -> Datas
     sa = sigs.map_batches(lambda t: pack(t, "__ka", "__sa"), batch_format="pyarrow")
     sb = sigs.map_batches(lambda t: pack(t, "__kb", "__sb"), batch_format="pyarrow")
     j1 = bucketed_join(pairs, sa, "a", "__ka", n_buckets=cfg.join_buckets)
+    # Stage barrier between the two signature joins. Fused in one
+    # streaming plan, join 2's sort (an all-to-all barrier) pins every
+    # (pair + 1 KB sig_a) block join 1 emits while join 1's own inputs
+    # and sort buffers are still resident; at millions of candidate
+    # pairs the object store congests and the executor collapses to one
+    # in-flight task (observed at 2M docs: ~6 blocks/min, workers idle).
+    # Materializing j1 releases join 1's whole subtree before join 2
+    # starts — roughly half the peak footprint, full task parallelism.
+    # On a multi-node cluster the object store is per-node, but the same
+    # barrier still bounds the per-node footprint of the exchange.
+    j1 = j1.materialize()
     j2 = bucketed_join(j1, sb, "b", "__kb", n_buckets=cfg.join_buckets)
 
     def agree(batch: pa.Table) -> pa.Table:

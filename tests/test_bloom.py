@@ -1,0 +1,89 @@
+"""Bloom-filter membership screening (dedup/bloom.py)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from dedup.bloom import (
+    BloomFilter,
+    bloom_build,
+    bloom_split,
+    read_bloom_sidecar,
+    write_bloom_sidecar,
+)
+
+
+def _keys(seed, n):
+    return np.random.default_rng(seed).integers(0, 2**63, size=n, dtype=np.int64)
+
+
+def test_no_false_negatives_and_fpp_bounded():
+    added = _keys(0, 20_000)
+    other = _keys(1, 20_000)
+    other = other[~np.isin(other, added)]
+    f = BloomFilter.for_capacity(len(added), fpp=0.01)
+    f.add_many(added)
+    assert f.contains_many(added).all()  # the Bloom guarantee
+    fpp = f.contains_many(other).mean()
+    assert fpp < 0.03  # target 1%, generous 3x bound
+
+
+def test_serialize_roundtrip_and_union():
+    a, b = _keys(2, 5_000), _keys(3, 5_000)
+    f1 = BloomFilter.for_capacity(10_000, fpp=0.01)
+    f2 = BloomFilter(f1.m_bits, f1.k)
+    f1.add_many(a)
+    f2.add_many(b)
+    merged = BloomFilter.from_bytes(f1.to_bytes()).union_(f2)
+    both = BloomFilter(f1.m_bits, f1.k)
+    both.add_many(np.concatenate([a, b]))
+    assert np.array_equal(merged.words, both.words)
+    assert merged.contains_many(a).all() and merged.contains_many(b).all()
+
+
+def test_bloom_build_matches_local_build():
+    keys = _keys(4, 30_000)
+    ds = rd.from_arrow(pa.table({"doc_hash": pa.array(keys, pa.int64())}))
+    built = bloom_build(ds, "doc_hash", n_expected=len(keys), fpp=0.01)
+    local = BloomFilter(built.m_bits, built.k)
+    local.add_many(keys)
+    assert np.array_equal(built.words, local.words)
+
+
+def test_bloom_split_definitely_new_is_exact():
+    corpus = _keys(5, 10_000)
+    dups = corpus[:200]
+    fresh = _keys(6, 2_000)
+    fresh = fresh[~np.isin(fresh, corpus)]
+    batch_keys = np.concatenate([dups, fresh])
+    f = bloom_build(
+        rd.from_arrow(pa.table({"doc_hash": pa.array(corpus, pa.int64())})),
+        "doc_hash", n_expected=len(corpus), fpp=0.01,
+    )
+    tagged = bloom_split(
+        rd.from_arrow(pa.table({"doc_hash": pa.array(batch_keys, pa.int64())})),
+        "doc_hash", f,
+    )
+    t = pa.concat_tables(list(tagged.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    maybe = t.column("__maybe").to_numpy(zero_copy_only=False)
+    h = t.column("doc_hash").to_numpy(zero_copy_only=False)
+    true_dup = np.isin(h, corpus)
+    # every true duplicate must be flagged maybe (no false negatives)
+    assert maybe[true_dup].all()
+    # the screen is effective: few false positives among the fresh keys
+    assert maybe[~true_dup].mean() < 0.05
+
+
+def test_sidecar_roundtrip(tmp_path):
+    idx = tmp_path / "index"
+    (idx / "sigs").mkdir(parents=True)
+    keys = _keys(7, 1_000)
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"doc_hash": pa.array(keys, pa.int64())}), idx / "sigs" / "part0.parquet"
+    )
+    path = write_bloom_sidecar(str(idx), fpp=0.01)
+    f = read_bloom_sidecar(str(idx))
+    assert path.endswith("bloom.bin")
+    assert f.contains_many(keys).all()
