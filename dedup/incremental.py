@@ -138,6 +138,9 @@ def build_index(pages: Dataset, cfg: DedupConfig, index_dir: str) -> dict:
         rd.read_parquet(sigs_dir, columns=["doc_hash", "sig", "n_shingles"]), cfg
     ).write_parquet(bands_dir)
     n = rd.read_parquet(sigs_dir, columns=["doc_hash"]).count()
+    from .bloom import write_bloom_sidecar
+
+    write_bloom_sidecar(tmp)
     _write_manifest(tmp, cfg, n)
     if os.path.exists(index_dir):
         import shutil
@@ -205,10 +208,23 @@ def incremental_dedup(
         .column("doc_hash")
         .to_numpy(zero_copy_only=False)
     )
+    # Bloom prescreen (sidecar written at build/update time): keys the
+    # filter rejects are DEFINITELY not in the corpus — no false
+    # negatives — so the exact probe below only pays for the maybe-set
+    # (true dups + fpp·batch). Output is identical with or without the
+    # sidecar (tests/test_bloom.py::test_incremental_bloom_identical).
+    probe_hashes = new_hashes
+    if os.path.exists(os.path.join(index_dir, "bloom.bin")):
+        from .bloom import read_bloom_sidecar
+
+        _bf = read_bloom_sidecar(index_dir)
+        probe_hashes = new_hashes[
+            _bf.contains_many(new_hashes.view(np.uint64))
+        ]
     exact_old = np.unique(
         collect_table(
             semi_filter_auto(
-                old_docs, "doc_hash", new_hashes,
+                old_docs, "doc_hash", probe_hashes,
                 max_broadcast_rows=cfg.broadcast_max_rows,
                 n_buckets=cfg.join_buckets,
             )
@@ -440,5 +456,24 @@ def update_index(index_dir: str, kept_sigs: Dataset, cfg: DedupConfig) -> dict:
         kept_sigs.write_parquet(sigs_dir)
         if os.path.isdir(bands_dir):
             band_rows(kept_sigs, cfg).write_parquet(bands_dir)
+        # append-only sidecar update: OR the new keys into the existing
+        # Bloom filter (no rebuild — the filter only ever gains bits).
+        # Capacity overrun past the built-for n only raises fpp, never
+        # breaks correctness (the exact probe confirms every maybe).
+        bloom_path = os.path.join(index_dir, "bloom.bin")
+        if os.path.exists(bloom_path):
+            from .bloom import read_bloom_sidecar
+
+            bf = read_bloom_sidecar(index_dir)
+            for b in kept_sigs.select_columns(["doc_hash"]).iter_batches(
+                batch_size=1 << 18, batch_format="pyarrow"
+            ):
+                bf.add_many(
+                    b.column("doc_hash").to_numpy(zero_copy_only=False)
+                )
+            tmp_b = bloom_path + ".tmp"
+            with open(tmp_b, "wb") as fh:
+                fh.write(bf.to_bytes())
+            os.replace(tmp_b, bloom_path)
     _write_manifest(index_dir, cfg, mf["n_docs"] + n_add)
     return _manifest(index_dir)  # type: ignore[return-value]

@@ -87,3 +87,55 @@ def test_sidecar_roundtrip(tmp_path):
     f = read_bloom_sidecar(str(idx))
     assert path.endswith("bloom.bin")
     assert f.contains_many(keys).all()
+
+
+def test_incremental_bloom_identical(tmp_path):
+    """incremental_dedup output is identical with and without the Bloom
+    sidecar (the filter is an I/O screen, never a correctness change),
+    and build_index now writes the sidecar."""
+    import os
+
+    import ray.data as rd
+
+    from dedup.config import DedupConfig
+    from dedup.exchange import collect_table
+    from dedup.incremental import build_index, incremental_dedup
+    from dedup.synth import _doc, _vocab
+
+    rng = np.random.default_rng(7)
+    vocab = _vocab(rng)
+
+    def pages(rows):
+        urls, texts = zip(*rows)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(["en"] * len(urls), pa.string()),
+                }
+            )
+        )
+
+    t0 = " ".join(_doc(rng, vocab, 250))
+    corpus = [("c://a", t0), ("c://b", " ".join(_doc(rng, vocab, 280)))]
+    batch = [
+        ("b://dup", t0),  # exact corpus dup → dropped
+        ("b://new", " ".join(_doc(rng, vocab, 260))),  # kept
+    ]
+    idx = str(tmp_path / "index")
+    cfg = DedupConfig()
+    build_index(pages(corpus), cfg, idx)
+    assert os.path.exists(os.path.join(idx, "bloom.bin"))
+
+    def run():
+        r = incremental_dedup(pages(batch), idx, cfg)
+        kept = sorted(collect_table(r.kept).column("url").to_pylist())
+        rep = r.report.sort_by("url").to_pydict()
+        return kept, rep
+
+    with_bloom = run()
+    os.rename(os.path.join(idx, "bloom.bin"), os.path.join(idx, "bloom.off"))
+    without = run()
+    assert with_bloom == without
+    assert with_bloom[0] == ["b://new"]
