@@ -330,12 +330,29 @@ def verify_distributed(pairs: Dataset, sigs: Dataset, cfg: DedupConfig) -> Datas
             col = batch.column(colname)
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
+            width = 8 * cfg.num_perm
             if isinstance(col, pa.FixedSizeBinaryArray) and col.null_count == 0:
                 # zero-copy view of the values buffer
-                width = col.type.byte_width
                 buf = np.frombuffer(col.buffers()[1], dtype=np.uint8)
                 buf = buf[col.offset * width : (col.offset + n) * width]
                 return buf.view(U64).reshape(n, cfg.num_perm)
+            if (
+                isinstance(col, (pa.BinaryArray, pa.LargeBinaryArray))
+                and col.null_count == 0
+            ):
+                # the pandas round-trip inside bucketed_join demotes
+                # fixed_size_binary to plain binary; every blob is still
+                # exactly `width` bytes, so when the offsets are one
+                # contiguous constant-stride run the values buffer is a
+                # zero-copy (n, num_perm) matrix — no per-row Python.
+                odt = np.int64 if isinstance(col, pa.LargeBinaryArray) else np.int32
+                offs = np.frombuffer(col.buffers()[1], dtype=odt)[
+                    col.offset : col.offset + n + 1
+                ]
+                if (np.diff(offs) == width).all():
+                    buf = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+                    buf = buf[offs[0] : offs[-1]]
+                    return buf.view(U64).reshape(n, cfg.num_perm)
             buf = np.frombuffer(b"".join(col.to_pylist()), dtype=U64)
             return buf.reshape(n, cfg.num_perm)
 
