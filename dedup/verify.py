@@ -287,6 +287,38 @@ def verify_broadcast(pairs_deduped: Dataset, sigs: Dataset, cfg: DedupConfig) ->
     return t.select(["a", "b", "sim"])
 
 
+def sig_matrix(col, n: int, num_perm: int) -> np.ndarray:
+    """(n, num_perm) uint64 view of a packed-signature blob column.
+
+    Zero-copy for fixed_size_binary and for plain binary/large_binary
+    whose offsets form one constant-stride run (the pandas round-trip
+    inside ``bucketed_join`` demotes fixed_size_binary to plain binary
+    but keeps every blob exactly ``8 * num_perm`` bytes). Falls back to
+    a per-row join only for irregular layouts (nulls, mixed widths).
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    width = 8 * num_perm
+    if isinstance(col, pa.FixedSizeBinaryArray) and col.null_count == 0:
+        buf = np.frombuffer(col.buffers()[1], dtype=np.uint8)
+        buf = buf[col.offset * width : (col.offset + n) * width]
+        return buf.view(U64).reshape(n, num_perm)
+    if (
+        isinstance(col, (pa.BinaryArray, pa.LargeBinaryArray))
+        and col.null_count == 0
+    ):
+        odt = np.int64 if isinstance(col, pa.LargeBinaryArray) else np.int32
+        offs = np.frombuffer(col.buffers()[1], dtype=odt)[
+            col.offset : col.offset + n + 1
+        ]
+        if (np.diff(offs) == width).all():
+            buf = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            buf = buf[offs[0] : offs[-1]]
+            return buf.view(U64).reshape(n, num_perm)
+    buf = np.frombuffer(b"".join(col.to_pylist()), dtype=U64)
+    return buf.reshape(n, num_perm)
+
+
 def verify_distributed(pairs: Dataset, sigs: Dataset, cfg: DedupConfig) -> Dataset:
     """Scale path: signatures re-attached via bucketed hash joins (signature
     transported as a fixed-width binary blob so it survives the pandas
@@ -326,37 +358,8 @@ def verify_distributed(pairs: Dataset, sigs: Dataset, cfg: DedupConfig) -> Datas
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                              "sim": pa.array([], pa.float64())})
 
-        def mat(colname):
-            col = batch.column(colname)
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            width = 8 * cfg.num_perm
-            if isinstance(col, pa.FixedSizeBinaryArray) and col.null_count == 0:
-                # zero-copy view of the values buffer
-                buf = np.frombuffer(col.buffers()[1], dtype=np.uint8)
-                buf = buf[col.offset * width : (col.offset + n) * width]
-                return buf.view(U64).reshape(n, cfg.num_perm)
-            if (
-                isinstance(col, (pa.BinaryArray, pa.LargeBinaryArray))
-                and col.null_count == 0
-            ):
-                # the pandas round-trip inside bucketed_join demotes
-                # fixed_size_binary to plain binary; every blob is still
-                # exactly `width` bytes, so when the offsets are one
-                # contiguous constant-stride run the values buffer is a
-                # zero-copy (n, num_perm) matrix — no per-row Python.
-                odt = np.int64 if isinstance(col, pa.LargeBinaryArray) else np.int32
-                offs = np.frombuffer(col.buffers()[1], dtype=odt)[
-                    col.offset : col.offset + n + 1
-                ]
-                if (np.diff(offs) == width).all():
-                    buf = np.frombuffer(col.buffers()[2], dtype=np.uint8)
-                    buf = buf[offs[0] : offs[-1]]
-                    return buf.view(U64).reshape(n, cfg.num_perm)
-            buf = np.frombuffer(b"".join(col.to_pylist()), dtype=U64)
-            return buf.reshape(n, cfg.num_perm)
-
-        ma, mb = mat("__sa"), mat("__sb")
+        ma = sig_matrix(batch.column("__sa"), n, cfg.num_perm)
+        mb = sig_matrix(batch.column("__sb"), n, cfg.num_perm)
         sim = (ma == mb).mean(axis=1)
         keep = sim >= cfg.verify_threshold
         return pa.table(

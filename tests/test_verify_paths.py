@@ -72,3 +72,40 @@ def test_dedup_pairs_unique_and_canonical():
     got = set(zip(out["a"], out["b"]))
     # (5,3)/(3,5)/(5,5 self) collapse to (3,5); -1 is uint64-max → (1,-1)
     assert got == {(3, 5), (1, -1), (7, 9)}
+
+
+def test_sig_matrix_layouts():
+    """sig_matrix must decode identically from every Arrow layout the
+    blob column takes in flight: fixed_size_binary as packed, plain
+    binary / large_binary after the pandas merge inside bucketed_join
+    (zero-copy constant-stride fast path), sliced arrays (non-zero
+    offset), and irregular layouts via the per-row fallback."""
+    import numpy as np
+
+    from dedup.verify import sig_matrix
+
+    rng = np.random.default_rng(11)
+    perms = 16
+    n = 50
+    want = rng.integers(0, 2**63, size=(n, perms), dtype=np.int64).astype(
+        np.uint64
+    )
+    blobs = [want[i].tobytes() for i in range(n)]
+    width = 8 * perms
+
+    fsb = pa.array(blobs, pa.binary(width))
+    plain = pa.array(blobs, pa.binary())
+    large = pa.array(blobs, pa.large_binary())
+    for col in (fsb, plain, large):
+        got = sig_matrix(col, n, perms)
+        assert (got == want).all(), type(col).__name__
+
+    # sliced (non-zero offset) views must respect the offset
+    for col in (fsb, plain, large):
+        sl = col.slice(10, 20)
+        got = sig_matrix(sl, 20, perms)
+        assert (got == want[10:30]).all(), f"sliced {type(col).__name__}"
+
+    # chunked input
+    ch = pa.chunked_array([plain.slice(0, 25), plain.slice(25, 25)])
+    assert (sig_matrix(ch, n, perms) == want).all()
