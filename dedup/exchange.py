@@ -228,8 +228,43 @@ def bucketed_join(
     def merge(group: pa.Table) -> pa.Table:
         side = group.column("__side").to_numpy(zero_copy_only=False)
         lmask = pa.array(side == "l")
-        l = group.filter(lmask).select(lcols).to_pandas()
-        r = group.filter(pc.invert(lmask)).select(rcols).to_pandas()
+        ltab = group.filter(lmask).select(lcols)
+        rtab = group.filter(pc.invert(lmask)).select(rcols)
+        if how in ("inner", "left"):
+            # join on (key, row-index) only; payloads re-attached with
+            # Arrow take. Row order/multiplicity are exactly what a full
+            # pandas merge would produce (merge order doesn't depend on
+            # payload columns), but wide payloads (e.g. 1 KB packed
+            # signature blobs) never materialize as Python objects and
+            # Arrow types — fixed_size_binary, timestamps, large_* —
+            # survive the join unchanged.
+            li = pd.DataFrame(
+                {
+                    "__k": ltab.column(left_on).to_numpy(zero_copy_only=False),
+                    "__li": np.arange(len(ltab), dtype=np.int64),
+                }
+            )
+            ri = pd.DataFrame(
+                {
+                    "__k": rtab.column(right_on).to_numpy(zero_copy_only=False),
+                    "__ri": np.arange(len(rtab), dtype=np.int64),
+                }
+            )
+            m = li.merge(ri, on="__k", how=how)
+            lind = pa.array(m["__li"].to_numpy(np.int64), pa.int64())
+            ri_ser = m["__ri"]
+            if ri_ser.isna().any():  # left join: null index → null row
+                rind = pa.Array.from_pandas(ri_ser.astype("Int64"))
+            else:
+                rind = pa.array(ri_ser.to_numpy(np.int64), pa.int64())
+            cols = {c: ltab.column(c).take(lind) for c in lcols}
+            for c in rcols:
+                if c == left_on and right_on == left_on:
+                    continue  # same-name key appears once (pandas semantics)
+                cols[c] = rtab.column(c).take(rind)
+            return pa.table(cols)
+        l = ltab.to_pandas()
+        r = rtab.to_pandas()
         if how != "inner":
             # outer merges null-pad the other side's columns; plain pandas
             # upcasts int64 → float64 there and corrupts 64-bit hash keys.
