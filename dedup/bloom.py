@@ -159,11 +159,15 @@ def bloom_split(ds: Dataset, col: str, bloom: BloomFilter) -> Dataset:
     """Tag every row with ``__maybe`` = filter membership of ``col``.
     ``__maybe == False`` rows are DEFINITELY absent from the corpus (no
     false negatives); ``True`` rows need the exact confirmation probe.
-    The filter blob ships once via ray.put, not per batch."""
-    ref = ray.put(bloom.to_bytes())
+    The word array ships once via ray.put and every task reads the ONE
+    plasma copy zero-copy (numpy arrays deserialize as read-only views;
+    ``contains_many`` only reads) — no per-batch blob copy, no
+    ``from_bytes``/``astype`` word-array round-trip."""
+    ref = ray.put((bloom.words, bloom.m_bits, bloom.k))
 
     def tag(batch: pa.Table) -> pa.Table:
-        f = BloomFilter.from_bytes(ray.get(ref))
+        words, m_bits, k = ray.get(ref)  # zero-copy plasma view
+        f = BloomFilter(m_bits, k, words)
         keys = batch.column(col).to_numpy(zero_copy_only=False).view(np.uint64)
         return batch.append_column("__maybe", pa.array(f.contains_many(keys)))
 

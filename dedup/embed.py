@@ -296,9 +296,11 @@ def ivf_build(
     sample is the first ``sample`` rows — deterministic, no wall clock.
     """
     first = embeddings.limit(sample)
-    tbl = pa.concat_tables(
-        list(first.iter_batches(batch_size=sample, batch_format="pyarrow"))
-    )
+    batches = list(first.iter_batches(batch_size=sample, batch_format="pyarrow"))
+    if not batches:
+        # empty corpus: one dummy unit centroid (dimension unknowable, use 1)
+        return np.ones((1, 1), dtype=np.float64)
+    tbl = pa.concat_tables(batches)
     X = _normalize(_emb_matrix(tbl, emb_col))
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]

@@ -445,21 +445,23 @@ def incremental_dedup(
 def update_index(index_dir: str, kept_sigs: Dataset, cfg: DedupConfig) -> dict:
     """Append the kept batch docs' signature rows to the index (new
     parquet files only — existing parts are never rewritten) and bump
-    the manifest. Crash between the write and the manifest bump leaves
-    extra sig rows with a stale count — harmless for membership (the
-    rows are genuine) and fixed by the next successful update."""
+    the manifest. The Bloom sidecar is updated BEFORE the sig rows are
+    written: a crash between the two leaves a SUPERSET filter (extra
+    bits for rows that never landed), which is always safe — a false
+    "maybe" just triggers the exact probe, whereas the reverse order
+    would leave false NEGATIVES and silently keep true duplicates.
+    Crash between the sig write and the manifest bump leaves extra sig
+    rows with a stale count — harmless for membership (the rows are
+    genuine) and fixed by the next successful update."""
     mf = _check_manifest(index_dir, cfg)
     sigs_dir, bands_dir, _ = _paths(index_dir)
     n_add = kept_sigs.count()
     if n_add:
         kept_sigs = kept_sigs.materialize()
-        kept_sigs.write_parquet(sigs_dir)
-        if os.path.isdir(bands_dir):
-            band_rows(kept_sigs, cfg).write_parquet(bands_dir)
-        # append-only sidecar update: OR the new keys into the existing
-        # Bloom filter (no rebuild — the filter only ever gains bits).
-        # Capacity overrun past the built-for n only raises fpp, never
-        # breaks correctness (the exact probe confirms every maybe).
+        # sidecar FIRST (superset-safe ordering, see docstring): OR the
+        # new keys into the existing filter — no rebuild, bits only ever
+        # set. Capacity overrun past the built-for n only raises fpp,
+        # never breaks correctness (the exact probe confirms every maybe).
         bloom_path = os.path.join(index_dir, "bloom.bin")
         if os.path.exists(bloom_path):
             from .bloom import read_bloom_sidecar
@@ -475,5 +477,8 @@ def update_index(index_dir: str, kept_sigs: Dataset, cfg: DedupConfig) -> dict:
             with open(tmp_b, "wb") as fh:
                 fh.write(bf.to_bytes())
             os.replace(tmp_b, bloom_path)
+        kept_sigs.write_parquet(sigs_dir)
+        if os.path.isdir(bands_dir):
+            band_rows(kept_sigs, cfg).write_parquet(bands_dir)
     _write_manifest(index_dir, cfg, mf["n_docs"] + n_add)
     return _manifest(index_dir)  # type: ignore[return-value]

@@ -1052,6 +1052,8 @@ def q_semantic_dedup(sf_dir: str):
     from .semantic import semantic_dedup
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    # Dataset straight through — the operator never materializes the
+    # per-vector output on the driver; the gate collects at sandbox scale
     return semantic_dedup(emb, threshold=EMB_NEAR_THRESHOLD, n_cells=16)
 
 
@@ -1075,7 +1077,7 @@ def q_semantic_dedup_exact_mode(sf_dir: str):
     t = semantic_dedup(
         emb.union(twins), threshold=0.999, exact_verify=True, n_cells=16
     )
-    return t.select(["vec_id", "rep_id", "kept"])
+    return t.select_columns(["vec_id", "rep_id", "kept"])
 
 
 def q_bloom_new_docs(sf_dir: str):

@@ -62,8 +62,13 @@ def semantic_dedup(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     tile: int = 2048,
-) -> pa.Table:
-    """SemDeDup over an embedding Dataset → Table(vec_id, cell, rep_id, kept).
+) -> Dataset:
+    """SemDeDup over an embedding Dataset → Dataset(vec_id, cell, rep_id,
+    kept) — one row per input vector, streamed out of the per-cell
+    reduce. The output is NEVER materialized on the driver here (at
+    10^10 vectors it is a whole-corpus table); consumers that need a
+    sorted Arrow table at sandbox scale use ``semantic_dedup_table``.
+    ≅ the reference's streaming sink handoff (src/main.rs:143-166).
 
     Every input row appears exactly once. ``rep_id`` is the representative
     of the row's within-cell duplicate component (its own id when the row
@@ -160,14 +165,25 @@ def semantic_dedup(
             }
         )
 
+    from .exchange import ensure_schema
+
     out = (
         embeddings.map_batches(assign, batch_format="pyarrow")
         .groupby("__cell")
         .map_groups(per_cell, batch_format="pyarrow")
     )
-    tbl = pa.concat_tables(
-        list(out.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    )
+    # empty-input safety: a zero-row embeddings Dataset yields zero groups
+    # and a schema-less Dataset; the typed empty union costs nothing
+    return ensure_schema(out, _OUT_SCHEMA)
+
+
+def semantic_dedup_table(embeddings: Dataset, **kwargs) -> pa.Table:
+    """Sandbox-scale convenience: run ``semantic_dedup`` and collect the
+    result to one Arrow table sorted by vec_id. Driver-side by design —
+    use only where the corpus fits driver memory (tests, oracles)."""
+    from .exchange import collect_table
+
+    tbl = collect_table(semantic_dedup(embeddings, **kwargs))
     if len(tbl) == 0:
         return _empty_out()
-    return tbl.sort_by("vec_id")
+    return tbl.select(_OUT_SCHEMA.names).sort_by("vec_id")

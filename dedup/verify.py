@@ -300,6 +300,14 @@ def sig_matrix(col, n: int, num_perm: int) -> np.ndarray:
         col = col.combine_chunks()
     width = 8 * num_perm
     if isinstance(col, pa.FixedSizeBinaryArray) and col.null_count == 0:
+        if col.type.byte_width != width:
+            # a stored signature width that disagrees with cfg.num_perm is
+            # a config/index mismatch — fail loudly instead of silently
+            # slicing the buffer into garbage similarities
+            raise ValueError(
+                f"signature width mismatch: column byte_width="
+                f"{col.type.byte_width}, expected 8*num_perm={width}"
+            )
         buf = np.frombuffer(col.buffers()[1], dtype=np.uint8)
         buf = buf[col.offset * width : (col.offset + n) * width]
         return buf.view(U64).reshape(n, num_perm)
