@@ -18,14 +18,24 @@ Reference analogue: the checksum-memoization read path
 content already known?"), restated as a constant-size broadcastable
 sketch instead of a DB query per item.
 
-Build is distributed: each input block folds its keys into a partial
-filter inside ``map_batches`` (vectorized double hashing, Kirsch &
-Mitzenmacher 2006: h_i = h1 + i·h2); the driver OR-reduces one
-``m/8``-byte blob per block as they stream in, holding only the filter
-itself. At sidecar sizes past driver memory, shard the filter by key
-range (each shard built/probed independently) — the sharding key is
-``doc_hash`` itself, so probes stay single-shard; this module keeps the
-single-filter layout and documents the shard path.
+Two build regimes:
+
+- **small filters** (``bloom_build``): each input block folds its keys
+  into a partial filter inside ``map_batches`` (vectorized double
+  hashing, Kirsch & Mitzenmacher 2006: h_i = h1 + i·h2); the driver
+  OR-reduces one ``m/8``-byte blob per block as they stream in. Right
+  while ``m/8 × n_blocks`` driver ingress is cheap (up to ~10^8 keys).
+- **sharded** (``bloom_build_sharded`` / ``ShardedBloom``): the filter
+  is split into S independent shards routed by a hash of the key
+  (single-shard probes — the route is a pure function of ``doc_hash``).
+  The build routes keys to shard-pure groups with ONE narrow groupby
+  (8 B/key rows) and each group task builds its whole ``m/S``-bit shard
+  directly from its co-located keys — **no full-size per-block partial
+  blobs exist at any point** and the driver receives exactly S blobs
+  (= one filter's worth, streamed to disk one shard file at a time).
+  At the 10^10-key regime (~12 GiB total) S is sized so one shard fits
+  a worker (``write_bloom_sidecar`` auto-picks ~64 MiB shards); probe
+  tasks touch only the shards their batch's keys route to.
 """
 
 from __future__ import annotations
@@ -155,46 +165,258 @@ def bloom_build(
     return out
 
 
-def bloom_split(ds: Dataset, col: str, bloom: BloomFilter) -> Dataset:
+# ------------------------------------------------------------- sharding
+_ROUTE_SALT = U64(0xD6E8FEB86659FD93)  # distinct from _h12's streams
+
+
+def shard_route(keys: np.ndarray, n_shards: int) -> np.ndarray:
+    """Shard index per key — a pure function of the key (probes are
+    single-shard), independent of the filter's own two hash streams."""
+    u = np.ascontiguousarray(keys).view(U64)
+    with np.errstate(over="ignore"):
+        return (fmix64(u ^ _ROUTE_SALT) % U64(n_shards)).astype(np.int64)
+
+
+class ShardedBloom:
+    """S independent Bloom shards over a key-hash route.
+
+    Same no-false-negative contract as ``BloomFilter`` (each key lives in
+    exactly one shard and that shard is a plain Bloom filter over its key
+    subset). Exposes the same ``add_many`` / ``contains_many`` surface so
+    probe sites are layout-agnostic."""
+
+    def __init__(self, shards: list[BloomFilter]):
+        if not shards:
+            raise ValueError("need at least one shard")
+        m, k = shards[0].m_bits, shards[0].k
+        if any((s.m_bits, s.k) != (m, k) for s in shards):
+            raise ValueError("all shards must share (m_bits, k)")
+        self.shards = shards
+
+    @property
+    def n_shards(self) -> int:
+        return len(self.shards)
+
+    @property
+    def m_bits(self) -> int:  # per shard
+        return self.shards[0].m_bits
+
+    @property
+    def k(self) -> int:
+        return self.shards[0].k
+
+    @classmethod
+    def for_capacity(
+        cls, n_expected: int, fpp: float = 0.01, n_shards: int = 1
+    ) -> "ShardedBloom":
+        per = -(-max(1, int(n_expected)) // n_shards)
+        proto = BloomFilter.for_capacity(per, fpp)
+        return cls([BloomFilter(proto.m_bits, proto.k) for _ in range(n_shards)])
+
+    def add_many(self, keys: np.ndarray) -> None:
+        if len(keys) == 0:
+            return
+        r = shard_route(keys, self.n_shards)
+        for s in np.unique(r).tolist():
+            self.shards[s].add_many(keys[r == s])
+
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        r = shard_route(keys, self.n_shards)
+        out = np.zeros(len(keys), dtype=bool)
+        for s in np.unique(r).tolist():
+            m = r == s
+            out[m] = self.shards[s].contains_many(keys[m])
+        return out
+
+
+def bloom_build_sharded(
+    ds: Dataset,
+    col: str,
+    n_expected: int,
+    fpp: float = 0.01,
+    n_shards: int = 8,
+) -> ShardedBloom:
+    """Distributed sharded build — the 10^10-key path.
+
+    One narrow groupby routes keys to shard-pure groups (only 8 B/key
+    rows shuffle); each group task allocates ONE ``m/S``-bit shard and
+    folds its whole key subset in. No full-size partial filter is ever
+    allocated per block, and the driver receives exactly ``n_shards``
+    blobs (one filter's worth, total). Word-identical to a local
+    ``ShardedBloom`` build over the same keys (pytest-pinned)."""
+    if n_shards <= 1:
+        return ShardedBloom([bloom_build(ds, col, n_expected, fpp)])
+    proto = ShardedBloom.for_capacity(n_expected, fpp, n_shards)
+    m_bits, k = proto.m_bits, proto.k
+
+    def route(batch: pa.Table) -> pa.Table:
+        keys = batch.column(col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                col: batch.column(col),
+                "__shard": pa.array(shard_route(keys, n_shards), pa.int32()),
+            }
+        )
+
+    def build_shard(group: pa.Table) -> pa.Table:
+        f = BloomFilter(m_bits, k)
+        f.add_many(
+            group.column(col).to_numpy(zero_copy_only=False).view(np.uint64)
+        )
+        sid = int(group.column("__shard")[0].as_py()) if len(group) else -1
+        return pa.table(
+            {
+                "shard": pa.array([sid], pa.int32()),
+                "blob": pa.array([f.words.tobytes()], pa.large_binary()),
+            }
+        )
+
+    out = ShardedBloom(
+        [BloomFilter(m_bits, k) for _ in range(n_shards)]
+    )
+    blobs = (
+        ds.select_columns([col])
+        .map_batches(route, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(build_shard, batch_format="pyarrow")
+    )
+    for b in blobs.iter_batches(batch_size=1, batch_format="pyarrow"):
+        for sid, blob in zip(
+            b.column("shard").to_pylist(), b.column("blob").to_pylist()
+        ):
+            if sid >= 0:
+                out.shards[sid].or_words(np.frombuffer(blob, dtype=np.uint64))
+    return out
+
+
+def bloom_split(ds: Dataset, col: str, bloom: "BloomFilter | ShardedBloom") -> Dataset:
     """Tag every row with ``__maybe`` = filter membership of ``col``.
     ``__maybe == False`` rows are DEFINITELY absent from the corpus (no
     false negatives); ``True`` rows need the exact confirmation probe.
-    The word array ships once via ray.put and every task reads the ONE
+    The word array(s) ship once via ray.put and every task reads the ONE
     plasma copy zero-copy (numpy arrays deserialize as read-only views;
     ``contains_many`` only reads) — no per-batch blob copy, no
-    ``from_bytes``/``astype`` word-array round-trip."""
+    ``from_bytes``/``astype`` word-array round-trip. For a sharded
+    filter each shard is a separate plasma object, so a multi-node probe
+    pulls to a node only the shards its batches' keys route to."""
+    if isinstance(bloom, ShardedBloom):
+        refs = [ray.put(s.words) for s in bloom.shards]
+        m_bits, k, n_shards = bloom.m_bits, bloom.k, bloom.n_shards
+
+        def tag(batch: pa.Table) -> pa.Table:
+            keys = batch.column(col).to_numpy(zero_copy_only=False).view(np.uint64)
+            r = shard_route(keys, n_shards)
+            out = np.zeros(len(keys), dtype=bool)
+            for s in np.unique(r).tolist():
+                f = BloomFilter(m_bits, k, ray.get(refs[s]))  # zero-copy
+                m = r == s
+                out[m] = f.contains_many(keys[m])
+            return batch.append_column("__maybe", pa.array(out))
+
+        return ds.map_batches(tag, batch_format="pyarrow")
+
     ref = ray.put((bloom.words, bloom.m_bits, bloom.k))
 
-    def tag(batch: pa.Table) -> pa.Table:
+    def tag1(batch: pa.Table) -> pa.Table:
         words, m_bits, k = ray.get(ref)  # zero-copy plasma view
         f = BloomFilter(m_bits, k, words)
         keys = batch.column(col).to_numpy(zero_copy_only=False).view(np.uint64)
         return batch.append_column("__maybe", pa.array(f.contains_many(keys)))
 
-    return ds.map_batches(tag, batch_format="pyarrow")
+    return ds.map_batches(tag1, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- sidecar
+_SHARD_TARGET_BYTES = 64 << 20  # auto-shard so one shard file is ~64 MiB
+
+
+def _auto_shards(n_expected: int, fpp: float) -> int:
+    m_bytes = BloomFilter.for_capacity(max(1, n_expected), fpp).m_bits // 8
+    return max(1, -(-m_bytes // _SHARD_TARGET_BYTES))
+
+
 def write_bloom_sidecar(
-    index_dir: str, fpp: float = 0.01, col: str = "doc_hash"
+    index_dir: str,
+    fpp: float = 0.01,
+    col: str = "doc_hash",
+    n_shards: int | None = None,
 ) -> str:
     """Build the Bloom sidecar for a persisted incremental index
-    (dedup/incremental.py layout): bloom.bin next to sigs/. Idempotent;
-    rebuild after update_index appends."""
+    (dedup/incremental.py layout). Idempotent; ``update_index`` appends
+    into it in place (superset-first ordering, see incremental.py).
+
+    Layouts (``read_bloom_sidecar`` handles both):
+    - single-file ``bloom.bin`` when one shard suffices (small corpora);
+    - directory ``bloom.d/`` of per-shard ``shard_NNNNN.bin`` files plus
+      ``meta.json`` when the filter is sharded — shard files stream to
+      disk one at a time, so the writer never holds more than one shard
+      past the in-memory filter, and a probe can load shard files
+      selectively. ``n_shards=None`` auto-sizes shards to ~64 MiB.
+    """
     import ray.data as rd
 
     sigs_dir = os.path.join(index_dir, "sigs")
     docs = rd.read_parquet(sigs_dir, columns=[col])
     n = docs.count()
-    f = bloom_build(docs, col, n_expected=max(n, 1), fpp=fpp)
-    path = os.path.join(index_dir, "bloom.bin")
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as fh:
+    S = _auto_shards(n, fpp) if n_shards is None else max(1, int(n_shards))
+    if S == 1:
+        f = bloom_build(docs, col, n_expected=max(n, 1), fpp=fpp)
+        return _write_sidecar_obj(index_dir, f)
+    sb = bloom_build_sharded(docs, col, n_expected=max(n, 1), fpp=fpp, n_shards=S)
+    return _write_sidecar_obj(index_dir, sb)
+
+
+def _write_sidecar_obj(
+    index_dir: str, bf: "BloomFilter | ShardedBloom"
+) -> str:
+    """Persist a filter object in its matching layout (atomic per file)."""
+    import json
+
+    single = os.path.join(index_dir, "bloom.bin")
+    shard_dir = os.path.join(index_dir, "bloom.d")
+    if isinstance(bf, ShardedBloom) and bf.n_shards > 1:
+        os.makedirs(shard_dir, exist_ok=True)
+        for i, s in enumerate(bf.shards):
+            p = os.path.join(shard_dir, f"shard_{i:05d}.bin")
+            with open(p + ".tmp", "wb") as fh:
+                fh.write(s.to_bytes())
+            os.replace(p + ".tmp", p)
+        meta = os.path.join(shard_dir, "meta.json")
+        with open(meta + ".tmp", "w") as fh:
+            json.dump(
+                {"n_shards": bf.n_shards, "m_bits": bf.m_bits, "k": bf.k}, fh
+            )
+        os.replace(meta + ".tmp", meta)
+        if os.path.exists(single):
+            os.remove(single)  # never leave two conflicting layouts
+        return shard_dir
+    f = bf.shards[0] if isinstance(bf, ShardedBloom) else bf
+    with open(single + ".tmp", "wb") as fh:
         fh.write(f.to_bytes())
-    os.replace(tmp, path)
-    return path
+    os.replace(single + ".tmp", single)
+    return single
 
 
-def read_bloom_sidecar(index_dir: str) -> BloomFilter:
+def has_bloom_sidecar(index_dir: str) -> bool:
+    return os.path.exists(os.path.join(index_dir, "bloom.bin")) or os.path.exists(
+        os.path.join(index_dir, "bloom.d", "meta.json")
+    )
+
+
+def read_bloom_sidecar(index_dir: str) -> "BloomFilter | ShardedBloom":
+    import json
+
+    meta_p = os.path.join(index_dir, "bloom.d", "meta.json")
+    if os.path.exists(meta_p):
+        with open(meta_p) as fh:
+            meta = json.load(fh)
+        shards = []
+        for i in range(int(meta["n_shards"])):
+            p = os.path.join(index_dir, "bloom.d", f"shard_{i:05d}.bin")
+            with open(p, "rb") as fh:
+                shards.append(BloomFilter.from_bytes(fh.read()))
+        return ShardedBloom(shards)
     with open(os.path.join(index_dir, "bloom.bin"), "rb") as fh:
         return BloomFilter.from_bytes(fh.read())

@@ -214,7 +214,9 @@ def incremental_dedup(
     # (true dups + fpp·batch). Output is identical with or without the
     # sidecar (tests/test_bloom.py::test_incremental_bloom_identical).
     probe_hashes = new_hashes
-    if os.path.exists(os.path.join(index_dir, "bloom.bin")):
+    from .bloom import has_bloom_sidecar
+
+    if has_bloom_sidecar(index_dir):
         from .bloom import read_bloom_sidecar
 
         _bf = read_bloom_sidecar(index_dir)
@@ -462,10 +464,9 @@ def update_index(index_dir: str, kept_sigs: Dataset, cfg: DedupConfig) -> dict:
         # new keys into the existing filter — no rebuild, bits only ever
         # set. Capacity overrun past the built-for n only raises fpp,
         # never breaks correctness (the exact probe confirms every maybe).
-        bloom_path = os.path.join(index_dir, "bloom.bin")
-        if os.path.exists(bloom_path):
-            from .bloom import read_bloom_sidecar
+        from .bloom import _write_sidecar_obj, has_bloom_sidecar, read_bloom_sidecar
 
+        if has_bloom_sidecar(index_dir):
             bf = read_bloom_sidecar(index_dir)
             for b in kept_sigs.select_columns(["doc_hash"]).iter_batches(
                 batch_size=1 << 18, batch_format="pyarrow"
@@ -473,10 +474,7 @@ def update_index(index_dir: str, kept_sigs: Dataset, cfg: DedupConfig) -> dict:
                 bf.add_many(
                     b.column("doc_hash").to_numpy(zero_copy_only=False)
                 )
-            tmp_b = bloom_path + ".tmp"
-            with open(tmp_b, "wb") as fh:
-                fh.write(bf.to_bytes())
-            os.replace(tmp_b, bloom_path)
+            _write_sidecar_obj(index_dir, bf)
         kept_sigs.write_parquet(sigs_dir)
         if os.path.isdir(bands_dir):
             band_rows(kept_sigs, cfg).write_parquet(bands_dir)

@@ -1091,7 +1091,7 @@ def q_bloom_new_docs(sf_dir: str):
     oracle (NOT EXISTS on text equality)."""
     import ray
 
-    from .bloom import bloom_build, bloom_split
+    from .bloom import bloom_build_sharded, bloom_split
     from .exchange import collect_table, semi_filter_auto
     from .hashing import xxh64_arrow
 
@@ -1144,7 +1144,12 @@ def q_bloom_new_docs(sf_dir: str):
     )
 
     n_corpus = corpus.count()
-    bloom = bloom_build(corpus, "doc_hash", n_expected=n_corpus, fpp=0.01)
+    # sharded build/probe — the 10^10-key scale path (4 shards here so the
+    # gate exercises routing + per-shard build; no-false-negative contract
+    # is per shard, so the anti-join output is unchanged)
+    bloom = bloom_build_sharded(
+        corpus, "doc_hash", n_expected=n_corpus, fpp=0.01, n_shards=4
+    )
     tagged = bloom_split(batch, "doc_hash", bloom).materialize()
 
     maybe = np.unique(

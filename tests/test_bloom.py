@@ -139,3 +139,110 @@ def test_incremental_bloom_identical(tmp_path):
     without = run()
     assert with_bloom == without
     assert with_bloom[0] == ["b://new"]
+
+
+# ------------------------------------------------------------- sharded
+def test_sharded_no_false_negatives_and_fpp():
+    from dedup.bloom import ShardedBloom
+
+    added = _keys(10, 40_000)
+    other = _keys(11, 20_000)
+    other = other[~np.isin(other, added)]
+    sb = ShardedBloom.for_capacity(len(added), fpp=0.01, n_shards=8)
+    sb.add_many(added)
+    assert sb.contains_many(added).all()  # per-shard Bloom guarantee
+    assert sb.contains_many(other).mean() < 0.03
+
+
+def test_sharded_distributed_build_matches_local():
+    """bloom_build_sharded (groupby-shard, distributed) is word-identical
+    per shard to a local ShardedBloom build over the same keys."""
+    from dedup.bloom import ShardedBloom, bloom_build_sharded
+
+    keys = _keys(12, 30_000)
+    ds = rd.from_arrow(pa.table({"doc_hash": pa.array(keys, pa.int64())}))
+    built = bloom_build_sharded(ds, "doc_hash", n_expected=len(keys), n_shards=4)
+    local = ShardedBloom.for_capacity(len(keys), fpp=0.01, n_shards=4)
+    local.add_many(keys)
+    assert built.n_shards == 4
+    for bs, ls in zip(built.shards, local.shards):
+        assert np.array_equal(bs.words, ls.words)
+
+
+def test_sharded_split_matches_single_filter_contract():
+    from dedup.bloom import bloom_build_sharded
+
+    corpus = _keys(13, 10_000)
+    fresh = _keys(14, 2_000)
+    fresh = fresh[~np.isin(fresh, corpus)]
+    batch_keys = np.concatenate([corpus[:300], fresh])
+    sb = bloom_build_sharded(
+        rd.from_arrow(pa.table({"doc_hash": pa.array(corpus, pa.int64())})),
+        "doc_hash", n_expected=len(corpus), n_shards=4,
+    )
+    tagged = bloom_split(
+        rd.from_arrow(pa.table({"doc_hash": pa.array(batch_keys, pa.int64())})),
+        "doc_hash", sb,
+    )
+    t = pa.concat_tables(
+        list(tagged.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    )
+    maybe = t.column("__maybe").to_numpy(zero_copy_only=False)
+    h = t.column("doc_hash").to_numpy(zero_copy_only=False)
+    true_dup = np.isin(h, corpus)
+    assert maybe[true_dup].all()
+    assert maybe[~true_dup].mean() < 0.05
+
+
+def test_sharded_sidecar_roundtrip_and_update(tmp_path):
+    """Sharded sidecar (bloom.d/) roundtrips, and incremental_dedup +
+    update_index work against it — output identical with/without."""
+    import os
+
+    from dedup.bloom import ShardedBloom, has_bloom_sidecar
+    from dedup.config import DedupConfig
+    from dedup.exchange import collect_table
+    from dedup.incremental import build_index, incremental_dedup, update_index
+    from dedup.synth import _doc, _vocab
+
+    rng = np.random.default_rng(21)
+    vocab = _vocab(rng)
+
+    def pages(rows):
+        urls, texts = zip(*rows)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(["en"] * len(urls), pa.string()),
+                }
+            )
+        )
+
+    t0 = " ".join(_doc(rng, vocab, 250))
+    corpus = [("c://a", t0), ("c://b", " ".join(_doc(rng, vocab, 280)))]
+    batch = [("b://dup", t0), ("b://new", " ".join(_doc(rng, vocab, 260)))]
+    idx = str(tmp_path / "index")
+    cfg = DedupConfig()
+    build_index(pages(corpus), cfg, idx)
+    # re-write the sidecar SHARDED and run against it
+    from dedup.bloom import read_bloom_sidecar, write_bloom_sidecar
+
+    write_bloom_sidecar(idx, n_shards=4)
+    assert os.path.exists(os.path.join(idx, "bloom.d", "meta.json"))
+    assert not os.path.exists(os.path.join(idx, "bloom.bin"))
+    assert isinstance(read_bloom_sidecar(idx), ShardedBloom)
+
+    r = incremental_dedup(pages(batch), idx, cfg)
+    kept = sorted(collect_table(r.kept).column("url").to_pylist())
+    assert kept == ["b://new"]
+    # update appends into the SHARDED sidecar in place
+    update_index(idx, r.kept_sigs, cfg)
+    bf = read_bloom_sidecar(idx)
+    assert isinstance(bf, ShardedBloom)
+    new_hash = collect_table(r.kept_sigs).column("doc_hash").to_numpy(
+        zero_copy_only=False
+    )
+    assert bf.contains_many(new_hash).all()
+    assert has_bloom_sidecar(idx)
