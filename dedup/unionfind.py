@@ -28,7 +28,6 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from .exchange import bucketed_join, min_by_key
 from .hashing import fmix64
 
 _SIGN = np.uint64(1 << 63)
@@ -202,57 +201,170 @@ def components_sharded(
     return components_np(mk, mv)
 
 
+# row kinds flowing through the label-propagation exchanges
+_LP_LAB = 0  # (k=node, v=encoded label)
+_LP_MSG = 1  # (k=node, v=encoded label candidate)
+_LP_EDGE = 2  # (k=src, v=dst) — directed; each undirected pair appears twice
+_LP_REQ = 3  # (k=target node, v=requesting node) — pointer-jump request
+
+_LP_SCHEMA = pa.schema([("k", pa.int64()), ("v", pa.int64()), ("kind", pa.int8())])
+
+
+def _lp_rows(k: np.ndarray, v: np.ndarray, kind: int) -> pa.Table:
+    return pa.table(
+        {
+            "k": pa.array(k, pa.int64()),
+            "v": pa.array(v, pa.int64()),
+            "kind": pa.array(np.full(len(k), kind, np.int8), pa.int8()),
+        }
+    )
+
+
+def _lp_exchange(ds: Dataset, step, n_buckets: int) -> Dataset:
+    """Bucket rows by fmix(k) and run ``step`` per co-located bucket —
+    the one shuffle primitive both halves of a propagation round use.
+    Rows are 17 bytes; nothing wider ever enters the exchange."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            b = (fmix64(k.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(step, batch_format="pyarrow")
+    )
+
+
 def label_propagation(
-    pairs: Dataset, n_buckets: int = 32, max_iter: int = 30
+    pairs: Dataset, n_buckets: int = 32, max_iter: int = 30,
+    stats: dict | None = None,
 ) -> Dataset:
     """Distributed connected components → Dataset(node, label) where label
-    is the uint64-min member of the node's component (int64 bit-pattern)."""
+    is the uint64-min member of the node's component (int64 bit-pattern).
 
-    def init_labels(batch: pa.Table) -> pa.Table:
+    Min-label propagation WITH pointer jumping, two narrow bucketed
+    exchanges per round (the round-3 design paid two full bucketed hash
+    joins + a min_by_key groupby + a repartition per round):
+
+    - exchange A (*answer*), grouped by node: label rows meet the static
+      directed edge rows and the previous round's jump REQUESTS; emits
+      neighbor messages ``(dst, label(src))`` and jump replies
+      ``(requester, label(target))``, labels passing through.
+    - exchange B (*reduce*), grouped by node: labels + messages reduce to
+      ``new = min(own, neighbors' labels, label(label))`` — classic
+      pointer doubling on previous-round labels — and each re-labeled
+      node issues the next round's request ``(label, node)``.
+
+    Round count is O(log component-diameter) instead of O(diameter): a
+    64-node path converges in ≤ log2(n)+2 rounds (pytest-pinned);
+    star-shaped LSH components still finish in 2. Only 17-byte
+    (k, v, kind) rows ever shuffle, and per-round state (labels +
+    requests, ~2V rows) is the only materialization. Raises RuntimeError
+    if ``max_iter`` rounds pass without convergence — a silent
+    un-converged exit would under-merge clusters."""
+
+    def init_rows(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy(zero_copy_only=False)
         b = batch.column("b").to_numpy(zero_copy_only=False)
         lo = _enc_np(np.minimum(a.view(np.uint64), b.view(np.uint64)).view(np.int64))
-        return pa.table(
-            {
-                "node": pa.array(np.concatenate([a, b]), pa.int64()),
-                "label": pa.array(np.concatenate([lo, lo]), pa.int64()),
-            }
+        nodes = np.concatenate([a, b])
+        return pa.concat_tables(
+            [
+                # identity labels (deduped by the init reduce)
+                _lp_rows(nodes, _enc_np(nodes), _LP_LAB),
+                # seed messages: each endpoint hears the edge's min
+                _lp_rows(nodes, np.concatenate([lo, lo]), _LP_MSG),
+            ]
         )
 
-    labels = (
-        min_by_key(
-            pairs.map_batches(init_labels, batch_format="pyarrow"),
-            "node", "label", n_buckets=n_buckets,
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return _lp_rows(
+            np.concatenate([a, b]), np.concatenate([b, a]), _LP_EDGE
         )
-        .repartition(n_buckets)
-        .materialize()
-    )
-    # Block count drives per-iteration cost: checkpoint-loaded edge
-    # tables arrive as hundreds of tiny parquet blocks (observed at 2M
-    # docs: 800 × ~170 KB for 5.7M edges), and every iteration pays
-    # per-block driver scheduling across TWO bucketed joins — the driver
-    # pegs one core while workers idle. Repartition once so all
-    # iterations run over n_buckets well-sized blocks.
-    edges = pairs.repartition(n_buckets).materialize()
 
-    def checksum(lds: Dataset) -> int:
-        """Order-insensitive fixpoint detector: XOR of mixed (node, label)
-        rows. The XOR fold runs inside map_batches — one 8-byte partial per
-        batch reaches the driver, never the label rows themselves."""
+    def _min_per_key(k: np.ndarray, v: np.ndarray):
+        order = np.lexsort((v, k))
+        ks, vs = k[order], v[order]
+        first = np.ones(len(ks), dtype=bool)
+        if len(ks) > 1:
+            first[1:] = ks[1:] != ks[:-1]
+        return ks[first], vs[first]  # v sorted within key → first is min
+
+    def reduce_step(group: pa.Table) -> pa.Table:
+        """labels + messages → new labels + next jump requests."""
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        m = kind != _LP_REQ  # B's input is labels+messages only
+        nodes, lab = _min_per_key(k[m], v[m])
+        out = [_lp_rows(nodes, lab, _LP_LAB)]
+        # request label-of-label next round for every non-root node
+        nonroot = lab != _enc_np(nodes)
+        if nonroot.any():
+            out.append(
+                _lp_rows(_dec_np(lab[nonroot]), nodes[nonroot], _LP_REQ)
+            )
+        return pa.concat_tables(out)
+
+    def answer_step(group: pa.Table) -> pa.Table:
+        """edges + requests meet labels → messages; labels pass through."""
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        labm = kind == _LP_LAB
+        ln, lv = k[labm], v[labm]
+        o = np.argsort(ln)
+        ln_s, lv_s = ln[o], lv[o]
+
+        def lab_of(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            if not len(ln_s):
+                return np.zeros(len(keys), np.int64), np.zeros(len(keys), bool)
+            i = np.minimum(np.searchsorted(ln_s, keys), len(ln_s) - 1)
+            return lv_s[i], ln_s[i] == keys
+
+        out = [_lp_rows(ln, lv, _LP_LAB)]
+        em = kind == _LP_EDGE
+        if em.any():
+            lab, ok = lab_of(k[em])
+            dst = v[em][ok]
+            lab = lab[ok]
+            # telling dst its own id is a no-op (labels only decrease)
+            useful = lab != _enc_np(dst)
+            out.append(_lp_rows(dst[useful], lab[useful], _LP_MSG))
+        rm = kind == _LP_REQ
+        if rm.any():
+            lab, ok = lab_of(k[rm])
+            req = v[rm][ok]
+            lab = lab[ok]
+            useful = lab != _enc_np(req)
+            out.append(_lp_rows(req[useful], lab[useful], _LP_MSG))
+        return pa.concat_tables(out)
+
+    def checksum(state: Dataset) -> int:
+        """Order-insensitive fixpoint detector over LABEL rows: XOR of
+        mixed (node, label). Runs inside map_batches — one 8-byte partial
+        per batch reaches the driver, never the rows."""
 
         def part(b: pa.Table) -> pa.Table:
-            n = b.column("node").to_numpy(zero_copy_only=False).view(np.uint64)
-            l = b.column("label").to_numpy(zero_copy_only=False).view(np.uint64)
+            kind = b.column("kind").to_numpy(zero_copy_only=False)
+            m = kind == _LP_LAB
+            n = b.column("k").to_numpy(zero_copy_only=False)[m].view(np.uint64)
+            l = b.column("v").to_numpy(zero_copy_only=False)[m].view(np.uint64)
             with np.errstate(over="ignore"):
                 x = int(np.bitwise_xor.reduce(fmix64(n ^ l), initial=np.uint64(0)))
             return pa.table({"x": pa.array([x - (1 << 63)], pa.int64())})
 
         tot = 0
-        for b in lds.map_batches(part, batch_format="pyarrow").iter_batches(
+        for b in state.map_batches(part, batch_format="pyarrow").iter_batches(
             batch_size=1 << 20, batch_format="pyarrow"
         ):
-            for v in b.column("x").to_numpy(zero_copy_only=False):
-                tot ^= int(v) + (1 << 63)
+            for val in b.column("x").to_numpy(zero_copy_only=False):
+                tot ^= int(val) + (1 << 63)
         return tot
 
     import os as _os
@@ -261,49 +373,63 @@ def label_propagation(
 
     _timing = bool(_os.environ.get("DEDUP_TIMING"))
     _t0 = _time.monotonic()
-    prev = checksum(labels)
+
+    from .exchange import ensure_schema
+
+    # static directed edges, partitioned once into n_buckets blocks (the
+    # per-round exchange re-buckets rows anyway; the repartition bounds
+    # per-round driver scheduling when edges arrive as hundreds of tiny
+    # checkpoint-parquet blocks)
+    edges_dir = (
+        ensure_schema(
+            pairs.map_batches(edge_rows, batch_format="pyarrow"), _LP_SCHEMA
+        )
+        .repartition(n_buckets)
+        .materialize()
+    )
+    # round 0: reduce the seed rows → initial labels (+ first requests)
+    state = _lp_exchange(
+        ensure_schema(
+            pairs.map_batches(init_rows, batch_format="pyarrow"), _LP_SCHEMA
+        ),
+        reduce_step,
+        n_buckets,
+    ).materialize()
+    prev = checksum(state)
+    converged = False
+    rounds = 0
     for _it in range(max_iter):
+        rounds += 1
         if _timing:
             print(
-                f"[label_propagation] iter {_it} start "
+                f"[label_propagation] round {_it} start "
                 f"(+{_time.monotonic() - _t0:.1f}s)",
                 file=_sys.stderr,
                 flush=True,
             )
-        msgs = []
-        for end, other in (("a", "b"), ("b", "a")):
-            j = bucketed_join(
-                edges,
-                labels.map_batches(
-                    lambda t, e=end: pa.table(
-                        {f"__n_{e}": t.column("node"), f"__l_{e}": t.column("label")}
-                    ),
-                    batch_format="pyarrow",
-                ),
-                left_on=end,
-                right_on=f"__n_{end}",
-                n_buckets=n_buckets,
-            )
-            msgs.append(
-                j.map_batches(
-                    lambda t, e=end, o=other: pa.table(
-                        {"node": t.column(o), "label": t.column(f"__l_{e}")}
-                    ),
-                    batch_format="pyarrow",
-                )
-            )
-        labels = (
-            min_by_key(labels.union(*msgs), "node", "label", n_buckets=n_buckets)
-            .repartition(n_buckets)
-            .materialize()
-        )
-        cur = checksum(labels)
+        answered = _lp_exchange(state.union(edges_dir), answer_step, n_buckets)
+        state = _lp_exchange(answered, reduce_step, n_buckets).materialize()
+        cur = checksum(state)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if stats is not None:
+        stats["rounds"] = rounds
+    if not converged:
+        raise RuntimeError(
+            f"label_propagation did not converge in {max_iter} rounds; "
+            "with pointer jumping this needs ~log2(component size) rounds — "
+            "raise max_iter or inspect the edge set for anomalies"
+        )
 
     def dec(batch: pa.Table) -> pa.Table:
-        lab = _dec_np(batch.column("label").to_numpy(zero_copy_only=False))
-        return pa.table({"node": batch.column("node"), "label": pa.array(lab, pa.int64())})
+        kind = batch.column("kind").to_numpy(zero_copy_only=False)
+        m = pa.array(kind == _LP_LAB)
+        t = batch.filter(m)
+        lab = _dec_np(t.column("v").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"node": t.column("k"), "label": pa.array(lab, pa.int64())}
+        )
 
-    return labels.map_batches(dec, batch_format="pyarrow")
+    return state.map_batches(dec, batch_format="pyarrow")

@@ -328,37 +328,103 @@ def sig_matrix(col, n: int, num_perm: int) -> np.ndarray:
 
 
 def verify_distributed(pairs: Dataset, sigs: Dataset, cfg: DedupConfig) -> Dataset:
-    """Scale path: signatures re-attached via bucketed hash joins (signature
-    transported as a fixed-width binary blob so it survives the pandas
-    merge), agreement computed per batch. Returns Dataset(a, b, sim)."""
+    """Scale path: signatures re-attached by two dedicated bucketed
+    exchanges, agreement computed per bucket. Returns Dataset(a, b, sim).
 
-    def pack(batch: pa.Table, key_out: str, sig_out: str) -> pa.Table:
+    The signature table is packed to ``fixed_size_binary`` ONCE and
+    materialized; both exchanges reuse those blocks (the round-3 design
+    packed and shipped the table separately per join, through the
+    generic pandas-merge ``bucketed_join``). Each exchange is a plain
+    union + groupby(bucket) + vectorized searchsorted attach — sigs have
+    one row per doc_hash, so the sorted-key gather IS the inner join."""
+    width = 8 * cfg.num_perm
+
+    def pack(batch: pa.Table) -> pa.Table:
         col = batch.column("sig")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         flat = col.flatten().to_numpy(zero_copy_only=False)
         blob = flat.reshape(len(batch), cfg.num_perm).view(np.uint8).reshape(len(batch), -1)
-        width = blob.shape[1]
         arr = pa.FixedSizeBinaryArray.from_buffers(
-            pa.binary(width), len(batch), [None, pa.py_buffer(np.ascontiguousarray(blob).tobytes())]
+            pa.binary(width), len(batch),
+            [None, pa.py_buffer(np.ascontiguousarray(blob).tobytes())],
         )
-        return pa.table({key_out: batch.column("doc_hash"), sig_out: arr})
+        return pa.table({"__k": batch.column("doc_hash"), "__sig": arr})
 
-    sa = sigs.map_batches(lambda t: pack(t, "__ka", "__sa"), batch_format="pyarrow")
-    sb = sigs.map_batches(lambda t: pack(t, "__kb", "__sb"), batch_format="pyarrow")
-    j1 = bucketed_join(pairs, sa, "a", "__ka", n_buckets=cfg.join_buckets)
-    # Stage barrier between the two signature joins. Fused in one
-    # streaming plan, join 2's sort (an all-to-all barrier) pins every
-    # (pair + 1 KB sig_a) block join 1 emits while join 1's own inputs
-    # and sort buffers are still resident; at millions of candidate
-    # pairs the object store congests and the executor collapses to one
-    # in-flight task (observed at 2M docs: ~6 blocks/min, workers idle).
-    # Materializing j1 releases join 1's whole subtree before join 2
-    # starts — roughly half the peak footprint, full task parallelism.
-    # On a multi-node cluster the object store is per-node, but the same
-    # barrier still bounds the per-node footprint of the exchange.
+    sigb = sigs.map_batches(pack, batch_format="pyarrow").materialize()
+
+    def _attach(pair_ds: Dataset, key_col: str, out_col: str) -> Dataset:
+        """One exchange: pairs keyed by ``key_col`` meet sig rows keyed by
+        doc_hash in the same hash bucket; the group step gathers each
+        pair's signature. Inner semantics (pairs without a signature
+        drop, matching the old join)."""
+        from .hashing import fmix64
+
+        pair_schema = pair_ds.schema().base_schema
+        pcols = list(pair_schema.names)
+
+        def tag_pairs(batch: pa.Table) -> pa.Table:
+            k = batch.column(key_col).to_numpy(zero_copy_only=False)
+            with np.errstate(over="ignore"):
+                b = (fmix64(k.view(np.uint64)) % np.uint64(cfg.join_buckets)).astype(np.int32)
+            cols = {c: batch.column(c) for c in pcols}
+            cols["__sig"] = pa.nulls(len(batch), pa.binary(width))
+            cols["__k"] = pa.nulls(len(batch), pa.int64())
+            cols["__bucket"] = pa.array(b, pa.int32())
+            return pa.table(cols)
+
+        def tag_sigs(batch: pa.Table) -> pa.Table:
+            k = batch.column("__k").to_numpy(zero_copy_only=False)
+            with np.errstate(over="ignore"):
+                b = (fmix64(k.view(np.uint64)) % np.uint64(cfg.join_buckets)).astype(np.int32)
+            cols = {c: pa.nulls(len(batch), pair_schema.field(c).type) for c in pcols}
+            cols["__sig"] = batch.column("__sig")
+            cols["__k"] = batch.column("__k")
+            cols["__bucket"] = pa.array(b, pa.int32())
+            return pa.table(cols)
+
+        both = pair_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
+            sigb.map_batches(tag_sigs, batch_format="pyarrow")
+        )
+
+        def attach(group: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            is_sig = pc.is_valid(group.column("__k"))
+            sig_rows = group.filter(is_sig)
+            prs = group.filter(pc.invert(is_sig))
+            out_schema = pa.schema(
+                [pair_schema.field(c) for c in pcols] + [(out_col, pa.binary(width))]
+            )
+            if len(prs) == 0 or len(sig_rows) == 0:
+                return out_schema.empty_table()
+            sk = sig_rows.column("__k").to_numpy(zero_copy_only=False)
+            o = np.argsort(sk)
+            sk_s = sk[o]
+            pk = prs.column(key_col).to_numpy(zero_copy_only=False)
+            i = np.minimum(np.searchsorted(sk_s, pk), len(sk_s) - 1)
+            hit = sk_s[i] == pk
+            gather = pa.array(o[i[hit]], pa.int64())
+            sig_col = sig_rows.column("__sig")
+            if isinstance(sig_col, pa.ChunkedArray):
+                sig_col = sig_col.combine_chunks()
+            cols = {
+                c: prs.column(c).filter(pa.array(hit)) for c in pcols
+            }
+            cols[out_col] = sig_col.take(gather)
+            return pa.table(cols, schema=out_schema)
+
+        return both.groupby("__bucket").map_groups(attach, batch_format="pyarrow")
+
+    j1 = _attach(pairs, "a", "__sa")
+    # Stage barrier between the two exchanges: fused in one streaming
+    # plan, exchange 2's sort (an all-to-all barrier) pins every
+    # (pair + 1 KB sig_a) block exchange 1 emits while exchange 1's own
+    # inputs and sort buffers are still resident; at millions of pairs
+    # the object store congests and the executor collapses to one
+    # in-flight task. Materializing j1 releases exchange 1's subtree.
     j1 = j1.materialize()
-    j2 = bucketed_join(j1, sb, "b", "__kb", n_buckets=cfg.join_buckets)
+    j2 = _attach(j1, "b", "__sb")
 
     def agree(batch: pa.Table) -> pa.Table:
         n = len(batch)

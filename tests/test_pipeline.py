@@ -253,3 +253,44 @@ def test_near_dup_corpus_keeps_one_rep_per_cluster():
     all_urls = set(_ing(rd.from_arrow(table), cfg).to_pandas()["url"])
     assert (all_urls - clustered) <= kept           # non-clustered pass through
     assert len(corpus) == len(all_urls) - (len(clustered) - clusters["cluster_id"].nunique())
+
+
+def test_label_propagation_pointer_jumping_logarithmic_rounds():
+    """A 64-node PATH graph (worst case for plain min-label propagation:
+    O(diameter)=63 rounds) must converge in ≤ log2(n)+2 rounds thanks to
+    the pointer-jumping request/reply step — and still produce the exact
+    uint64-min component labels."""
+    import math
+
+    import ray.data as rd
+
+    from dedup.unionfind import label_propagation
+
+    n = 64
+    ids = np.arange(100, 100 + n, dtype=np.int64)  # nonzero, ordered ids
+    ds = rd.from_arrow(
+        pa.table(
+            {"a": pa.array(ids[:-1], pa.int64()), "b": pa.array(ids[1:], pa.int64())}
+        )
+    )
+    stats: dict = {}
+    out = label_propagation(ds, n_buckets=4, stats=stats).to_pandas()
+    assert stats["rounds"] <= int(math.log2(n)) + 2, stats
+    assert sorted(out["node"]) == ids.tolist()
+    assert set(out["label"]) == {100}
+
+
+def test_label_propagation_raises_when_unconverged():
+    import pytest as _pytest
+    import ray.data as rd
+
+    from dedup.unionfind import label_propagation
+
+    ids = np.arange(1, 40, dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table(
+            {"a": pa.array(ids[:-1], pa.int64()), "b": pa.array(ids[1:], pa.int64())}
+        )
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        label_propagation(ds, n_buckets=2, max_iter=1)
