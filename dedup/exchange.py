@@ -119,8 +119,32 @@ def dup_keys(ds: Dataset, key_col: str) -> np.ndarray:
     return dup_key_counts(ds, key_col)[0]
 
 
-def semi_filter(ds: Dataset, key_col: str, keys_sorted: np.ndarray, keep: bool = True) -> Dataset:
-    """Keep (or drop) rows whose key is in the broadcast sorted key set."""
+def semi_filter(
+    ds: Dataset,
+    key_col: str,
+    keys_sorted: np.ndarray,
+    keep: bool = True,
+    max_broadcast_rows: int | None = None,
+    n_buckets: int = 32,
+) -> Dataset:
+    """Keep (or drop) rows whose key is in the sorted key set.
+
+    Guarded by default: the key set broadcasts (``ray.put`` once,
+    searchsorted per batch) only while it fits ``max_broadcast_rows``
+    (default ``BROADCAST_MAX_ROWS``); past the bound the membership test
+    becomes a bucketed semi/anti join — identical row set. Every call
+    site in the repo therefore degrades gracefully when a "dup-bounded"
+    set turns out corpus-sized."""
+    return semi_filter_auto(
+        ds, key_col, keys_sorted, keep=keep,
+        max_broadcast_rows=max_broadcast_rows, n_buckets=n_buckets,
+    )
+
+
+def _semi_filter_broadcast(
+    ds: Dataset, key_col: str, keys_sorted: np.ndarray, keep: bool = True
+) -> Dataset:
+    """Broadcast branch: the key set ships once via ray.put."""
     ref = ray.put(keys_sorted)
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -137,13 +161,44 @@ def semi_filter(ds: Dataset, key_col: str, keys_sorted: np.ndarray, keep: bool =
 
 def broadcast_map_i64(ds: Dataset, key_col: str, mapping_keys: np.ndarray,
                       mapping_vals: np.ndarray, out_col: str,
-                      default_identity: bool = True) -> Dataset:
-    """Add ``out_col`` = mapping[key] via a broadcast sorted-key lookup.
+                      default_identity: bool = True,
+                      max_broadcast_rows: int | None = None,
+                      n_buckets: int = 32) -> Dataset:
+    """Add ``out_col`` = mapping[key] via a size-guarded lookup.
 
     Keys absent from the mapping get their own key value (identity) when
     ``default_identity`` — e.g. a doc outside any duplicate component is its
-    own cluster.
+    own cluster. While the mapping fits ``max_broadcast_rows`` (default
+    ``BROADCAST_MAX_ROWS``) it ships once via ``ray.put``; past the bound
+    the lookup becomes a bucketed LEFT hash join + coalesce — identical
+    output.
     """
+    cap = BROADCAST_MAX_ROWS if max_broadcast_rows is None else max_broadcast_rows
+    if len(mapping_keys) > cap:
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        mt = rd.from_arrow(
+            pa.table(
+                {
+                    "__mk": pa.array(mapping_keys, pa.int64()),
+                    "__mv": pa.array(mapping_vals, pa.int64()),
+                }
+            )
+        )
+        j = bucketed_join(ds, mt, key_col, "__mk", n_buckets=n_buckets, how="left")
+
+        def fin(batch: pa.Table) -> pa.Table:
+            mv = batch.column("__mv")
+            if default_identity:
+                out = pc.coalesce(mv, batch.column(key_col))
+            else:
+                out = pc.coalesce(mv, pa.scalar(0, pa.int64()))
+            out = out.cast(pa.int64()) if out.type != pa.int64() else out
+            return batch.drop_columns(["__mk", "__mv"]).append_column(out_col, out)
+
+        return j.map_batches(fin, batch_format="pyarrow")
+
     order = np.argsort(mapping_keys)
     ref = ray.put((mapping_keys[order], mapping_vals[order]))
 
@@ -412,13 +467,13 @@ def semi_filter_auto(
     max_broadcast_rows: int | None = None,
     n_buckets: int = 32,
 ) -> Dataset:
-    """``semi_filter`` with the same size guard: small key sets broadcast
+    """Size-guarded membership filter: small key sets broadcast
     (searchsorted membership per batch); past the bound the membership
     test becomes a bucketed left join + null check (semi / anti join).
-    Identical row set either way."""
+    Identical row set either way. (``semi_filter`` is an alias.)"""
     cap = BROADCAST_MAX_ROWS if max_broadcast_rows is None else max_broadcast_rows
     if len(keys_sorted) <= cap:
-        return semi_filter(ds, key_col, keys_sorted, keep)
+        return _semi_filter_broadcast(ds, key_col, keys_sorted, keep)
     import ray.data as rd
 
     kt = rd.from_arrow(

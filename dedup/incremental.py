@@ -308,7 +308,7 @@ def incremental_dedup(
     sigs_union = active_sigs.select_columns(sig_cols).union(old_sig_rows).materialize()
     edges = verify_auto(pairs, sigs_union, cfg)
     if cfg.exact_set_verify and len(edges):
-        edges = _filter_edges_by_set_hash(edges, sigs_union)
+        edges = _filter_edges_by_set_hash(edges, sigs_union, cfg)
 
     # ---- 3. classify batch pages (driver work bounded by dup-involved)
     ea = edges.column("a").to_numpy(zero_copy_only=False)

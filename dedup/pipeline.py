@@ -88,15 +88,29 @@ def distinct_reps(
     return uniq.union(rep_dups)
 
 
-def _filter_edges_by_set_hash(edges: pa.Table, sigs: Dataset) -> pa.Table:
+def _filter_edges_by_set_hash(
+    edges: pa.Table, sigs: Dataset, cfg: DedupConfig | None = None
+) -> pa.Table:
     """Keep only verified pairs whose shingle-SET hashes agree (exact
     mode). The set-hash map is fetched for candidate-involved docs only
-    (semi-filter + collect — bounded by duplicate-involved docs)."""
+    (semi-filter + collect — bounded by duplicate-involved docs). Guarded:
+    past ``cfg.broadcast_max_rows`` candidate docs the driver map would be
+    the scale hazard, so the join-based Dataset twin runs instead and
+    only the (already edge-bounded) result collects."""
     from .exchange import collect_table
 
     a = edges.column("a").to_numpy(zero_copy_only=False)
     b = edges.column("b").to_numpy(zero_copy_only=False)
     cand = np.sort(np.unique(np.concatenate([a, b])))
+    cap = cfg.broadcast_max_rows if cfg is not None else 5_000_000
+    if len(cand) > cap:
+        from .verify import filter_edges_by_set_hash_ds
+
+        return collect_table(
+            filter_edges_by_set_hash_ds(
+                rd.from_arrow(edges), sigs, cfg or DedupConfig()
+            )
+        )
     sub = collect_table(
         semi_filter(sigs.select_columns(["doc_hash", "set_hash"]), "doc_hash", cand)
     )
@@ -231,7 +245,7 @@ def near_dup_pipeline(
         tick("bands+sort+pairs")
         edges = verify_auto(pairs, sigs, cfg)
         if cfg.exact_set_verify and len(edges):
-            edges = _filter_edges_by_set_hash(edges, sigs)
+            edges = _filter_edges_by_set_hash(edges, sigs, cfg)
         if checkpoint is not None and len(edges):
             checkpoint.load_or_run("p4_edges", lambda: rd.from_arrow(edges))
         tick("verify")
@@ -462,19 +476,27 @@ def near_dup_corpus(
         or [pa.table({"url": pa.array([], pa.string()),
                       "cluster_id": pa.array([], pa.int64())})]
     )
-    urls = np.asarray(t.column("url").to_pylist(), dtype=object)
-    cids = t.column("cluster_id").to_numpy(zero_copy_only=False)
-    if len(urls):
-        order = np.lexsort((urls, cids))
-        u_s, c_s = urls[order], cids[order]
+    # rep = lexicographic-min url per cluster, found with an Arrow C++
+    # sort + boundary mask — the url strings never materialize as Python
+    # objects (the table is dup-bounded: only clusters of ≥2 urls)
+    if len(t):
+        t = t.combine_chunks().sort_by(
+            [("cluster_id", "ascending"), ("url", "ascending")]
+        )
+        c_s = t.column("cluster_id").to_numpy(zero_copy_only=False)
         is_rep = np.ones(len(c_s), dtype=bool)
         is_rep[1:] = c_s[1:] != c_s[:-1]
-        drop = u_s[~is_rep]
+        drop_col = t.filter(pa.array(~is_rep)).column("url")
+        if isinstance(drop_col, pa.ChunkedArray):
+            drop_col = drop_col.combine_chunks()
+        n_drop = len(drop_col)
     else:
-        drop = np.empty(0, object)
-    drop_hashes = np.sort(
-        xxh64_arrow(pa.array(drop.tolist(), pa.string())).view(np.int64)
-    ) if len(drop) else np.empty(0, np.int64)
+        drop_col, n_drop = None, 0
+    drop_hashes = (
+        np.sort(xxh64_arrow(drop_col).view(np.int64))
+        if n_drop
+        else np.empty(0, np.int64)
+    )
 
     # reuse the pipeline's pinned P1 ingest — re-running ingest here would
     # push the full corpus text through the object store a second time

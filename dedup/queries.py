@@ -752,15 +752,40 @@ def q_warc_pipeline(sf_dir: str):
     if len(dups) == 0:
         return uniq
 
-    def rep_row(g: pd.DataFrame) -> pd.DataFrame:
-        r = g.sort_values("url").iloc[:1].drop(columns=["doc_hash"])
-        r["cluster_size"] = np.int64(len(g))
-        return r
+    # rep per duplicate group = min-url row, picked by hash BUCKET (not
+    # per-group map_groups: one Python call per duplicate group is
+    # row-cardinality at web scale — the distinct_reps pattern) with an
+    # Arrow C++ sort + boundary take per co-located bucket; urls never
+    # become Python objects
+    def bucket(batch: pa.Table) -> pa.Table:
+        from .hashing import fmix64
+
+        dh = batch.column("doc_hash").to_numpy(zero_copy_only=False)
+        b = (fmix64(dh.view(np.uint64)) % np.uint64(32)).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def bucket_reps(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("doc_hash", "ascending"), ("url", "ascending")])
+        dh = t.column("doc_hash").to_numpy(zero_copy_only=False)
+        first = np.ones(len(dh), dtype=bool)
+        first[1:] = dh[1:] != dh[:-1]
+        idx = np.flatnonzero(first)
+        cnt = np.diff(np.append(idx, len(dh)))
+        f = t.take(pa.array(idx, pa.int64()))
+        return pa.table(
+            {
+                "url": f.column("url"),
+                "size_bytes": f.column("size_bytes"),
+                "n_snapshots": f.column("n_snapshots"),
+                "cluster_size": pa.array(cnt, pa.int64()),
+            }
+        )
 
     reps = (
         semi_filter(narrow, "doc_hash", dups)
-        .groupby("doc_hash")
-        .map_groups(rep_row, batch_format="pandas")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_reps, batch_format="pyarrow")
     )
     return uniq.union(reps)
 
@@ -804,8 +829,7 @@ def q_clean_corpus(sf_dir: str):
             .aggregate(Min("url", alias_name="rep"))
         )
         rt = collect_table(reps)
-        rep_urls = pa.array(rt.column("rep").to_pylist(), pa.string())
-        keep_hashes = np.sort(xxh64_arrow(rep_urls).view(np.int64))
+        keep_hashes = np.sort(xxh64_arrow(rt.column("rep")).view(np.int64))
 
         def add_url_hash(batch: pa.Table) -> pa.Table:
             uh = xxh64_arrow(
