@@ -212,23 +212,34 @@ def run_scaling(sf_dir: str, cpus_lo: int = 2, cpus_hi: int = 8) -> dict:
     repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
     out = {}
     all_secs: dict[int, list[float]] = {}
+
+    def one(c: int) -> dict:
+        env = dict(os.environ)
+        env.pop("RAY_ADDRESS", None)
+        r = subprocess.run(
+            [sys.executable, __file__, "--child-throughput", str(c)],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+        if not line:
+            raise RuntimeError(f"child {c} cpus failed: {r.stderr[-2000:]}")
+        return json.loads(line[-1])
+
+    # INTERLEAVE the legs (lo, hi, lo, hi, …): this host's effective
+    # memory bandwidth drifts on ~minutes timescales (hypervisor
+    # neighbors), and running all-lo-then-all-hi lets a mid-measurement
+    # drift masquerade as (anti-)scaling — observed: a stream probe at
+    # 0.87 efficiency before and 0.49 after one block-ordered run.
+    # Interleaving makes both legs sample the same window distribution.
+    runs_by_c: dict[int, list[dict]] = {cpus_lo: [], cpus_hi: []}
+    for _ in range(repeats):
+        for c in (cpus_lo, cpus_hi):
+            runs_by_c[c].append(one(c))
     for c in (cpus_lo, cpus_hi):
-        runs = []
-        for _ in range(repeats):
-            env = dict(os.environ)
-            env.pop("RAY_ADDRESS", None)
-            r = subprocess.run(
-                [sys.executable, __file__, "--child-throughput", str(c)],
-                capture_output=True, text=True, env=env,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
-            if not line:
-                raise RuntimeError(f"child {c} cpus failed: {r.stderr[-2000:]}")
-            runs.append(json.loads(line[-1]))
+        runs = sorted(runs_by_c[c], key=lambda x: x["sec"])
         # MEDIAN over repetitions (judge's criterion — not best-of-N;
         # single runs on this shared host swing ±25%)
-        runs.sort(key=lambda x: x["sec"])
         out[c] = runs[len(runs) // 2]
         all_secs[c] = [r["sec"] for r in runs]
     lo, hi = out[cpus_lo], out[cpus_hi]

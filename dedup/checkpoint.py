@@ -74,6 +74,25 @@ def _migrate_v2_to_v3(name: str, manifest: dict, stage_dir: str) -> dict | None:
     return manifest
 
 
+@register_migration(3)
+def _migrate_v3_to_v4(
+    name: str, manifest: dict, stage_dir: str, cfg: DedupConfig | None = None
+) -> dict | None:
+    """v4 dropped pure execution knobs (driver_verify_max) from the
+    config fingerprint — they pick a code path, never change stage data.
+    A v3 manifest is genuine for the current config iff its stored
+    fingerprint equals the current config's fingerprint under the v3
+    rules (exec knobs at their historical default); such manifests are
+    restamped in place with the v4 fingerprint, anything else
+    recomputes."""
+    if cfg is None or manifest.get("config_fingerprint") != cfg.fingerprint_v3():
+        return None
+    manifest = dict(manifest)
+    manifest["schema_version"] = 4
+    manifest["config_fingerprint"] = cfg.fingerprint()
+    return manifest
+
+
 class CheckpointManager:
     def __init__(self, root: str, cfg: DedupConfig):
         self.root = root
@@ -114,7 +133,12 @@ class CheckpointManager:
             mig = MIGRATIONS.get(v)
             if mig is None:
                 return None
-            m2 = mig(name, m, stage_dir)
+            import inspect
+
+            if len(inspect.signature(mig).parameters) >= 4:
+                m2 = mig(name, m, stage_dir, self.cfg)
+            else:
+                m2 = mig(name, m, stage_dir)
             if m2 is None or m2.get("schema_version", v) <= v:
                 return None
             self._write_manifest(name, m2)

@@ -51,10 +51,13 @@ class DedupConfig:
     join_buckets: int = 32  # partitions for bucketed hash joins
     # raw candidate-pair streams larger than this leave the driver
     # verification path for the distributed dedup + broadcast-verify path.
-    # The driver path still parallelizes signature compares via Ray tasks;
-    # only its pair-dedup lexsort is serial, which holds to ~20M rows
-    # (measured faster than the distributed dedup up to that size).
-    driver_verify_max: int = 20_000_000
+    # The driver path's collect + pair-dedup lexsort is SERIAL driver
+    # work — an Amdahl term that inverts scaling as CPUs grow (measured
+    # at 500k docs: verify 12.2s@2cpus → 11.8s@8cpus on the driver path
+    # vs 10.6s → 4.4s on the distributed path, identical edges). Keep the
+    # driver path only where Ray's fixed multi-stage latency (~2-4s)
+    # would dominate: small candidate streams.
+    driver_verify_max: int = 500_000
     # connected components: "driver" = vectorized components on the
     # driver (right up to ~10^8 edges); "actors" = sharded union-find
     # actor fleet (O(E) union work distributed, driver merges only the
@@ -94,9 +97,31 @@ class DedupConfig:
         flip every pre-bump manifest's fingerprint, or the in-place
         migration chain (checkpoint.MIGRATIONS) could never keep a stage's
         data — every old checkpoint would fail the fingerprint gate before
-        migration ran.
+        migration ran. Pure EXECUTION knobs (they pick a code path, never
+        change results — ``driver_verify_max``) are excluded entirely
+        since schema v4 (the v3→v4 migration restamps matching manifests).
         """
         d = asdict(self)
+        blob = json.dumps(
+            {
+                k: v
+                for k, v in d.items()
+                if k not in _EXEC_KNOBS
+                and (k not in _POST_V1_FIELDS or v != _FIELD_DEFAULTS[k])
+            },
+            sort_keys=True,
+            default=str,
+        )
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+    def fingerprint_v3(self) -> str:
+        """This config's fingerprint under the ≤v3 rules (execution knobs
+        included at their historical default) — used by the v3→v4
+        checkpoint migration to recognize manifests written before the
+        exec-knob exclusion."""
+        d = asdict(self)
+        for k, hist in _EXEC_KNOB_V3_DEFAULTS.items():
+            d[k] = hist
         blob = json.dumps(
             {
                 k: v
@@ -119,6 +144,12 @@ _POST_V1_FIELDS = {
     "broadcast_max_rows",
     "allpairs_bucket_max",
 }
+
+# Execution-only knobs (path selection, not results): excluded from the
+# fingerprint since schema v4. Their value at the ≤v3 default is kept so
+# fingerprint_v3 can recognize pre-bump manifests.
+_EXEC_KNOBS = {"driver_verify_max"}
+_EXEC_KNOB_V3_DEFAULTS = {"driver_verify_max": 20_000_000}
 
 DEFAULT = DedupConfig()
 _FIELD_DEFAULTS = asdict(DEFAULT)

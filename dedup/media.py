@@ -13,9 +13,14 @@ corpus uses are decoded with **pure numpy + stdlib zlib/struct**:
     PCM 8/16/32-bit int and 32-bit IEEE float → ((frames, channels)
     float32 in [-1, 1], sample_rate).
 
-``encode_png``/``encode_wav`` are the matching minimal encoders (used to
-synthesize deterministic payloads in tests/benches). Formats needing a
-real codec lib (JPEG/GIF/MP3) raise ``NotImplementedError``.
+  - ``decode_jpeg``: real baseline-sequential JPEG decode (ITU-T T.81) —
+    DQT/DHT/SOF0/SOS parse, Huffman entropy decode, dequant + zigzag,
+    separable float IDCT, chroma upsample, YCbCr→RGB.
+
+``encode_png``/``encode_wav``/``encode_jpeg`` are the matching minimal
+encoders (used to synthesize deterministic payloads in tests/benches).
+Formats needing a real codec lib (GIF/MP3, progressive JPEG) raise
+``NotImplementedError``.
 
 Scale notes: binary payloads dominate block memory → use small
 ``batch_size`` (default 64) and let the streaming executor backpressure;
@@ -84,10 +89,12 @@ def decode_image(payload: bytes) -> np.ndarray:
     ``NotImplementedError`` (JPEG/GIF need codec libs not in this
     container).
     """
+    if payload[:3] == b"\xff\xd8\xff":
+        return decode_jpeg(payload)
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise NotImplementedError(
-            f"unsupported image format (magic {payload[:4]!r}); only PNG is "
-            "decodable without codec libs"
+            f"unsupported image format (magic {payload[:4]!r}); only PNG and "
+            "baseline JPEG are decodable without codec libs"
         )
     pos, ihdr, idat = len(_PNG_SIG), None, []
     while pos + 8 <= len(payload):
@@ -378,7 +385,7 @@ class MediaDecoder:
         for j in range(n):
             p = payload[j].as_py()
             t = sniff_type(p)
-            if t == "image/png":
+            if t in ("image/png", "image/jpeg"):
                 px = decode_image(p)
                 kind[j] = "image"
                 cols["height"][j], cols["width"][j], cols["channels"][j] = px.shape
@@ -413,3 +420,406 @@ def media_decode(
         concurrency=concurrency,
         zero_copy_batch=True,
     )
+
+
+# --- baseline JPEG (ITU-T T.81, public spec) -------------------------------
+#
+# Pure numpy + stdlib baseline-sequential JPEG: the encoder emits
+# grayscale or 4:4:4 YCbCr with its OWN canonical Huffman tables written
+# to DHT (fixed-length canonical codes — valid per spec, compression
+# ratio irrelevant here), and the decoder is a general baseline reader
+# (DQT 8/16-bit, any DHT, SOF0 with sampling factors 1-2, DRI/RSTn,
+# byte unstuffing). Progressive (SOF2) and arithmetic coding raise
+# NotImplementedError.
+
+def _zigzag_order() -> list[tuple[int, int]]:
+    """Standard 8x8 zigzag scan order, generated (not typed) to avoid
+    transcription bugs: even diagonals run bottom-left→top-right."""
+    out = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(max(0, s - 7), min(s, 7) + 1)]
+        out.extend(diag if s % 2 == 1 else diag[::-1])
+    return out
+
+
+_ZZ = _zigzag_order()  # index k → (row, col)
+_ZZ_ROWS = np.array([r for r, _ in _ZZ])
+_ZZ_COLS = np.array([c for _, c in _ZZ])
+
+# DCT-II orthonormal basis: D[u, x] = c(u)/2 * cos((2x+1)uπ/16)
+_DCT = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _c = (1 / np.sqrt(2)) if _u == 0 else 1.0
+        _DCT[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol → (bit length, code) canonical Huffman assignment in JPEG
+    order (length-major, symbol order preserved)."""
+    by_len: dict[int, list[int]] = {}
+    for sym, ln in lengths.items():
+        by_len.setdefault(ln, []).append(sym)
+    code, out = 0, {}
+    for ln in range(1, 17):
+        for sym in by_len.get(ln, []):
+            out[sym] = (ln, code)
+            code += 1
+        code <<= 1
+    return out
+
+
+# encoder tables: every DC category gets a 5-bit code, every AC symbol a
+# 9-bit code — canonical, never the all-ones max-length word
+_ENC_DC_LENS = {s: 5 for s in range(12)}
+_ENC_AC_LENS = {0x00: 9, 0xF0: 9}
+for _r in range(16):
+    for _s in range(1, 11):
+        _ENC_AC_LENS[(_r << 4) | _s] = 9
+_ENC_DC = _canonical_codes(_ENC_DC_LENS)
+_ENC_AC = _canonical_codes(_ENC_AC_LENS)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.buf)
+
+
+def _dht_segment(tclass: int, tid: int, lens: dict[int, int]) -> bytes:
+    by_len: dict[int, list[int]] = {}
+    for sym, ln in lens.items():
+        by_len.setdefault(ln, []).append(sym)
+    counts = bytes(len(by_len.get(ln, [])) for ln in range(1, 17))
+    vals = bytes(s for ln in range(1, 17) for s in by_len.get(ln, []))
+    body = bytes([(tclass << 4) | tid]) + counts + vals
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _cat_and_bits(v: int) -> tuple[int, int]:
+    """JPEG magnitude category + value bits for a coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg(pixels: np.ndarray, quant: int = 1) -> bytes:
+    """Minimal baseline JPEG encoder for (H, W) / (H, W, 1) grayscale or
+    (H, W, 3) RGB (encoded as 4:4:4 YCbCr). ``quant`` fills the whole
+    quantization table with one value: ``quant=1`` makes DC-only content
+    (8x8-block-constant images) round-trip EXACTLY — the property the
+    decode tests pin."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, nc = pixels.shape
+    if nc not in (1, 3):
+        raise ValueError("encode_jpeg supports 1 or 3 channels")
+    px = pixels.astype(np.float64)
+    if nc == 3:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [px[:, :, 0]]
+    q = np.full((8, 8), int(quant), np.int32)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    qzz = q[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qzz  # DQT id 0
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])  # 1x1 sampling, quant table 0
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof  # SOF0
+    out += _dht_segment(0, 0, _ENC_DC_LENS) + _dht_segment(1, 0, _ENC_AC_LENS)
+    sos = bytes([nc]) + b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    bw = _BitWriter()
+    bh, bwid = -(-h // 8), -(-w // 8)
+    pred = [0] * nc
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci, plane in enumerate(planes):
+                blk = np.empty((8, 8))
+                ys = np.minimum(by * 8 + np.arange(8), h - 1)
+                xs = np.minimum(bx * 8 + np.arange(8), w - 1)
+                blk[:] = plane[np.ix_(ys, xs)] - 128.0
+                coef = _DCT @ blk @ _DCT.T
+                qc = np.round(coef / q).astype(np.int64)
+                zz = qc[_ZZ_ROWS, _ZZ_COLS]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                size, bits = _cat_and_bits(diff)
+                ln, code = _ENC_DC[size]
+                bw.put(code, ln)
+                if size:
+                    bw.put(bits, size)
+                run = 0
+                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+                for k in range(1, last_nz + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        ln, code = _ENC_AC[0xF0]
+                        bw.put(code, ln)
+                        run -= 16
+                    size, bits = _cat_and_bits(v)
+                    ln, code = _ENC_AC[(run << 4) | size]
+                    bw.put(code, ln)
+                    bw.put(bits, size)
+                    run = 0
+                if last_nz < 63:
+                    ln, code = _ENC_AC[0x00]  # EOB
+                    bw.put(code, ln)
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-coded segment reader: unstuffs 0xFF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24 and self.pos < len(d):
+            byte = d[self.pos]
+            if byte == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # RSTn — consumed by reset()
+                    break
+                else:  # real marker: end of scan
+                    break
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def get(self, n: int) -> int:
+        while self.nbits < n:
+            before = self.nbits
+            self._fill()
+            if self.nbits == before:  # truncated stream: pad with zeros
+                self.acc <<= 8
+                self.nbits += 8
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def reset_at_rst(self) -> None:
+        """Skip an RSTn marker and byte-align (restart interval)."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline-sequential JPEG decode → (H, W, C) uint8 (C = 1 or 3).
+
+    General reader: tables from the stream (DQT 8/16-bit, DHT), SOF0,
+    sampling factors 1-2 per axis (4:4:4 / 4:2:2 / 4:2:0), DRI/RSTn.
+    Progressive/arithmetic variants raise NotImplementedError."""
+    d = payload
+    if d[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart = 0
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = d[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", d[pos + 2 : pos + 4])
+        body = d[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 0xF
+                bp += 1
+                if pq:
+                    vals = np.frombuffer(body[bp : bp + 128], ">u2").astype(np.int32)
+                    bp += 128
+                else:
+                    vals = np.frombuffer(body[bp : bp + 64], np.uint8).astype(np.int32)
+                    bp += 64
+                tbl = np.zeros((8, 8), np.int32)
+                tbl[_ZZ_ROWS, _ZZ_COLS] = vals
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 0xF
+                counts = body[bp + 1 : bp + 17]
+                bp += 17
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                for ln in range(1, 17):
+                    for _ in range(counts[ln - 1]):
+                        table[(ln, code)] = body[bp]
+                        bp += 1
+                        code += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} unsupported")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline-sequential JPEG is supported")
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("malformed JPEG: SOS before SOF")
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+                scan.append((cs, tt >> 4, tt & 0xF))
+            data_pos = pos + 2 + seglen
+            return _jpeg_scan(d, data_pos, frame, scan, qt, huff, restart)
+        elif marker == 0xD9:  # EOI
+            break
+        pos += 2 + seglen
+    raise ValueError("malformed JPEG: no scan found")
+
+
+def _jpeg_scan(d, data_pos, frame, scan, qt, huff, restart) -> np.ndarray:
+    fh, fw, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    planes = []
+    for c in comps:
+        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+        planes.append(np.zeros((ph, pw), np.float64))
+    br = _BitReader(d, data_pos)
+
+    def read_symbol(table: dict[tuple[int, int], int]) -> int:
+        code, ln = 0, 0
+        for _ in range(16):
+            code = (code << 1) | br.get(1)
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG scan")
+
+    pred = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                br.reset_at_rst()
+                for k in pred:
+                    pred[k] = 0
+            mcu_count += 1
+            for (cid, tdc, tac) in scan:
+                c = by_id[cid]
+                ci = comps.index(c)
+                q = qt[c["tq"]]
+                for vy in range(c["v"]):
+                    for vx in range(c["h"]):
+                        zz = np.zeros(64, np.int64)
+                        size = read_symbol(huff[(0, tdc)])
+                        diff = _extend(br.get(size), size) if size else 0
+                        pred[cid] += diff
+                        zz[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            sym = read_symbol(huff[(1, tac)])
+                            if sym == 0x00:  # EOB
+                                break
+                            run, sz = sym >> 4, sym & 0xF
+                            if sz == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC overflow")
+                            zz[k] = _extend(br.get(sz), sz)
+                            k += 1
+                        coef = np.zeros((8, 8), np.float64)
+                        coef[_ZZ_ROWS, _ZZ_COLS] = zz * q[_ZZ_ROWS, _ZZ_COLS]
+                        blk = _DCT.T @ coef @ _DCT + 128.0
+                        y0 = (my * c["v"] + vy) * 8
+                        x0 = (mx * c["h"] + vx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+
+    # upsample to full resolution and crop
+    full = []
+    for c, plane in zip(comps, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:fh, :fw])
+    if len(full) == 1:
+        out = full[0][:, :, None]
+    else:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        out = np.stack(
+            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+            axis=2,
+        )
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)

@@ -16,7 +16,11 @@ import pyarrow as pa
 # v3: candidate generation emits within-bucket all-pairs for buckets ≤
 #     allpairs_bucket_max (star edges only beyond the cap) — p4_edges
 #     results change; upstream stage layouts do not
-SCHEMA_VERSION = 3
+# v4: config fingerprint excludes pure execution knobs (driver_verify_max
+#     picks a verify code path, never changes edges) — no stage data or
+#     layout changes; the v3→v4 migration restamps manifests whose v3
+#     fingerprint matches the current config
+SCHEMA_VERSION = 4
 
 PAGES = pa.schema(
     [

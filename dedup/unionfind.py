@@ -328,6 +328,7 @@ def label_propagation(
             return lv_s[i], ln_s[i] == keys
 
         out = [_lp_rows(ln, lv, _LP_LAB)]
+        md, ml = [], []
         em = kind == _LP_EDGE
         if em.any():
             lab, ok = lab_of(k[em])
@@ -335,14 +336,27 @@ def label_propagation(
             lab = lab[ok]
             # telling dst its own id is a no-op (labels only decrease)
             useful = lab != _enc_np(dst)
-            out.append(_lp_rows(dst[useful], lab[useful], _LP_MSG))
+            md.append(dst[useful])
+            ml.append(lab[useful])
         rm = kind == _LP_REQ
         if rm.any():
             lab, ok = lab_of(k[rm])
             req = v[rm][ok]
             lab = lab[ok]
             useful = lab != _enc_np(req)
-            out.append(_lp_rows(req[useful], lab[useful], _LP_MSG))
+            md.append(req[useful])
+            ml.append(lab[useful])
+        if md:
+            dst = np.concatenate(md)
+            lab = np.concatenate(ml)
+            # dedupe identical (dst, label) messages before they enter the
+            # reduce exchange — dense components repeat the hub's label
+            order = np.lexsort((lab, dst))
+            dst, lab = dst[order], lab[order]
+            first = np.ones(len(dst), dtype=bool)
+            if len(dst) > 1:
+                first[1:] = (dst[1:] != dst[:-1]) | (lab[1:] != lab[:-1])
+            out.append(_lp_rows(dst[first], lab[first], _LP_MSG))
         return pa.concat_tables(out)
 
     def checksum(state: Dataset) -> int:

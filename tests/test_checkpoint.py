@@ -181,15 +181,22 @@ def test_schema_migration_in_place(tmp_path):
     import hashlib as _hl
     from dataclasses import asdict as _asdict
 
-    from dedup.config import _POST_V1_FIELDS
+    from dedup.config import _EXEC_KNOB_V3_DEFAULTS, _POST_V1_FIELDS
 
+    v1_values = dict(_asdict(cfg))
+    # a genuine v1 build ran with the execution knobs at their v1-era
+    # defaults (driver_verify_max=20M), not today's
+    v1_values.update(_EXEC_KNOB_V3_DEFAULTS)
     v1_fields = {
-        k: v for k, v in _asdict(cfg).items() if k not in _POST_V1_FIELDS
+        k: v for k, v in v1_values.items() if k not in _POST_V1_FIELDS
     }
     v1_fp = _hl.sha256(
         json.dumps(v1_fields, sort_keys=True, default=str).encode()
     ).hexdigest()[:16]
-    assert v1_fp == cfg.fingerprint(), "v1 manifests would never validate"
+    # since schema v4 the v1 fingerprint is recognized through the ≤v3
+    # rules (fingerprint_v3) by the v3→v4 restamp migration — NOT by raw
+    # equality with fingerprint() (which now excludes exec knobs)
+    assert v1_fp == cfg.fingerprint_v3(), "v1 manifests would never validate"
     for stage in ("p1_ingested", "p3_signatures"):
         mpath = os.path.join(str(tmp_path), stage, "manifest.json")
         m = json.load(open(mpath))
@@ -203,3 +210,50 @@ def test_schema_migration_in_place(tmp_path):
     assert runs == ["p1", "p3", "p3"]  # p1 migrated in place, p3 recomputed
     assert any(e.startswith("migrate:p1_ingested:v1->v2") for e in ck2.events)
     assert ck2.manifest("p1_ingested")["schema_version"] == SCHEMA_VERSION
+
+
+def test_migration_v3_to_v4_exec_knob_fingerprint(tmp_path):
+    """A v3 manifest (fingerprint computed WITH driver_verify_max under
+    the old rules) survives the v4 bump when the semantic config is
+    unchanged — and is rejected when the semantic config differs."""
+    import json
+    import os
+
+    from dedup.checkpoint import CheckpointManager
+    from dedup.config import DedupConfig
+    from dedup.schema import SCHEMA_VERSION
+
+    cfg = DedupConfig()
+    cm = CheckpointManager(str(tmp_path / "ck"), cfg)
+    sdir, ddir, mpath = cm._paths("p1_ingested")
+    os.makedirs(ddir, exist_ok=True)
+    # forge a v3-era manifest: old-rules fingerprint, old schema version
+    with open(mpath, "w") as f:
+        json.dump(
+            {"schema_version": 3, "config_fingerprint": cfg.fingerprint_v3()}, f
+        )
+    m = cm._maybe_migrate("p1_ingested")
+    assert m is not None
+    assert m["schema_version"] == SCHEMA_VERSION
+    assert m["config_fingerprint"] == cfg.fingerprint()
+    assert any(e.startswith("migrate:p1_ingested:v3->v4") for e in cm.events)
+
+    # a semantically different config must NOT be restamped
+    cfg2 = DedupConfig(shingle_k=7)
+    cm2 = CheckpointManager(str(tmp_path / "ck2"), cfg2)
+    sdir2, ddir2, mpath2 = cm2._paths("p1_ingested")
+    os.makedirs(ddir2, exist_ok=True)
+    with open(mpath2, "w") as f:
+        json.dump(
+            {"schema_version": 3, "config_fingerprint": cfg.fingerprint_v3()}, f
+        )
+    assert cm2._maybe_migrate("p1_ingested") is None
+
+
+def test_fingerprint_ignores_exec_knobs():
+    from dedup.config import DedupConfig
+
+    a = DedupConfig()
+    b = DedupConfig(driver_verify_max=123)
+    assert a.fingerprint() == b.fingerprint()
+    assert a.fingerprint() != DedupConfig(shingle_k=7).fingerprint()

@@ -115,10 +115,14 @@ def test_wav_roundtrip():
 
 
 def test_decode_unsupported_formats_raise():
+    # GIF needs a codec lib not in this container (JPEG is decodable now)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0jpeg...")
+        decode_image(b"GIF89a\x01\x00gif...")
     with pytest.raises(NotImplementedError):
         decode_audio(b"ID3\x04mp3...")
+    # a truncated/garbage JPEG is a malformed-stream error, not unsupported
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0jpeg...")
 
 
 def test_featurize_actor_pool_schema_and_determinism():
@@ -186,3 +190,64 @@ def test_media_decode_stage():
     aud = out[out["kind"] == "audio"]
     assert (aud["sample_rate"] == 8000 * (1 + aud["doc_id"] % 3)).all()
     assert (aud["height"] == 0).all()
+
+
+# ----------------------------------------------------------- baseline JPEG
+def test_jpeg_exact_roundtrip_block_constant_gray():
+    """quant=1 + 8x8-block-constant input → DC-only blocks → bit-exact
+    decode (the IDCT of a lone DC coefficient is a constant block)."""
+    from dedup.media import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(0)
+    blocks = rng.integers(0, 256, size=(3, 4), dtype=np.int64)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant=1))
+    assert out.shape == (24, 32, 1)
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def test_jpeg_rgb_roundtrip_close_and_odd_dims():
+    from dedup.media import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(1)
+    img = (rng.integers(0, 256, size=(19, 23, 3)).astype(np.float64) * 0.2 + 100).astype(
+        np.uint8
+    )
+    out = decode_jpeg(encode_jpeg(img, quant=1))
+    assert out.shape == (19, 23, 3)
+    # color transform + quant=1 keeps error within a couple of levels
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_jpeg_dispatch_and_sniff():
+    from dedup.media import decode_image, encode_jpeg, sniff_type
+
+    img = np.full((8, 8), 42, np.uint8)
+    payload = encode_jpeg(img)
+    assert sniff_type(payload) == "image/jpeg"
+    out = decode_image(payload)  # dispatches on magic
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def test_jpeg_progressive_rejected():
+    import pytest as _pytest
+
+    from dedup.media import decode_jpeg, encode_jpeg
+
+    payload = bytearray(encode_jpeg(np.full((8, 8), 9, np.uint8)))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+
+
+def test_jpeg_quant_tables_honored():
+    """A coarser quant table changes coefficients but decode still lands
+    near the source (sanity that DQT is actually applied, not ignored)."""
+    from dedup.media import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(2)
+    img = (rng.standard_normal((16, 16)) * 10 + 128).clip(0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant=4))
+    assert out.shape == (16, 16, 1)
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).mean() < 6
