@@ -24,8 +24,6 @@ of *duplicate-involved* keys itself is huge; ``semi_filter`` falls back to
 
 from __future__ import annotations
 
-from typing import Iterable
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa

@@ -20,7 +20,7 @@ import pyarrow as pa
 from ray.data import Dataset
 
 from .hashing import U64, xxh64_arrow
-from .minhash import _POLY, shingle_hashes
+from .minhash import shingle_hashes
 from .textstats import _tokenize
 
 

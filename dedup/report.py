@@ -23,7 +23,6 @@ import json
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import ray
 from ray.data import Dataset
 
 from .config import DedupConfig
