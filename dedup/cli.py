@@ -126,12 +126,19 @@ def main(argv=None) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=args.num_cpus,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-        )
+        # inside `ray job submit` RAY_ADDRESS points at the cluster —
+        # join it (per-node resources are the cluster's, so num_cpus is
+        # only legal in local mode)
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        if addr in ("local", ""):
+            ray.init(
+                address="local",
+                num_cpus=args.num_cpus,
+                include_dashboard=False,
+                ignore_reinit_error=True,
+            )
+        else:
+            ray.init(address=addr, ignore_reinit_error=True)
     import ray.data as rd
 
     from .cascade import exact_clusters, total_redundant_bytes
