@@ -113,21 +113,24 @@ def domain_stats(pages: Dataset, cfg: DedupConfig) -> Dataset:
     dups = dup_keys(pairs, "fk")
     uniq = semi_filter(pairs, "fk", dups, keep=False)
     if len(dups):
-        import pandas as pd
 
         def bucket(batch: pa.Table) -> pa.Table:
             fk = batch.column("fk").to_numpy(zero_copy_only=False)
             bk = fmix64(fk.view(np.uint64)).view(np.int64) % cfg.join_buckets
             return batch.append_column("bkt", pa.array(bk, pa.int64()))
 
-        def first_per_key(g: pd.DataFrame) -> pd.DataFrame:
-            return g.drop_duplicates("fk")[["host", "fk"]]
+        def first_per_key(g: pa.Table) -> pa.Table:
+            # Arrow-native distinct-per-fk: the host strings never
+            # become Python objects
+            fk = g.column("fk").to_numpy(zero_copy_only=False)
+            _, first = np.unique(fk, return_index=True)
+            return g.select(["host", "fk"]).take(pa.array(np.sort(first), pa.int64()))
 
         deduped = (
             semi_filter(pairs, "fk", dups, keep=True)
             .map_batches(bucket, batch_format="pyarrow")
             .groupby("bkt")
-            .map_groups(first_per_key, batch_format="pandas")
+            .map_groups(first_per_key, batch_format="pyarrow")
         )
         pairs = uniq.union(deduped)
     else:
@@ -190,19 +193,22 @@ def domain_cap(pages: Dataset, cfg: DedupConfig, cap: int) -> Dataset:
         bk = fmix64(hh.view(np.uint64)).view(np.int64) % cfg.join_buckets
         return batch.append_column("bkt", pa.array(bk, pa.int64()))
 
-    import pandas as pd
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["host_hash", "url"], kind="stable")
-        rank = g.groupby("host_hash").cumcount()
-        return g[rank < cap][["url", "size_bytes"]]
+    def final_topk(g: pa.Table) -> pa.Table:
+        # Arrow C++ sort + vectorized per-host rank via boundary offsets
+        # (urls stay Arrow strings end-to-end)
+        t = g.sort_by([("host_hash", "ascending"), ("url", "ascending")])
+        hh = t.column("host_hash").to_numpy(zero_copy_only=False)
+        first = np.ones(len(hh), dtype=bool)
+        first[1:] = hh[1:] != hh[:-1]
+        starts = np.flatnonzero(first)
+        rank = np.arange(len(hh)) - np.repeat(starts, np.diff(np.append(starts, len(hh))))
+        return t.select(["url", "size_bytes"]).filter(pa.array(rank < cap))
 
     hot_kept = (
         semi_filter(wh, "host_hash", hot, keep=True)
         .map_batches(partial_topk, batch_format="pyarrow")
         .map_batches(bucket, batch_format="pyarrow")
         .groupby("bkt")
-        .map_groups(final_topk, batch_format="pandas")
-        .map_batches(lambda b: b, batch_format="pyarrow")  # arrow blocks for union
+        .map_groups(final_topk, batch_format="pyarrow")
     )
     return cold.union(hot_kept)

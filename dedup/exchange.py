@@ -365,14 +365,25 @@ def min_by_key(ds: Dataset, key_col: str, val_col: str, n_buckets: int = 32) -> 
     part = ds.map_batches(partial, batch_format="pyarrow")
     bucketed = _add_bucket(part, key_col, n_buckets)
 
-    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(key_col, sort=False, as_index=False)[val_col].min()
-        return out
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        k = g.column(key_col).to_numpy(zero_copy_only=False)
+        v = g.column(val_col).to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table(
+                {key_col: pa.array([], pa.int64()), val_col: pa.array([], pa.int64())}
+            )
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        starts = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
+        return pa.table(
+            {
+                key_col: pa.array(k[starts], pa.int64()),
+                val_col: pa.array(np.minimum.reduceat(v, starts), pa.int64()),
+            }
+        )
 
-    return (
-        bucketed.groupby("__bucket")
-        .map_groups(reduce_bucket, batch_format="pandas")
-        .map_batches(lambda t: t.select([key_col, val_col]), batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(
+        reduce_bucket, batch_format="pyarrow"
     )
 
 

@@ -22,7 +22,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 from ray.data import Dataset
@@ -46,8 +45,8 @@ def distinct_reps(
     a ``groupby(doc_hash).map_groups(head)`` pays per-group Python
     overhead once per duplicate group (seconds at 10^4 groups); grouping
     ``n_buckets`` (cfg.join_buckets — sized so one bucket's duplicate rows
-    fit a worker) keeps each call a single vectorized pandas
-    ``drop_duplicates`` over co-located whole groups.
+    fit a worker) keeps each call one vectorized Arrow first-per-key pass
+    over co-located whole groups (no pandas — text stays Arrow strings).
 
     ``dups``: precomputed sorted duplicated-key array (callers that
     already ran the narrow count pass supply it to avoid re-executing).
@@ -72,18 +71,23 @@ def distinct_reps(
         b = (fmix64(dh.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int32)
         return batch.append_column("__bucket", pa.array(b, pa.int32()))
 
-    def bucket_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates("doc_hash", keep="first")[["doc_hash", "text"]]
+    def bucket_first(g: pa.Table) -> pa.Table:
+        # Arrow-native first-per-hash: stable sort on the int64 key +
+        # boundary take — the text column never becomes Python objects
+        # (a pandas drop_duplicates here would objectify every string)
+        dh = g.column("doc_hash").to_numpy(zero_copy_only=False)
+        order = np.argsort(dh, kind="stable")
+        first = np.ones(len(dh), dtype=bool)
+        first[1:] = dh[order][1:] != dh[order][:-1]
+        keep = np.sort(order[first])  # preserve original row order
+        return g.select(["doc_hash", "text"]).take(pa.array(keep, pa.int64()))
 
     rep_dups = (
         semi_filter(narrow, "doc_hash", dups)
         .map_batches(local_first, batch_format="pyarrow")
         .map_batches(bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(bucket_first, batch_format="pandas")
-        # normalize to Arrow blocks — union of pandas+arrow blocks breaks
-        # downstream batching
-        .map_batches(lambda t: t, batch_format="pyarrow")
+        .map_groups(bucket_first, batch_format="pyarrow")
     )
     return uniq.union(rep_dups)
 
