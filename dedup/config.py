@@ -58,6 +58,14 @@ class DedupConfig:
     # driver path only where Ray's fixed multi-stage latency (~2-4s)
     # would dominate: small candidate streams.
     driver_verify_max: int = 500_000
+    # distributed backend: verify against a plasma-broadcast candidate
+    # signature matrix while the candidate-involved doc count fits this
+    # bound (~1 KB/sig at 128 perms → default ≈ 2 GB, well inside one
+    # node's object store); past it, the bucketed-exchange join path
+    # takes over (each pair ships its two 1 KB signatures through a
+    # sort — measured at 2M docs/52 GB spill: 2086 s vs seconds on the
+    # broadcast tier). Same edges either way (pytest-pinned).
+    sig_broadcast_max: int = 2_000_000
     # connected components: "driver" = vectorized components on the
     # driver (right up to ~10^8 edges); "actors" = sharded union-find
     # actor fleet (O(E) union work distributed, driver merges only the
@@ -143,12 +151,14 @@ _POST_V1_FIELDS = {
     "sign_partitions",
     "broadcast_max_rows",
     "allpairs_bucket_max",
+    "sig_broadcast_max",  # also an exec knob; listed here so the ≤v3
+    # fingerprint rules (fingerprint_v3) skip it at default too
 }
 
 # Execution-only knobs (path selection, not results): excluded from the
 # fingerprint since schema v4. Their value at the ≤v3 default is kept so
 # fingerprint_v3 can recognize pre-bump manifests.
-_EXEC_KNOBS = {"driver_verify_max"}
+_EXEC_KNOBS = {"driver_verify_max", "sig_broadcast_max"}
 _EXEC_KNOB_V3_DEFAULTS = {"driver_verify_max": 20_000_000}
 
 DEFAULT = DedupConfig()

@@ -374,6 +374,8 @@ def _near_dup_distributed(
     from .exchange import bucketed_join, ensure_schema, key_counts
     from .unionfind import label_propagation
     from .verify import (
+        broadcast_check,
+        candidate_ids,
         dedup_pairs as _dedup_pairs,
         filter_edges_by_set_hash_ds,
         verify_distributed,
@@ -387,8 +389,23 @@ def _near_dup_distributed(
     def build_edges() -> Dataset:
         deduped = ensure_schema(
             _dedup_pairs(gen_pairs(), n_buckets=cfg.join_buckets), _PAIRS_SCHEMA
-        )
-        e = ensure_schema(verify_distributed(deduped, sigs, cfg), _EDGES_SCHEMA)
+        ).materialize()
+        # verify tier: while the candidate-involved signature set fits
+        # one node (cfg.sig_broadcast_max docs ≈ 2 GB at 128 perms), the
+        # plasma-broadcast matrix wins by orders of magnitude — the join
+        # path ships two 1 KB signatures per pair through a sort
+        # (measured at 2M docs: 2086 s and 52 GB of spill vs seconds).
+        # Past the bound, the bucketed-exchange join is the only path
+        # that never holds the signature set in one place. Edges stay a
+        # Dataset either way; only the (guarded) signature matrix ever
+        # touches the driver.
+        cand = candidate_ids(deduped, limit=cfg.sig_broadcast_max)
+        if cand is not None:
+            e = ensure_schema(
+                broadcast_check(deduped, sigs, cfg, cand), _EDGES_SCHEMA
+            )
+        else:
+            e = ensure_schema(verify_distributed(deduped, sigs, cfg), _EDGES_SCHEMA)
         if cfg.exact_set_verify:
             e = ensure_schema(
                 filter_edges_by_set_hash_ds(e, sigs, cfg), _EDGES_SCHEMA

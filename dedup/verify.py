@@ -233,16 +233,14 @@ def verify_auto(pairs: Dataset, sigs: Dataset, cfg: DedupConfig) -> pa.Table:
     return verify_broadcast(deduped, sigs, cfg)
 
 
-def verify_broadcast(pairs_deduped: Dataset, sigs: Dataset, cfg: DedupConfig) -> pa.Table:
-    """Verify canonical unique pairs against a broadcast signature matrix.
-
-    The candidate-involved signature set (bounded by duplicate-involved
-    docs, not the corpus) is collected once, ``ray.put`` once, and read
-    zero-copy by every checking task. Comparison is the same chunked
-    scratch-buffer kernel as the driver path, parallelized over pair
-    batches.
-    """
-    pairs_deduped = pairs_deduped.materialize()
+def candidate_ids(
+    pairs_deduped: Dataset, limit: int | None = None
+) -> np.ndarray | None:
+    """Sorted unique endpoint ids of a (deduped) pair Dataset — the
+    candidate-involved doc set, bounded by duplicate-involved docs.
+    With ``limit``, collection stops early and returns None once the id
+    stream exceeds it — the guard that keeps a surprise corpus-sized
+    candidate set from materializing on the driver."""
 
     def batch_ids(batch: pa.Table) -> pa.Table:
         u = np.unique(
@@ -255,8 +253,39 @@ def verify_broadcast(pairs_deduped: Dataset, sigs: Dataset, cfg: DedupConfig) ->
         )
         return pa.table({"id": pa.array(u, pa.int64())})
 
-    idt = collect_table(pairs_deduped.map_batches(batch_ids, batch_format="pyarrow"))
-    cand = np.unique(idt.column("id").to_numpy(zero_copy_only=False))
+    # Streaming global unique with a CORRECT early-out: the running
+    # unique set only ever grows, so the moment it exceeds ``limit`` we
+    # can stop and report over-limit — but an under-limit count is only
+    # conclusive after the WHOLE stream has been folded in (an early
+    # truncation would silently drop candidate ids and, downstream,
+    # verified edges).
+    uniq = np.empty(0, np.int64)
+    pending: list[np.ndarray] = []
+    pending_n = 0
+    for b in pairs_deduped.map_batches(batch_ids, batch_format="pyarrow").iter_batches(
+        batch_size=1 << 18, batch_format="pyarrow"
+    ):
+        pending.append(b.column("id").to_numpy(zero_copy_only=False))
+        pending_n += len(pending[-1])
+        if pending_n >= max(1 << 22, len(uniq)):
+            uniq = np.unique(np.concatenate([uniq, *pending]))
+            pending, pending_n = [], 0
+            if limit is not None and len(uniq) > limit:
+                return None
+    if pending:
+        uniq = np.unique(np.concatenate([uniq, *pending]))
+    if limit is not None and len(uniq) > limit:
+        return None
+    return uniq
+
+
+def broadcast_check(
+    pairs_deduped: Dataset, sigs: Dataset, cfg: DedupConfig, cand: np.ndarray
+) -> Dataset:
+    """The broadcast verify kernel as a streaming Dataset: candidate
+    signatures are semi-filtered, collected ONCE, ``ray.put`` once, and
+    every checking task reads the one zero-copy plasma view. The pair
+    stream (and the edge output) never touches the driver."""
     sub = semi_filter(sigs.select_columns(["doc_hash", "sig"]), "doc_hash", cand)
     st = collect_table(sub)
     ref = ray.put(_prep_sigs(st, cfg.num_perm))
@@ -277,8 +306,21 @@ def verify_broadcast(pairs_deduped: Dataset, sigs: Dataset, cfg: DedupConfig) ->
             }
         )
 
-    out = pairs_deduped.map_batches(check, batch_format="pyarrow", batch_size=1 << 17)
-    t = collect_table(out)
+    return pairs_deduped.map_batches(check, batch_format="pyarrow", batch_size=1 << 17)
+
+
+def verify_broadcast(pairs_deduped: Dataset, sigs: Dataset, cfg: DedupConfig) -> pa.Table:
+    """Verify canonical unique pairs against a broadcast signature matrix.
+
+    The candidate-involved signature set (bounded by duplicate-involved
+    docs, not the corpus) is collected once, ``ray.put`` once, and read
+    zero-copy by every checking task. Comparison is the same chunked
+    scratch-buffer kernel as the driver path, parallelized over pair
+    batches.
+    """
+    pairs_deduped = pairs_deduped.materialize()
+    cand = candidate_ids(pairs_deduped)
+    t = collect_table(broadcast_check(pairs_deduped, sigs, cfg, cand))
     if len(t) == 0:
         return pa.table(
             {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),

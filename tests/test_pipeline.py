@@ -294,3 +294,39 @@ def test_label_propagation_raises_when_unconverged():
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         label_propagation(ds, n_buckets=2, max_iter=1)
+
+
+def test_distributed_backend_verify_tiers_bit_identical():
+    """The distributed backend's two verify tiers — plasma-broadcast
+    signature matrix (candidate set under cfg.sig_broadcast_max) and the
+    bucketed-exchange join (past it) — must produce bit-identical
+    clusters AND edges. sig_broadcast_max=0 forces the join tier."""
+    from dedup.config import DedupConfig
+    from dedup.pipeline import near_dup_pipeline
+
+    table, _ = make_pages(n_exact_groups=3, n_near_groups=5, n_singletons=20)
+    ds = rd.from_arrow(table)
+    r_bc = near_dup_pipeline(
+        ds, DedupConfig(min_size=1, cluster_backend="distributed")
+    )
+    r_join = near_dup_pipeline(
+        ds,
+        DedupConfig(
+            min_size=1, cluster_backend="distributed", sig_broadcast_max=0
+        ),
+    )
+    c1 = r_bc.clusters.to_pandas().sort_values("url").reset_index(drop=True)
+    c2 = (
+        r_join.clusters.to_pandas()[c1.columns.tolist()]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert c1.equals(c2)
+    e1 = r_bc.edges.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    e2 = r_join.edges.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert e1[["a", "b"]].equals(e2[["a", "b"]])
+    # exec knob must not move the config fingerprint
+    assert (
+        DedupConfig(sig_broadcast_max=0).fingerprint()
+        == DedupConfig().fingerprint()
+    )
