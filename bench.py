@@ -284,7 +284,13 @@ def main():
             global EXPAND_FACTOR
             EXPAND_FACTOR = 100
             os.environ["BENCH_EXPAND"] = "100"
-        print(json.dumps(run_scaling(args.sf_dir)))
+        # The cluster-size pair is configurable (still a 4x ratio by
+        # default): 2v8 saturates this host's shared memory controller
+        # at the high leg (~8 procs); 1v4 keeps BOTH legs under it, so
+        # it isolates the engine's scaling from the host wall.
+        lo = int(os.environ.get("BENCH_CPUS_LO", "2"))
+        hi = int(os.environ.get("BENCH_CPUS_HI", "8"))
+        print(json.dumps(run_scaling(args.sf_dir, cpus_lo=lo, cpus_hi=hi)))
         return
     import ray
 

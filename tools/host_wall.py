@@ -77,15 +77,17 @@ def run(kind: str, procs: int, dur: float = 8.0) -> float:
 
 
 def main():
+    lo = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    hi = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     out = {}
     for kind in ("compute", "stream"):
-        r2 = run(kind, 2)
-        r8 = run(kind, 8)
+        r_lo = run(kind, lo)
+        r_hi = run(kind, hi)
         out[kind] = {
-            "procs2": round(r2, 1),
-            "procs8": round(r8, 1),
-            "speedup_2_to_8": round(r8 / r2, 2),
-            "efficiency": round(r8 / r2 / 4, 2),
+            f"procs{lo}": round(r_lo, 1),
+            f"procs{hi}": round(r_hi, 1),
+            f"speedup_{lo}_to_{hi}": round(r_hi / r_lo, 2),
+            "efficiency": round(r_hi / r_lo / (hi / lo), 2),
         }
     print(json.dumps(out))
 
