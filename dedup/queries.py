@@ -1067,6 +1067,73 @@ def q_ann_ivf_planted(sf_dir: str):
     return top1.reset_index(drop=True)
 
 
+# Graded planting for the FULL top-k IVF oracle (q_ann_ivf_topk_planted):
+# per query q̂ (vec_id < 10) plant one twin per rank r at
+# t_r = normalize(q̂ + eps_r·û) with û ⊥ q̂, so cos(q̂, t_r) = 1/√(1+eps_r²)
+# is strictly decreasing in r — gaps ≥ 4e-3, while the corpus maximum
+# cosine against these queries is ≤ 0.50 at every shipped sf (measured).
+# The whole top-5 ordering is therefore provable from the construction
+# and SQL-expressible, unlike generic IVF output (approximate).
+TOPK_EPS = (0.05, 0.10, 0.15, 0.20, 0.25)
+TOPK_STEP = 1_000_000
+
+
+def q_ann_ivf_topk_planted(sf_dir: str):
+    """IVF full top-k oracle: the 5 graded twins of each query must come
+    back as exactly ranks 1..5 (twin r at neighbor_id = PLANT_OFFSET +
+    r·TOPK_STEP + vec_id). Extends q_ann_ivf_planted (rank-1 only) to the
+    complete ordering through the bucketize→probe→top-k path. The twins
+    sit within atan(0.25) ≈ 14° of their query, far inside the query's
+    probed coarse cells (16 centroids, n_probe=4)."""
+    from .embed import _emb_matrix, _normalize, ivf_search
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qt = pa.concat_tables(
+        list(
+            emb.filter(expr="vec_id < 10").iter_batches(
+                batch_size=64, batch_format="pyarrow"
+            )
+        )
+    )
+    ids = qt.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    Q = _normalize(_emb_matrix(qt, "embedding"))
+    # deterministic unit direction ⊥ each query: rolled copy, Gram-Schmidt
+    U = np.roll(Q, 1, axis=1)
+    U = U - (U * Q).sum(axis=1, keepdims=True) * Q
+    nrm = np.linalg.norm(U, axis=1, keepdims=True)
+    rng = np.random.default_rng(7)  # constant-vector fallback only
+    for j in np.nonzero(nrm[:, 0] < 1e-9)[0]:
+        u = rng.standard_normal(Q.shape[1])
+        u -= (u @ Q[j]) * Q[j]
+        U[j], nrm[j] = u, np.linalg.norm(u)
+    U = U / nrm
+    tid, temb = [], []
+    for r, eps in enumerate(TOPK_EPS, start=1):
+        tid.append(PLANT_OFFSET + r * TOPK_STEP + ids)
+        temb.append(_normalize(Q + eps * U))
+    twin_tbl = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate(tid), pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in np.concatenate(temb, axis=0).astype(np.float32)],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(
+                np.zeros(len(TOPK_EPS) * len(ids), np.int32), pa.int32()
+            ),
+        }
+    )
+    res = ivf_search(
+        emb.union(rd.from_arrow(twin_tbl)),
+        query_ids=list(range(10)), k=5, n_centroids=16, n_probe=4,
+    )
+    return (
+        res[["query_id", "rank", "neighbor_id"]]
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup (arXiv:2303.09540): k-means cells over the embedding
     corpus, within-cell cosine components at the working threshold, one
@@ -1373,6 +1440,7 @@ QUERIES = {
     "gate_rejects": q_gate_rejects,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_planted": q_ann_ivf_planted,
+    "ann_ivf_topk_planted": q_ann_ivf_topk_planted,
     "events_last_order": q_events_last_order,
     "fingerprint_stats": q_fingerprint_stats,
     "long_repeated_spans": q_long_repeated_spans,
@@ -1912,6 +1980,14 @@ LEFT JOIN kept k USING (doc_id)
     "ann_ivf_planted": f"""
 SELECT vec_id AS query_id, vec_id + {PLANT_OFFSET} AS neighbor_id
 FROM embeddings WHERE vec_id < 10
+""".strip(),
+    "ann_ivf_topk_planted": f"""
+SELECT e.vec_id AS query_id,
+       CAST(r.r AS BIGINT) AS "rank",
+       CAST({PLANT_OFFSET} + r.r * {TOPK_STEP} + e.vec_id AS BIGINT) AS neighbor_id
+FROM embeddings e
+CROSS JOIN (SELECT UNNEST(range(1, {len(TOPK_EPS) + 1})) AS r) r
+WHERE e.vec_id < 10
 """.strip(),
     "ann_lsh_planted": f"""
 SELECT CAST(vec_id AS BIGINT) AS a, CAST(vec_id + {PLANT_OFFSET} AS BIGINT) AS b

@@ -80,6 +80,22 @@ def test_ivf_finds_exact_neighbors_mostly():
     assert len(ex & ap) / len(ex) >= 0.5
 
 
+def test_ivf_topk_planted_full_ordering(sf_dir):
+    # graded twins (eps 0.05..0.25) must come back as exactly ranks 1..5
+    # per query, in eps order — pins the IVF path's complete top-k
+    # ordering, not just rank 1
+    from dedup.queries import PLANT_OFFSET, TOPK_EPS, TOPK_STEP, q_ann_ivf_topk_planted
+
+    out = q_ann_ivf_topk_planted(sf_dir)
+    assert len(out) == 10 * len(TOPK_EPS)
+    for qid, grp in out.groupby("query_id"):
+        assert grp["rank"].tolist() == list(range(1, len(TOPK_EPS) + 1))
+        assert grp["neighbor_id"].tolist() == [
+            PLANT_OFFSET + r * TOPK_STEP + qid
+            for r in range(1, len(TOPK_EPS) + 1)
+        ]
+
+
 def test_gate_rejects_reasons():
     t = pa.table(
         {
