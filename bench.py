@@ -37,6 +37,24 @@ def _sf_of(path: str) -> float:
         return -1.0
 
 
+def _host_probe() -> dict:
+    """3-second 2-process stream-bandwidth probe (fresh subprocess — safe
+    around an initialized Ray). This host's effective memory bandwidth
+    swings ~45x on minutes timescales (hypervisor neighbors); embedding
+    the window state in the bench JSON lets a reader normalize the
+    wall-clock numbers instead of guessing which window they ran in.
+    Healthy ≈ 8-10 GB/s; degraded windows read < 1 GB/s."""
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                          "tools", "host_wall.py"), "--quick"],
+            capture_output=True, text=True, timeout=60,
+        )
+        return json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception:
+        return {}
+
+
 def _consume(ds) -> int:
     """Stream a Dataset to completion; return row count."""
     n = 0
@@ -114,7 +132,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     _warmup(pages)
 
     queries: dict[str, float] = {}
-    extras: dict[str, float] = {"n_docs": n_docs}
+    extras: dict = {"n_docs": n_docs, "host_probe_pre": _host_probe()}
 
     t0 = time.monotonic()
     n = _consume(exact_clusters(pages, cfg))
@@ -169,6 +187,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         queries["knn_cosine"] = round(time.monotonic() - t0, 3)
 
     total = round(sum(queries.values()), 3)
+    extras["host_probe_post"] = _host_probe()
     return {
         "metric": "dedup_headline_total",
         "value": total,
@@ -232,6 +251,7 @@ def run_scaling(sf_dir: str, cpus_lo: int = 2, cpus_hi: int = 8) -> dict:
     # drift masquerade as (anti-)scaling — observed: a stream probe at
     # 0.87 efficiency before and 0.49 after one block-ordered run.
     # Interleaving makes both legs sample the same window distribution.
+    probe_pre = _host_probe()
     runs_by_c: dict[int, list[dict]] = {cpus_lo: [], cpus_hi: []}
     for _ in range(repeats):
         for c in (cpus_lo, cpus_hi):
@@ -262,6 +282,8 @@ def run_scaling(sf_dir: str, cpus_lo: int = 2, cpus_hi: int = 8) -> dict:
         "sf": _sf_of(sf_dir),
         "repeats": repeats,
         "aggregation": "median",
+        "host_probe_pre": probe_pre,
+        "host_probe_post": _host_probe(),
     }
 
 

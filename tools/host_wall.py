@@ -77,6 +77,11 @@ def run(kind: str, procs: int, dur: float = 8.0) -> float:
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--quick":
+        # one 3 s stream measurement at 2 procs — the window indicator
+        # bench.py embeds in its output JSON (healthy ≈ 8-10 GB/s here)
+        print(json.dumps({"stream_gbps_2proc": round(run("stream", 2, 3.0), 1)}))
+        return
     lo = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     hi = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     out = {}
