@@ -254,6 +254,39 @@ def q_token_freq_top20(sf_dir: str):
     return token_frequencies(ds, top_k=20)
 
 
+def q_topk_sketch_tokens(sf_dir: str):
+    """Misra–Gries 2-pass EXACT top-20 tokens — provably identical to
+    the full-shuffle token_freq_top20 (same oracle SQL) while shuffling
+    only ≤256 combiner rows per block + the candidate set. The scale
+    path for heavy hitters when distinct-token cardinality itself is
+    too large to groupby."""
+    from .sketches import topk_exact_2pass
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return topk_exact_2pass(ds, col="text", k=20, counters=256)
+
+
+def q_distinct_count_contract(sf_dir: str):
+    """HLL distinct-count accuracy contract: the sketch estimate must
+    land within 2 % of the exact distinct-text count (p=14 → σ≈0.8 %;
+    the corpus is deterministic, so the estimate is a fixed number).
+    `exact` is engine-computed (per-block unique → distinct-key groupby)
+    and SQL-checked; the boolean pins the sketch end-to-end."""
+    from .sketches import distinct_count_exact, hll_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    exact = distinct_count_exact(ds, "text")
+    est = hll_distinct(ds, "text", p=14)
+    ok = bool(abs(est - exact) <= 0.02 * exact)
+    return pa.table(
+        {
+            "metric": pa.array(["distinct_texts"], pa.string()),
+            "exact": pa.array([exact], pa.int64()),
+            "hll_within_2pct": pa.array([ok], pa.bool_()),
+        }
+    )
+
+
 def q_knn_cosine(sf_dir: str):
     from .embed import knn_cosine
 
@@ -1411,6 +1444,8 @@ QUERIES = {
     "lang_quality": q_lang_quality,
     "lang_summary": q_lang_summary,
     "token_freq_top20": q_token_freq_top20,
+    "topk_sketch_tokens": q_topk_sketch_tokens,
+    "distinct_count_contract": q_distinct_count_contract,
     "knn_cosine": q_knn_cosine,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "media_features": q_media_features,
@@ -2110,3 +2145,13 @@ SELECT user_id, session_id, COUNT(*) AS n_events,
 FROM x GROUP BY 1, 2
 """.strip(),
 }
+
+# the Misra–Gries 2-pass top-k is EXACT by construction — its oracle is
+# the full-shuffle token-frequency SQL, verbatim
+ORACLES["topk_sketch_tokens"] = ORACLES["token_freq_top20"]
+ORACLES["distinct_count_contract"] = """
+SELECT 'distinct_texts' AS metric,
+       COUNT(DISTINCT text) AS exact,
+       TRUE AS hll_within_2pct
+FROM documents
+""".strip()
