@@ -1,0 +1,83 @@
+"""Engine-shaped host probe: the actual MinHashSigner kernel on a
+synthetic 4096-row Arrow batch, run under bare multiprocessing (no Ray)
+at two process counts. Distinguishes 'Ray overhead' from 'host ceiling
+for this workload shape'."""
+import multiprocessing as mp
+import sys
+import time
+
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
+
+def make_batch():
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(0)
+    words = [f"word{i}" for i in range(5000)]
+    docs = [" ".join(rng.choice(words, size=400)) for _ in range(4096)]
+    return pa.table(
+        {
+            "doc_hash": pa.array(rng.integers(0, 2**62, 4096), pa.int64()),
+            "url": pa.array([f"u{i}" for i in range(4096)]),
+            "size_bytes": pa.array([len(d) for d in docs], pa.int64()),
+            "text": pa.array(docs),
+        }
+    )
+
+
+def worker(dur, out):
+    from dedup.config import DedupConfig
+    from dedup.minhash import MinHashSigner
+
+    s = MinHashSigner(DedupConfig())
+    b = make_batch()
+    s(b)  # warm
+    n = 0
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < dur:
+        s(b)
+        n += 1
+    out.put(n)
+
+
+def run(procs, dur=12.0):
+    q = mp.Queue()
+    ps = [mp.Process(target=worker, args=(dur, q)) for _ in range(procs)]
+    t0 = time.monotonic()
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return total / (time.monotonic() - t0)
+
+
+if __name__ == "__main__":
+    import json
+    import statistics
+
+    lo, hi = int(sys.argv[1]), int(sys.argv[2])
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    # interleave legs (lo,hi,lo,hi,…): this host's bandwidth drifts on
+    # minutes timescales — block-ordered legs let a window flip
+    # masquerade as (anti-)scaling
+    ls, hs = [], []
+    for _ in range(reps):
+        ls.append(run(lo))
+        hs.append(run(hi))
+    r_lo, r_hi = statistics.median(ls), statistics.median(hs)
+    print(
+        json.dumps(
+            {
+                f"batches_per_sec_{lo}p": round(r_lo, 2),
+                f"batches_per_sec_{hi}p": round(r_hi, 2),
+                "all_lo": [round(x, 2) for x in ls],
+                "all_hi": [round(x, 2) for x in hs],
+                "speedup": round(r_hi / r_lo, 2),
+                "efficiency": round(r_hi / r_lo / (hi / lo), 2),
+                "reps": reps,
+                "aggregation": "median",
+            }
+        )
+    )
