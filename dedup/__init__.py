@@ -19,3 +19,12 @@ actor pools; wide steps are groupby shuffles with explicit skew handling.
 """
 
 __version__ = "0.1.0"
+
+# polars (used for vectorized token hashing in minhash/simhash) sizes its
+# global thread pool at first import. Inside a Ray worker each map task is
+# accounted 1 CPU — an unbounded per-worker pool would oversubscribe the
+# node 32x. Must run before polars is first imported anywhere in the
+# process; users can still override via the environment.
+import os as _os
+
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")

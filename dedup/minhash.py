@@ -8,7 +8,10 @@ Vectorization strategy (no Python in the per-token hot path):
 
 1. tokenize the whole batch in Arrow: utf8_lower → split_pattern_regex on
    ``\\W+`` → flatten to one token array (token counts from list offsets)
-2. hash every token with the vectorized XXH64 kernel (hashing.py)
+2. hash every token (identity proxy only): polars' vectorized Rust
+   xxhash by default (cfg.token_hash="polars-xxh64", measured 61× the
+   numpy kernel single-threaded), or the in-repo XXH64 kernel
+   (cfg.token_hash="xxh64")
 3. shingle hashes = degree-(k-1) polynomial combine of k consecutive token
    hashes (shifted-slice loop, k numpy ops), masked at document boundaries
 4. per-permutation hash h_i(s) = xorshift-mix(s * a_i) with 128 seeded odd
@@ -33,11 +36,36 @@ from ray.data import Dataset
 from .config import DedupConfig
 from .hashing import U64, fmix64, xxh64_arrow
 
+try:  # vectorized Rust xxhash for token hashing (baked into the env;
+    # gated anyway so token_hash="xxh64" keeps working without it)
+    import polars as _pl
+except ImportError:  # pragma: no cover
+    _pl = None
+
 SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 _POLY = np.uint64(0x9E3779B185EBCA87)  # odd combine constant
 
 
-def _token_lists(text: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+def _hash_tokens(flat: pa.Array, algo: str) -> np.ndarray:
+    """Flat token array → uint64 identity hashes.
+
+    The token hash is an internal identity proxy only (equal tokens ⟺
+    equal hashes up to 2⁻⁶⁴); nothing persisted or oracle-checked depends
+    on the specific function, but signatures DO change with it, so the
+    choice lives in the config fingerprint (config.token_hash)."""
+    if algo == "xxh64":
+        return xxh64_arrow(flat)
+    if _pl is None:  # pragma: no cover
+        raise RuntimeError(
+            "token_hash='polars-xxh64' requires polars; use token_hash='xxh64'"
+        )
+    h = _pl.from_arrow(flat).hash(seed=0).to_numpy()
+    return np.ascontiguousarray(h, dtype=U64)
+
+
+def _token_lists(
+    text: pa.Array, token_hash: str = "polars-xxh64"
+) -> tuple[np.ndarray, np.ndarray]:
     """text column → (flat token hashes, tokens-per-doc counts)."""
     lowered = pc.utf8_lower(text)
     toks = pc.split_pattern_regex(lowered, r"\W+")
@@ -51,7 +79,7 @@ def _token_lists(text: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     cs = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
     counts = cs[offsets[1:]] - cs[offsets[:-1]]
     flat_kept = flat.filter(pa.array(keep)) if not keep.all() else flat
-    th = xxh64_arrow(flat_kept) if len(flat_kept) else np.empty(0, U64)
+    th = _hash_tokens(flat_kept, token_hash) if len(flat_kept) else np.empty(0, U64)
     return th, counts
 
 
@@ -127,7 +155,7 @@ class MinHashSigner:
         probabilistic proxy for set equality (a Jaccard-0.99 pair passes
         all 128 slots with probability ≈ 0.99¹²⁸ ≈ 0.28)."""
         cfg = self.cfg
-        th, counts = _token_lists(text)
+        th, counts = _token_lists(text, self.cfg.token_hash)
         sh, n_sh = shingle_hashes(th, counts, cfg.shingle_k)
         n_docs = len(counts)
         sig = np.full((n_docs, cfg.num_perm), SENTINEL, dtype=U64)

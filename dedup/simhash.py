@@ -43,7 +43,7 @@ class SimHasher:
         text = batch.column("text")
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        th, counts = _token_lists(text)
+        th, counts = _token_lists(text, self.cfg.token_hash)
         sh, n_sh = shingle_hashes(th, counts, self.cfg.shingle_k)
         n_docs = len(counts)
         out = np.zeros(n_docs, dtype=U64)
