@@ -32,7 +32,8 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-from .hashing import U64, fmix64, xxh64_arrow
+from .hashing import U64, fmix64
+from .minhash import DEFAULT_TOKEN_HASH, _hash_tokens
 from .textstats import _tokenize
 
 _POLY = np.uint64(0x9E3779B185EBCA87)
@@ -49,7 +50,7 @@ def _shingle_doc_rows(batch: pa.Table, id_col: str, k: int) -> pa.Table:
         text = text.combine_chunks()
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
     flat, counts = _tokenize(text)
-    th = xxh64_arrow(flat) if len(flat) else np.empty(0, U64)
+    th = _hash_tokens(flat, DEFAULT_TOKEN_HASH) if len(flat) else np.empty(0, U64)
     n_sh = np.maximum(counts - k + 1, 0)
     doc_start = np.cumsum(counts) - counts
     with np.errstate(over="ignore"):

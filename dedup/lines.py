@@ -30,7 +30,8 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-from .hashing import U64, xxh64_arrow
+from .hashing import U64
+from .minhash import DEFAULT_TOKEN_HASH, _hash_tokens
 
 
 def _split_lines(text: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
@@ -45,7 +46,7 @@ def _split_lines(text: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
     flat = lists.flatten()
     offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     counts = offsets[1:] - offsets[:-1]
-    hashes = xxh64_arrow(flat) if len(flat) else np.empty(0, U64)
+    hashes = _hash_tokens(flat, DEFAULT_TOKEN_HASH) if len(flat) else np.empty(0, U64)
     return flat, counts, hashes
 
 

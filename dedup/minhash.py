@@ -45,6 +45,13 @@ except ImportError:  # pragma: no cover
 SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 _POLY = np.uint64(0x9E3779B185EBCA87)  # odd combine constant
 
+# default for equality-only internal hashing in modules without a config
+# in scope (jaccard shingles, line dedup): fast path when polars exists,
+# in-repo kernel otherwise — semantics identical either way (identity
+# proxy, never persisted, never compared across processes with different
+# availability within one run)
+DEFAULT_TOKEN_HASH = "polars-xxh64" if _pl is not None else "xxh64"
+
 
 def _hash_tokens(flat: pa.Array, algo: str) -> np.ndarray:
     """Flat token array → uint64 identity hashes.
