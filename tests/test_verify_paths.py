@@ -109,3 +109,31 @@ def test_sig_matrix_layouts():
     # chunked input
     ch = pa.chunked_array([plain.slice(0, 25), plain.slice(25, 25)])
     assert (sig_matrix(ch, n, perms) == want).all()
+
+
+def test_dedup_pairs_sorted_equals_groupby_after_edge_dedup():
+    """The sorted dedup path may keep one duplicate per block boundary;
+    after the exact edge-level dedup its pair set must equal the exact
+    groupby path's, on a stream engineered so every pair repeats across
+    many blocks."""
+    import numpy as np
+    import ray.data as rd
+
+    from dedup.verify import _edge_table_unique, dedup_pairs, dedup_pairs_sorted
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 500, 20000, dtype=np.int64)
+    b = rng.integers(0, 500, 20000, dtype=np.int64)
+    raw = pa.table({"a": pa.array(a), "b": pa.array(b)})
+    ds = rd.from_arrow(raw).repartition(16)
+
+    def collect(d):
+        t = pa.concat_tables(list(d.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+        t = t.append_column("sim", pa.array(np.ones(len(t)), pa.float64()))
+        return _edge_table_unique(t)
+
+    g = collect(dedup_pairs(ds, n_buckets=8)).sort_by([("a", "ascending"), ("b", "ascending")])
+    s = collect(dedup_pairs_sorted(ds)).sort_by([("a", "ascending"), ("b", "ascending")])
+    assert g.column("a").equals(s.column("a"))
+    assert g.column("b").equals(s.column("b"))
+    assert len(g) > 0
