@@ -57,7 +57,8 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-from .hashing import U64, fmix64, xxh64_arrow
+from .hashing import U64, fmix64
+from .minhash import DEFAULT_TOKEN_HASH, _hash_tokens
 from .minhash import _POLY
 from .textstats import _tokenize
 
@@ -98,7 +99,7 @@ def _win_layout(batch: pa.Table, k: int, sample_mod: int, text_col: str):
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     flat, counts = _tokenize(text)
-    th = xxh64_arrow(flat) if len(flat) else np.empty(0, U64)
+    th = _hash_tokens(flat, DEFAULT_TOKEN_HASH) if len(flat) else np.empty(0, U64)
     wh, n_win = _window_hashes(th, counts, k)
     if sample_mod > 1 and len(wh):
         keep = wh % np.uint64(sample_mod) == 0
