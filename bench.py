@@ -199,10 +199,37 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
+def _bind_cpus(num_cpus: int) -> str:
+    """Pin this process (and every descendant: raylet, plasma, workers)
+    to exactly ``num_cpus`` cores of the allowed set.
+
+    Without this, ``ray.init(num_cpus=N)`` only caps Ray TASK
+    parallelism — the driver, raylet, object-store memcpys and Arrow
+    thread-pool kernels all run on the host's other cores, so the
+    low-parallelism leg of a scaling pair gets far more than its N
+    cores' worth of silicon (measured: the unbound 1-CPU flagship leg
+    runs 30% faster than the same leg pinned to one core, deflating
+    1-vs-4 efficiency from ~0.78 to ~0.53). An N-core cluster node
+    timeshares ALL of that work on N cores; the OS affinity mask is the
+    faithful emulation of the north rule's "cluster of N". Disable with
+    BENCH_BIND=0. Affinity is inherited across fork/exec, so the whole
+    Ray session stays inside the mask."""
+    if os.environ.get("BENCH_BIND", "1") == "0":
+        return "none"
+    try:
+        allowed = sorted(os.sched_getaffinity(0))
+        pick = allowed[: max(1, num_cpus)]
+        os.sched_setaffinity(0, set(pick))
+        return ",".join(str(c) for c in pick)
+    except (AttributeError, OSError):  # non-Linux / restricted
+        return "unavailable"
+
+
 def child_throughput(sf_dir: str, num_cpus: int) -> None:
     """Subprocess entry: flagship pipeline once, print docs/sec JSON."""
     import ray
 
+    binding = _bind_cpus(num_cpus)
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     from dedup.config import DedupConfig
     from dedup.pipeline import near_dup_pipeline
@@ -214,13 +241,20 @@ def child_throughput(sf_dir: str, num_cpus: int) -> None:
     _consume(near_dup_pipeline(pages, DedupConfig()).clusters)
     dt = time.monotonic() - t0
     print(json.dumps({"num_cpus": num_cpus, "sec": round(dt, 3),
-                      "docs_per_sec": round(n_docs / dt, 1), "n_docs": n_docs}))
+                      "docs_per_sec": round(n_docs / dt, 1), "n_docs": n_docs,
+                      "cpu_binding": binding}))
     ray.shutdown()
 
 
 def run_scaling(sf_dir: str, cpus_lo: int = 2, cpus_hi: int = 8) -> dict:
     """Same job at two parallelism levels in fresh processes (sandbox
     stand-in for the N vs 4N node criterion).
+
+    Each leg is OS-pinned (`_bind_cpus`) to exactly its CPU count so the
+    whole Ray session — driver, raylet, object store, workers — shares
+    the leg's silicon the way a real N-core node would; `num_cpus` alone
+    only caps task parallelism and lets daemon/driver work escape the
+    envelope (deflating measured efficiency by ~25%; see BASELINE.md).
 
     Default pair is 2 vs 8: this host's aggregate memory/page-fault
     bandwidth saturates near 8 concurrent workers (measured: pure-CPU
@@ -279,6 +313,8 @@ def run_scaling(sf_dir: str, cpus_lo: int = 2, cpus_hi: int = 8) -> dict:
         "docs_per_sec_lo": lo["docs_per_sec"],
         "docs_per_sec_hi": hi["docs_per_sec"],
         "speedup": round(speedup, 3),
+        "cpu_binding_lo": lo.get("cpu_binding", "none"),
+        "cpu_binding_hi": hi.get("cpu_binding", "none"),
         "sf": _sf_of(sf_dir),
         "repeats": repeats,
         "aggregation": "median",
