@@ -93,6 +93,19 @@ def _migrate_v3_to_v4(
     return manifest
 
 
+@register_migration(4)
+def _migrate_v4_to_v5(name: str, manifest: dict, stage_dir: str) -> dict | None:
+    """v5 moved candidate generation to the component-localized path
+    (candidates.py): verified-edge checkpoints can be stale (fragment
+    cross-pairs, jumbo-star anchors) and must recompute; ingest and
+    signature layouts are untouched."""
+    if name == "p4_edges":
+        return None
+    manifest = dict(manifest)
+    manifest["schema_version"] = 5
+    return manifest
+
+
 class CheckpointManager:
     def __init__(self, root: str, cfg: DedupConfig):
         self.root = root

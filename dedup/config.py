@@ -41,6 +41,14 @@ class DedupConfig:
     # (deterministic partition = "identical distinct-shingle set", which a
     # SQL oracle can reproduce; signature equality alone is probabilistic)
     exact_set_verify: bool = False
+    # candidate generation: "components" = star pass → connected
+    # components → exact per-component regeneration (same per-bucket pair
+    # semantics, ~bands-fold smaller pair shuffle on dup-heavy corpora —
+    # see dedup/candidates.py); "classic" = per-band all-pairs emission +
+    # corpus-wide pair dedup. SEMANTIC in two corner cases (fragment
+    # cross-pairs, jumbo-star anchors), hence fingerprinted off-default
+    # and covered by schema v5's p4_edges invalidation.
+    candidate_path: str = "components"
 
     # --- execution
     batch_size: int = 4096
@@ -106,6 +114,8 @@ class DedupConfig:
             raise ValueError(f"unknown cluster_backend {self.cluster_backend!r}")
         if self.token_hash not in ("polars-xxh64", "xxh64"):
             raise ValueError(f"unknown token_hash {self.token_hash!r}")
+        if self.candidate_path not in ("components", "classic"):
+            raise ValueError(f"unknown candidate_path {self.candidate_path!r}")
 
     def fingerprint(self) -> str:
         """Stable hash of the config — stored in checkpoint manifests so a
@@ -165,6 +175,8 @@ _POST_V1_FIELDS = {
     "allpairs_bucket_max",
     "sig_broadcast_max",  # also an exec knob; listed here so the ≤v3
     # fingerprint rules (fingerprint_v3) skip it at default too
+    "candidate_path",  # semantic default change covered by schema v5's
+    # p4_edges invalidation, not the fingerprint
 }
 
 # Execution-only knobs (path selection, not results): excluded from the

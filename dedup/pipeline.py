@@ -232,6 +232,8 @@ def near_dup_pipeline(
             pairs = pairs.union(rd.from_arrow(chain))
         return pairs
 
+    use_components = cfg.candidate_path == "components"
+
     if cfg.cluster_backend == "distributed":
         return _near_dup_distributed(ing, sigs, cfg, checkpoint, gen_pairs, tick)
 
@@ -245,9 +247,20 @@ def near_dup_pipeline(
         edges = pa.concat_tables(batches) if batches else _EDGES_EMPTY
         tick("p4_edges (checkpoint hit)")
     else:
-        pairs = gen_pairs()
-        tick("bands+sort+pairs")
-        edges = verify_auto(pairs, sigs, cfg)
+        if use_components:
+            # component-localized generation: star pass → components →
+            # exact per-component regen. Same pair set, ~10x less pair
+            # shuffle on dup-heavy corpora (see dedup/candidates.py).
+            from .candidates import component_candidate_pairs
+            from .verify import verify_unique
+
+            cpairs, cand = component_candidate_pairs(sigs, cfg)
+            tick("bands+stars+components+pairs")
+            edges = verify_unique(cpairs, sigs, cfg, cand)
+        else:
+            pairs = gen_pairs()
+            tick("bands+sort+pairs")
+            edges = verify_auto(pairs, sigs, cfg)
         if cfg.exact_set_verify and len(edges):
             edges = _filter_edges_by_set_hash(edges, sigs, cfg)
         if checkpoint is not None and len(edges):
@@ -387,9 +400,18 @@ def _near_dup_distributed(
     )
 
     def build_edges() -> Dataset:
-        deduped = ensure_schema(
-            _dedup_pairs(gen_pairs(), n_buckets=cfg.join_buckets), _PAIRS_SCHEMA
-        ).materialize()
+        if cfg.candidate_path == "components":
+            # Dataset-tier component generation (label_propagation +
+            # bucketed joins): candidate pairs arrive exactly unique and
+            # nothing transits the driver (see dedup/candidates.py)
+            from .candidates import component_candidate_pairs
+
+            cp, _ = component_candidate_pairs(sigs, cfg, dataset_labels=True)
+            deduped = ensure_schema(cp, _PAIRS_SCHEMA).materialize()
+        else:
+            deduped = ensure_schema(
+                _dedup_pairs(gen_pairs(), n_buckets=cfg.join_buckets), _PAIRS_SCHEMA
+            ).materialize()
         # verify tier: while the candidate-involved signature set fits
         # one node (cfg.sig_broadcast_max docs ≈ 2 GB at 128 perms), the
         # plasma-broadcast matrix wins by orders of magnitude — the join

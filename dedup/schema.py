@@ -20,7 +20,12 @@ import pyarrow as pa
 #     picks a verify code path, never changes edges) — no stage data or
 #     layout changes; the v3→v4 migration restamps manifests whose v3
 #     fingerprint matches the current config
-SCHEMA_VERSION = 4
+# v5: candidate generation default moved to the component-localized path
+#     (candidates.py): same per-bucket pair semantics, but fragment
+#     cross-pairs are no longer dropped and jumbo stars anchor at the
+#     true bucket min — p4_edges results can change; upstream stage
+#     layouts do not
+SCHEMA_VERSION = 5
 
 PAGES = pa.schema(
     [
