@@ -1,4 +1,4 @@
-"""Component-localized candidate-pair generation (flagship fast path).
+"""Component-localized candidate generation + in-group verification.
 
 The classic LSH pair emission (``lsh.candidate_pairs``) writes each
 candidate pair once per band it collides in. True duplicates collide in
@@ -6,8 +6,10 @@ nearly EVERY band — that is what makes them duplicates — so on dup-heavy
 web data the raw pair stream carries a ~``cfg.bands``-fold duplication
 that must then be removed by a corpus-wide shuffle (measured on the
 500k-page bench corpus: 51M raw pair rows ≈ 820 MB sorted down to 1.6M
-unique pairs). This module produces the SAME pair set from shuffles that
-are an order of magnitude smaller:
+unique pairs), after which verification ships signatures around a second
+time (broadcast matrix or bucketed joins). This module does both jobs
+inside per-component groups, from shuffles an order of magnitude
+smaller:
 
 1. **Star pass** — one band-row sort (the same sort the classic path
    does), but emitting only bucket-min → member star edges + boundary
@@ -17,29 +19,43 @@ are an order of magnitude smaller:
    driver ``components_np`` while the edge set fits the broadcast
    guard, ``label_propagation`` (pure-Dataset) past it or when the
    caller wants no driver transit.
-3. **Regen** — only candidate docs (star-graph nodes — bounded by
-   duplicate-involved docs, not the corpus) are re-banded; each
-   component's band rows are co-located in one hash-bucket group, and
-   ``lsh.segment_pairs`` regenerates the exact per-bucket pair set
-   locally (all-pairs ≤ ``cfg.allpairs_bucket_max``, bucket-min stars
-   beyond). A bucket's members are star-connected by construction, so a
-   bucket never spans two components and the per-component bucket
-   structure equals the global one; a pair's cross-band repeats all
-   land in the same group, so the in-group ``unique`` IS the global
-   exact dedup — no pair shuffle at all.
+3. **Group** — ONLY candidate docs' signature rows (star-graph nodes —
+   bounded by duplicate-involved docs, not the corpus) are routed to
+   ``cfg.join_buckets`` hash groups by component. A bucket's members
+   are star-connected by construction, so a bucket never spans two
+   components and the per-component bucket structure equals the global
+   one.
+4. **Regen + verify in place** — each group re-derives its docs' band
+   keys (``lsh.Bander`` — deterministic from the signatures), emits the
+   exact per-bucket pair set (``lsh.segment_pairs``: all-pairs ≤
+   ``cfg.allpairs_bucket_max``, bucket-min stars beyond; the in-group
+   ``unique`` IS the global exact pair dedup), and verifies the pairs
+   against the group's own signatures with the same ``_compare_slice``
+   kernel as every other verify path — plus the exact-mode set-hash
+   equality filter when configured. No pair shuffle, no broadcast
+   signature matrix, no ``sig_broadcast_max`` ceiling: a component's
+   signatures travel once, to the group that needs them.
 
-vs the classic path the regenerated set differs only in two documented
-corner cases, both strictly cleaner: pairs split across sorted-block
-fragments of one bucket are no longer dropped (the classic path chains
-fragments for connectivity but skips their cross-fragment pairs), and
-jumbo buckets anchor their stars at the true bucket min instead of
-per-fragment mins. Reference anchor: this is the same "group, then work
-only inside groups" shape as the reference's size→checksum cascade
-(process_matches.rs:293-407), pushed one level further (bucket →
-component).
+vs the classic path the pair set differs only in two documented corner
+cases, both strictly cleaner: pairs split across sorted-block fragments
+of one bucket are no longer dropped (the classic path chains fragments
+for connectivity but skips their cross-fragment pairs), and jumbo
+buckets anchor their stars at the true bucket min instead of
+per-fragment mins. Reference anchor: the same "group, then work only
+inside groups" shape as the reference's size→checksum cascade
+(process_matches.rs:293-407), pushed two levels further (bucket →
+component → verified edge).
+
+Skew note: one group holds every signature of its components; a single
+10^8-member component would concentrate ~100 GB in one group — the same
+single-pathological-key caveat ``exchange.bucketed_join`` documents.
+LSH components are duplicate clusters; a component that size means the
+corpus is mostly one document.
 """
 
 from __future__ import annotations
+
+from typing import Callable
 
 import numpy as np
 import pyarrow as pa
@@ -55,49 +71,107 @@ from .exchange import (
     semi_filter_auto,
 )
 from .hashing import fmix64
-from .lsh import band_rows, candidate_pairs, segment_pairs
+from .lsh import Bander, band_rows, candidate_pairs, segment_pairs
 
 PAIRS_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+EDGES_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("sim", pa.float64())]
+)
 
 _EMPTY_PAIRS = pa.table(
     {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
 )
+_EMPTY_EDGES = pa.table(
+    {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+     "sim": pa.array([], pa.float64())}
+)
 
 
-def _grouped_pairs(tagged: Dataset, cfg: DedupConfig) -> Dataset:
-    """(doc_hash, bkey, __comp) rows → exactly-unique canonical pairs,
-    via the bucketed-groupby idiom (``distinct_reps`` shape): route whole
-    components to ``join_buckets`` groups, regenerate vectorized per
-    group. Per-group Python cost is ``join_buckets`` calls, not
-    per-component calls."""
-    cap = cfg.allpairs_bucket_max
+def _tagged_sig_rows(
+    sigs: Dataset, cfg: DedupConfig, dataset_labels: bool, cols: list[str]
+) -> tuple[Dataset | None, np.ndarray | None]:
+    """Phases 1–3: star pass → component labels → candidate signature
+    rows tagged with ``__comp``. → (tagged Dataset | None if no
+    candidates, sorted candidate array | None on the Dataset tier)."""
+    from .verify import dedup_pairs_sorted
+
+    bands = band_rows(sigs, cfg)
+    stars, chain = candidate_pairs(bands, cfg, star_only=True)
+    if len(chain):
+        stars = stars.union(rd.from_arrow(chain))
+    # the star stream still repeats an edge once per band (dup factor ≈
+    # bands); this sort-dedup is over ~25x fewer rows than the classic
+    # path's pair stream
+    stars_d = ensure_schema(dedup_pairs_sorted(stars), PAIRS_SCHEMA).materialize()
+    if stars_d.count() == 0:
+        return None, (None if dataset_labels else np.empty(0, np.int64))
+
+    sig_cols = sigs.select_columns(cols)
+    if not dataset_labels:
+        st = collect_table(stars_d, limit_rows=cfg.broadcast_max_rows + 1)
+        if len(st) <= cfg.broadcast_max_rows:
+            from .unionfind import components_np
+
+            keys, cids = components_np(
+                st.column("a").to_numpy(zero_copy_only=False),
+                st.column("b").to_numpy(zero_copy_only=False),
+            )
+            # driver tier: keys (sorted) are the candidate set; membership
+            # + component tag both ride size-guarded broadcasts
+            sub = semi_filter_auto(
+                sig_cols, "doc_hash", keys,
+                max_broadcast_rows=cfg.broadcast_max_rows,
+                n_buckets=cfg.join_buckets,
+            )
+            tagged = broadcast_map_i64(
+                sub, "doc_hash", keys, cids, "__comp",
+                max_broadcast_rows=cfg.broadcast_max_rows,
+                n_buckets=cfg.join_buckets,
+            )
+            return tagged, keys
+
+    # Dataset tier: component labels never leave the cluster; the inner
+    # join is simultaneously the candidate-membership filter
+    from .unionfind import label_propagation
+
+    labels = label_propagation(stars_d, n_buckets=cfg.join_buckets)
+    joined = bucketed_join(
+        sig_cols, labels, "doc_hash", "node",
+        n_buckets=cfg.join_buckets, how="inner",
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        keep = [c for c in batch.column_names if c not in ("node", "label")]
+        return batch.select(keep).append_column("__comp", batch.column("label"))
+
+    return joined.map_batches(rename, batch_format="pyarrow"), None
+
+
+def _grouped(tagged: Dataset, cfg: DedupConfig, fn: Callable) -> Dataset:
+    """Route whole components to ``join_buckets`` hash groups and apply
+    ``fn`` per group (the ``distinct_reps`` bucketed-groupby idiom —
+    per-group Python cost is ``join_buckets`` calls, not per-component
+    calls)."""
     n_buckets = cfg.join_buckets
 
     def bucket(batch: pa.Table) -> pa.Table:
         comp = batch.column("__comp").to_numpy(zero_copy_only=False)
         b = (fmix64(comp.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int32)
-        return pa.table(
-            {
-                "doc_hash": batch.column("doc_hash"),
-                "bkey": batch.column("bkey"),
-                "__cbucket": pa.array(b, pa.int32()),
-            }
-        )
-
-    def gen(g: pa.Table) -> pa.Table:
-        a, b = segment_pairs(
-            g.column("bkey").to_numpy(zero_copy_only=False),
-            g.column("doc_hash").to_numpy(zero_copy_only=False),
-            cap,
-        )
-        return pa.table(
-            {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())}
-        )
+        return batch.append_column("__cbucket", pa.array(b, pa.int32()))
 
     return (
         tagged.map_batches(bucket, batch_format="pyarrow")
         .groupby("__cbucket")
-        .map_groups(gen, batch_format="pyarrow")
+        .map_groups(fn, batch_format="pyarrow")
+    )
+
+
+def _pairs_of_group(g: pa.Table, cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
+    bt = Bander(cfg)(g)  # (doc_hash, bkey) — deterministic from sig
+    return segment_pairs(
+        bt.column("bkey").to_numpy(zero_copy_only=False),
+        bt.column("doc_hash").to_numpy(zero_copy_only=False),
+        cfg.allpairs_bucket_max,
     )
 
 
@@ -108,70 +182,77 @@ def component_candidate_pairs(
     sorted candidate-doc array or None).
 
     The candidate array comes back non-None only on the driver-components
-    tier (star edges fit ``cfg.broadcast_max_rows``); callers use it to
-    skip their own candidate-ids pass. ``dataset_labels`` forces the
-    pure-Dataset tier (``label_propagation`` + bucketed joins — nothing
-    transits the driver), used by the distributed backend and by the
-    guard's fallback.
+    tier (star edges fit ``cfg.broadcast_max_rows``); ``dataset_labels``
+    forces the pure-Dataset tier. Candidate generation only — callers
+    that also want verification should use ``component_verified_edges``,
+    which does it without re-shipping signatures.
     """
-    from .verify import dedup_pairs_sorted
+    tagged, cand = _tagged_sig_rows(
+        sigs, cfg, dataset_labels, ["doc_hash", "sig", "n_shingles"]
+    )
+    if tagged is None:
+        return rd.from_arrow(_EMPTY_PAIRS), cand
 
-    bands = band_rows(sigs, cfg)
-    stars, chain = candidate_pairs(bands, cfg, star_only=True)
-    if len(chain):
-        stars = stars.union(rd.from_arrow(chain))
-    # the star stream still repeats an edge once per band (dup factor ≈
-    # bands); the sort-dedup is over ~25x fewer rows than the classic
-    # path's pair stream
-    stars_d = ensure_schema(dedup_pairs_sorted(stars), PAIRS_SCHEMA).materialize()
-    if stars_d.count() == 0:
-        return rd.from_arrow(_EMPTY_PAIRS), (None if dataset_labels else np.empty(0, np.int64))
+    def gen(g: pa.Table) -> pa.Table:
+        a, b = _pairs_of_group(g, cfg)
+        return pa.table(
+            {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())}
+        )
 
-    keys = cids = None
-    if not dataset_labels:
-        st = collect_table(stars_d, limit_rows=cfg.broadcast_max_rows + 1)
-        if len(st) <= cfg.broadcast_max_rows:
-            from .unionfind import components_np
+    return ensure_schema(_grouped(tagged, cfg, gen), PAIRS_SCHEMA), cand
 
-            keys, cids = components_np(
-                st.column("a").to_numpy(zero_copy_only=False),
-                st.column("b").to_numpy(zero_copy_only=False),
+
+def component_verified_edges(
+    sigs: Dataset, cfg: DedupConfig, dataset_labels: bool = False
+) -> Dataset:
+    """signatures → verified edge Dataset (a, b, sim), generated and
+    checked inside the component groups.
+
+    Verification is the same ``_compare_slice`` agreement kernel as the
+    driver/broadcast/join paths (bit-identical sims), applied to the
+    group's own signatures; ``cfg.exact_set_verify`` additionally
+    requires equal shingle-set hashes, so callers need no separate
+    set-hash filter pass. ``cfg.verify_threshold <= 0`` keeps every
+    pair with sim 1.0 (``verify_pairs`` semantics)."""
+    from .verify import _compare_slice, _prep_sigs
+
+    cols = ["doc_hash", "sig", "n_shingles"]
+    if cfg.exact_set_verify:
+        cols.append("set_hash")
+    tagged, _ = _tagged_sig_rows(sigs, cfg, dataset_labels, cols)
+    if tagged is None:
+        return rd.from_arrow(_EMPTY_EDGES)
+    thr = cfg.verify_threshold
+    npm = cfg.num_perm
+    exact = cfg.exact_set_verify
+
+    def gen_verify(g: pa.Table) -> pa.Table:
+        a, b = _pairs_of_group(g, cfg)
+        if not len(a):
+            return _EMPTY_EDGES
+        if thr <= 0:
+            sim = np.ones(len(a))
+            keep = np.ones(len(a), dtype=bool)
+        else:
+            sim = _compare_slice(
+                _prep_sigs(g.select(["doc_hash", "sig"]), npm), a, b, npm
             )
-
-    sig_cols = sigs.select_columns(["doc_hash", "sig", "n_shingles"])
-    if keys is not None:
-        # driver tier: keys (sorted) are the candidate set; membership +
-        # component tag both ride size-guarded broadcasts
-        sub = semi_filter_auto(
-            sig_cols, "doc_hash", keys,
-            max_broadcast_rows=cfg.broadcast_max_rows, n_buckets=cfg.join_buckets,
-        )
-        tagged = broadcast_map_i64(
-            band_rows(sub, cfg), "doc_hash", keys, cids, "__comp",
-            max_broadcast_rows=cfg.broadcast_max_rows, n_buckets=cfg.join_buckets,
-        )
-        cand = keys
-    else:
-        # Dataset tier: component labels never leave the cluster; the
-        # inner join is simultaneously the candidate-membership filter
-        from .unionfind import label_propagation
-
-        labels = label_propagation(stars_d, n_buckets=cfg.join_buckets)
-        joined = bucketed_join(
-            band_rows(sig_cols, cfg), labels, "doc_hash", "node",
-            n_buckets=cfg.join_buckets, how="inner",
+            keep = sim >= thr
+        if exact:
+            dh = g.column("doc_hash").to_numpy(zero_copy_only=False)
+            sh = g.column("set_hash").to_numpy(zero_copy_only=False)
+            o = np.argsort(dh)
+            dh_s, sh_s = dh[o], sh[o]
+            # a, b are group members by construction — searchsorted hits
+            ia = np.searchsorted(dh_s, a)
+            ib = np.searchsorted(dh_s, b)
+            keep &= sh_s[ia] == sh_s[ib]
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "sim": pa.array(sim[keep], pa.float64()),
+            }
         )
 
-        def rename(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "doc_hash": batch.column("doc_hash"),
-                    "bkey": batch.column("bkey"),
-                    "__comp": batch.column("label"),
-                }
-            )
-
-        tagged = joined.map_batches(rename, batch_format="pyarrow")
-        cand = None
-
-    return ensure_schema(_grouped_pairs(tagged, cfg), PAIRS_SCHEMA), cand
+    return ensure_schema(_grouped(tagged, cfg, gen_verify), EDGES_SCHEMA)

@@ -248,21 +248,26 @@ def near_dup_pipeline(
         tick("p4_edges (checkpoint hit)")
     else:
         if use_components:
-            # component-localized generation: star pass → components →
-            # exact per-component regen. Same pair set, ~10x less pair
-            # shuffle on dup-heavy corpora (see dedup/candidates.py).
-            from .candidates import component_candidate_pairs
-            from .verify import verify_unique
+            # component-localized generation + in-group verification:
+            # star pass → components → exact per-component regen +
+            # signature agreement (and exact-mode set-hash equality)
+            # checked where the pairs are born — no pair shuffle, no
+            # broadcast signature matrix (see dedup/candidates.py). The
+            # verified edge set is dup-bounded; collecting it here is the
+            # same driver visit the classic path's verify tiers make.
+            from .candidates import component_verified_edges
+            from .exchange import collect_table
 
-            cpairs, cand = component_candidate_pairs(sigs, cfg)
-            tick("bands+stars+components+pairs")
-            edges = verify_unique(cpairs, sigs, cfg, cand)
+            edges = collect_table(component_verified_edges(sigs, cfg))
+            if len(edges) == 0:
+                edges = _EDGES_EMPTY
+            tick("bands+stars+components+pairs+verify")
         else:
             pairs = gen_pairs()
             tick("bands+sort+pairs")
             edges = verify_auto(pairs, sigs, cfg)
-        if cfg.exact_set_verify and len(edges):
-            edges = _filter_edges_by_set_hash(edges, sigs, cfg)
+            if cfg.exact_set_verify and len(edges):
+                edges = _filter_edges_by_set_hash(edges, sigs, cfg)
         if checkpoint is not None and len(edges):
             checkpoint.load_or_run("p4_edges", lambda: rd.from_arrow(edges))
         tick("verify")
@@ -401,17 +406,20 @@ def _near_dup_distributed(
 
     def build_edges() -> Dataset:
         if cfg.candidate_path == "components":
-            # Dataset-tier component generation (label_propagation +
-            # bucketed joins): candidate pairs arrive exactly unique and
-            # nothing transits the driver (see dedup/candidates.py)
-            from .candidates import component_candidate_pairs
+            # Dataset-tier component generation + in-group verification
+            # (label_propagation + bucketed joins): pairs are generated,
+            # deduplicated and verified inside the component groups —
+            # exact-mode set-hash equality included — and nothing
+            # transits the driver (see dedup/candidates.py)
+            from .candidates import component_verified_edges
 
-            cp, _ = component_candidate_pairs(sigs, cfg, dataset_labels=True)
-            deduped = ensure_schema(cp, _PAIRS_SCHEMA).materialize()
-        else:
-            deduped = ensure_schema(
-                _dedup_pairs(gen_pairs(), n_buckets=cfg.join_buckets), _PAIRS_SCHEMA
-            ).materialize()
+            return ensure_schema(
+                component_verified_edges(sigs, cfg, dataset_labels=True),
+                _EDGES_SCHEMA,
+            )
+        deduped = ensure_schema(
+            _dedup_pairs(gen_pairs(), n_buckets=cfg.join_buckets), _PAIRS_SCHEMA
+        ).materialize()
         # verify tier: while the candidate-involved signature set fits
         # one node (cfg.sig_broadcast_max docs ≈ 2 GB at 128 perms), the
         # plasma-broadcast matrix wins by orders of magnitude — the join

@@ -304,35 +304,6 @@ def verify_auto(pairs: Dataset, sigs: Dataset, cfg: DedupConfig) -> pa.Table:
     return verify_broadcast(deduped, sigs, cfg)
 
 
-def verify_unique(
-    pairs: Dataset, sigs: Dataset, cfg: DedupConfig, cand: np.ndarray | None = None
-) -> pa.Table:
-    """Driver-table verification of an ALREADY exactly-unique canonical
-    pair Dataset (``candidates.component_candidate_pairs`` output).
-
-    Small streams take the single-pass driver path; larger ones verify
-    against the plasma-broadcast signature matrix with NO re-dedup sort
-    and — when the component stage already knows the candidate set — no
-    candidate-ids pass and no collect-time edge dedup (the input pairs
-    are exact, so the verified edges are too)."""
-    import ray.data as rd
-
-    pairs = pairs.materialize()
-    raw_cap = cfg.driver_verify_max
-    pt = collect_table(pairs, limit_rows=raw_cap + 1)
-    if len(pt) <= raw_cap:
-        return verify_pairs(rd.from_arrow(pt), sigs, cfg)
-    if cand is None:
-        cand = candidate_ids(pairs)
-    t = collect_table(broadcast_check(pairs, sigs, cfg, cand))
-    if len(t) == 0:
-        return pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-             "sim": pa.array([], pa.float64())}
-        )
-    return t.select(["a", "b", "sim"])
-
-
 def candidate_ids(
     pairs_deduped: Dataset, limit: int | None = None
 ) -> np.ndarray | None:

@@ -93,6 +93,50 @@ def test_segment_pairs_allpairs_and_star():
     assert len(e1) == 0 and len(e2) == 0
 
 
+def test_component_verified_edges_match_classic_verify():
+    """In-group verification must produce the classic broadcast path's
+    exact edge set WITH bit-identical sims, on both tiers, in both
+    threshold and exact-set modes."""
+    from dedup.candidates import component_verified_edges
+    from dedup.verify import verify_broadcast
+
+    for kw in ({}, {"exact_set_verify": True, "verify_threshold": 1.0}):
+        cfg = DedupConfig(min_size=1, **kw)
+        sigs = _sigs(cfg)
+        pairs_c, chain = candidate_pairs(band_rows(sigs, cfg), cfg)
+        if len(chain):
+            pairs_c = pairs_c.union(rd.from_arrow(chain))
+        classic = verify_broadcast(dedup_pairs(pairs_c), sigs, cfg)
+        if cfg.exact_set_verify:
+            from dedup.pipeline import _filter_edges_by_set_hash
+
+            classic = _filter_edges_by_set_hash(classic, sigs, cfg)
+        want = {
+            (a, b): s
+            for a, b, s in zip(classic["a"].to_pylist(), classic["b"].to_pylist(),
+                               classic["sim"].to_pylist())
+        }
+        for dl in (False, True):
+            got_t = collect_table(component_verified_edges(sigs, cfg, dataset_labels=dl))
+            got = {
+                (a, b): s
+                for a, b, s in zip(got_t["a"].to_pylist(), got_t["b"].to_pylist(),
+                                   got_t["sim"].to_pylist())
+            }
+            assert got == want, (kw, dl)
+
+
+def test_component_verified_edges_threshold_zero_keeps_all():
+    from dedup.candidates import component_candidate_pairs, component_verified_edges
+
+    cfg = DedupConfig(min_size=1, verify_threshold=0.0)
+    sigs = _sigs(cfg)
+    pairs, _ = component_candidate_pairs(sigs, cfg)
+    edges = collect_table(component_verified_edges(sigs, cfg))
+    assert _pair_set(edges) == _pair_set(collect_table(pairs))
+    assert set(edges["sim"].to_pylist()) == {1.0}
+
+
 def test_component_pairs_empty_corpus():
     cfg = DedupConfig(min_size=1)
     t = pa.table(
