@@ -55,6 +55,31 @@ def _host_probe() -> dict:
         return {}
 
 
+def _wait_for_window() -> dict:
+    """Optionally delay the measurement until the host's memory window is
+    healthy. This sandbox's effective stream bandwidth swings ~45× on
+    minutes timescales (hypervisor neighbors — see BASELINE.md "Host
+    pathologies"); a run landing in a collapsed window measures the
+    neighbor, not the engine. Bounded and transparent: waits at most
+    BENCH_WINDOW_WAIT_S (default 600 s, 0 disables), fires once the
+    2-proc stream probe reads ≥ BENCH_WINDOW_MIN_GBPS (default 4), and
+    proceeds regardless at the deadline. Every bench JSON line still
+    embeds the pre/post probes, so a reader always sees which window the
+    numbers come from."""
+    max_wait = float(os.environ.get("BENCH_WINDOW_WAIT_S", "600"))
+    min_gbps = float(os.environ.get("BENCH_WINDOW_MIN_GBPS", "4"))
+    deadline = time.monotonic() + max_wait
+    waited = 0.0
+    probe = _host_probe()
+    while max_wait > 0 and time.monotonic() < deadline:
+        if float(probe.get("stream_gbps_2proc", 0.0)) >= min_gbps:
+            break
+        time.sleep(60)
+        waited = round(max_wait - (deadline - time.monotonic()), 1)
+        probe = _host_probe()
+    return {"window_waited_s": waited, **probe}
+
+
 def _consume(ds) -> int:
     """Stream a Dataset to completion; return row count."""
     n = 0
@@ -132,7 +157,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     _warmup(pages)
 
     queries: dict[str, float] = {}
-    extras: dict = {"n_docs": n_docs, "host_probe_pre": _host_probe()}
+    extras: dict = {"n_docs": n_docs, "host_probe_pre": _wait_for_window()}
 
     t0 = time.monotonic()
     n = _consume(exact_clusters(pages, cfg))
@@ -285,7 +310,7 @@ def run_scaling(sf_dir: str, cpus_lo: int = 2, cpus_hi: int = 8) -> dict:
     # drift masquerade as (anti-)scaling — observed: a stream probe at
     # 0.87 efficiency before and 0.49 after one block-ordered run.
     # Interleaving makes both legs sample the same window distribution.
-    probe_pre = _host_probe()
+    probe_pre = _wait_for_window()
     runs_by_c: dict[int, list[dict]] = {cpus_lo: [], cpus_hi: []}
     for _ in range(repeats):
         for c in (cpus_lo, cpus_hi):
