@@ -312,9 +312,13 @@ def run_scaling(sf_dir: str, cpus_lo: int = 2, cpus_hi: int = 8) -> dict:
     # Interleaving makes both legs sample the same window distribution.
     probe_pre = _wait_for_window()
     runs_by_c: dict[int, list[dict]] = {cpus_lo: [], cpus_hi: []}
+    legs_temporal: list[dict] = []  # run order — sorted medians hide
+    # WHICH leg a mid-measurement window flip hit; this doesn't
     for _ in range(repeats):
         for c in (cpus_lo, cpus_hi):
-            runs_by_c[c].append(one(c))
+            r = one(c)
+            runs_by_c[c].append(r)
+            legs_temporal.append({"cpus": c, "sec": r["sec"]})
     for c in (cpus_lo, cpus_hi):
         runs = sorted(runs_by_c[c], key=lambda x: x["sec"])
         # MEDIAN over repetitions (judge's criterion — not best-of-N;
@@ -334,6 +338,7 @@ def run_scaling(sf_dir: str, cpus_lo: int = 2, cpus_hi: int = 8) -> dict:
         "sec_hi": hi["sec"],
         "all_secs_lo": all_secs[cpus_lo],
         "all_secs_hi": all_secs[cpus_hi],
+        "legs_temporal": legs_temporal,
         "n_docs": lo.get("n_docs"),
         "docs_per_sec_lo": lo["docs_per_sec"],
         "docs_per_sec_hi": hi["docs_per_sec"],
