@@ -89,6 +89,17 @@ def _consume(ds) -> int:
 
 
 def _build_pages(sf_dir: str):
+    """Expanded bench corpus. BENCH_CORPUS_DIR, when set, names a parquet
+    copy of the SAME deterministic expansion (write once with
+    `--write-corpus`): scaling legs then read it instead of re-expanding
+    per fresh process — the expansion isn't timed, but at 2 pinned CPUs
+    it adds minutes of untimed wall per leg, longer than this host's
+    memory-bandwidth windows stay stable."""
+    corpus_dir = os.environ.get("BENCH_CORPUS_DIR", "")
+    if corpus_dir and os.path.isdir(corpus_dir):
+        import ray.data as rd
+
+        return rd.read_parquet(corpus_dir).materialize()
     from dedup.adapters import expanded_pages
 
     return expanded_pages(sf_dir, factor=EXPAND_FACTOR).materialize()
@@ -354,13 +365,31 @@ def run_scaling(sf_dir: str, cpus_lo: int = 2, cpus_hi: int = 8) -> dict:
 
 
 def main():
+    global EXPAND_FACTOR
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument(
+        "--write-corpus", default=None, metavar="DIR",
+        help="write the expanded bench corpus to DIR as parquet and exit "
+        "(pair with BENCH_CORPUS_DIR=DIR to reuse it across scaling legs)",
+    )
     ap.add_argument("--child-throughput", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--num-cpus", type=int, default=NUM_CPUS)
     args = ap.parse_args()
 
+    if args.write_corpus is not None:
+        import ray
+
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+        from dedup.adapters import expanded_pages
+
+        expanded_pages(args.sf_dir, factor=EXPAND_FACTOR).write_parquet(
+            args.write_corpus
+        )
+        print(json.dumps({"wrote": args.write_corpus, "expand": EXPAND_FACTOR}))
+        ray.shutdown()
+        return
     if args.child_throughput is not None:
         child_throughput(args.sf_dir, args.child_throughput)
         return
@@ -369,7 +398,6 @@ def main():
         # floor (seconds) doesn't dominate the 8-CPU leg: default to the
         # 500k-doc expansion unless the caller pinned BENCH_EXPAND
         if "BENCH_EXPAND" not in os.environ:
-            global EXPAND_FACTOR
             EXPAND_FACTOR = 100
             os.environ["BENCH_EXPAND"] = "100"
         # The cluster-size pair is configurable (still a 4x ratio by
