@@ -57,6 +57,18 @@ if __name__ == "__main__":
     import json
     import statistics
 
+    if len(sys.argv) > 1 and sys.argv[1] == "--quick":
+        # one short 1-proc ABSOLUTE kernel-speed measurement — the
+        # window indicator the scaling hunter gates on alongside the
+        # stream probe. The hunter's first campaign proved the stream
+        # probe necessary but NOT sufficient: three stream-validated
+        # windows still ran this kernel 1.5-2x below its healthy
+        # ~1.1 batches/s (a CPU-side host degradation bandwidth can't
+        # see), so windows are now accepted only when BOTH probes read
+        # healthy. See BASELINE.md "Window-hunter campaign".
+        print(json.dumps({"kernel_bps_1proc": round(run(1, dur=6.0), 3)}))
+        sys.exit(0)
+
     lo, hi = int(sys.argv[1]), int(sys.argv[2])
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     # interleave legs (lo,hi,lo,hi,…): this host's bandwidth drifts on
