@@ -266,6 +266,30 @@ def q_topk_sketch_tokens(sf_dir: str):
     return topk_exact_2pass(ds, col="text", k=20, counters=256)
 
 
+LENGTH_QUANTILE_PCTS = [25, 50, 75, 90, 99]
+
+
+def q_length_quantiles(sf_dir: str):
+    """EXACT document-length percentiles via the mergeable value
+    histogram — rows never sort or shuffle; only per-block (val, cnt)
+    pairs do (bounded by distinct lengths, not corpus size). The
+    distribution-summary analogue of the reference's group-by-size
+    stage (process_matches.rs:100,224) at the scale where sorting the
+    corpus for quantiles is impossible."""
+    from .sketches import exact_quantiles_hist
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def add_len(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"len_bytes": pc.cast(pc.binary_length(batch.column("text")),
+                                  pa.int64())}
+        )
+
+    lens = ds.map_batches(add_len, batch_format="pyarrow", zero_copy_batch=True)
+    return exact_quantiles_hist(lens, "len_bytes", LENGTH_QUANTILE_PCTS)
+
+
 def q_distinct_count_contract(sf_dir: str):
     """HLL distinct-count accuracy contract: the sketch estimate must
     land within 2 % of the exact distinct-text count (p=14 → σ≈0.8 %;
@@ -1446,6 +1470,7 @@ QUERIES = {
     "token_freq_top20": q_token_freq_top20,
     "topk_sketch_tokens": q_topk_sketch_tokens,
     "distinct_count_contract": q_distinct_count_contract,
+    "length_quantiles": q_length_quantiles,
     "knn_cosine": q_knn_cosine,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "media_features": q_media_features,
@@ -2149,6 +2174,18 @@ FROM x GROUP BY 1, 2
 # the Misra–Gries 2-pass top-k is EXACT by construction — its oracle is
 # the full-shuffle token-frequency SQL, verbatim
 ORACLES["topk_sketch_tokens"] = ORACLES["token_freq_top20"]
+# lower nearest-rank percentiles: 0-based sorted index pct*(n-1)//100 —
+# the same formula exact_quantiles_hist applies to the merged histogram
+ORACLES["length_quantiles"] = """
+WITH v AS (SELECT CAST(strlen(text) AS BIGINT) AS val FROM documents),
+r AS (SELECT val, row_number() OVER (ORDER BY val) - 1 AS rn FROM v),
+n AS (SELECT COUNT(*) AS n FROM v),
+p AS (SELECT * FROM (VALUES (25), (50), (75), (90), (99)) AS t(pct))
+SELECT CAST(p.pct AS BIGINT) AS pct, r.val AS value
+FROM p, n, r
+WHERE r.rn = (p.pct * (n.n - 1)) // 100
+ORDER BY pct
+""".strip()
 ORACLES["distinct_count_contract"] = """
 SELECT 'distinct_texts' AS metric,
        COUNT(DISTINCT text) AS exact,

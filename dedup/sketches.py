@@ -266,3 +266,71 @@ def distinct_count_exact(ds: Dataset, col: str) -> int:
         .count()
         .count()
     )
+
+
+# hard cap on the collected histogram: a column whose distinct-VALUE
+# cardinality exceeds this isn't histogram-shaped (use a sampling
+# sketch instead) — fail loud, never silently truncate the histogram
+QUANTILE_VALUE_CAP = 1 << 20
+
+
+def exact_quantiles_hist(
+    ds: Dataset, col: str, pcts: list[int], value_cap: int = QUANTILE_VALUE_CAP
+) -> pa.Table:
+    """EXACT percentiles of an integer column via a mergeable value
+    histogram — the distributed quantile for columns whose distinct
+    VALUE cardinality is bounded (doc lengths, token counts, cluster
+    sizes: ≤ max-value distinct values no matter how many rows).
+
+    Pass 1 reduces each block to exact ``(val, cnt)`` rows; the only
+    shuffle is a groupby over distinct VALUES, and only the merged
+    histogram (≤ ``value_cap`` rows, loud error past it) ever reaches
+    the driver — rows themselves never move, so a 10^12-row length
+    distribution shuffles a few MiB. Quantile definition is the lower
+    nearest rank: value at 0-based sorted index ``pct*(n-1)//100``
+    (matches the oracle SQL's row_number() formulation verbatim).
+
+    → Arrow table (pct:int64, value:int64) sorted by pct.
+    Generalizes the reference's size-keyed statistics (≅
+    process_matches.rs:100,224 group-by-size) to full distribution
+    summaries that never sort the corpus.
+    """
+
+    def local_hist(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(v, return_counts=True)
+        return pa.table(
+            {"val": pa.array(vals.astype(np.int64)),
+             "cnt": pa.array(cnts.astype(np.int64))}
+        )
+
+    from .exchange import collect_table
+
+    merged = (
+        ds.map_batches(local_hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("val")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    t = collect_table(merged, limit_rows=value_cap + 1)
+    empty = pa.table(
+        {"pct": pa.array([], pa.int64()), "value": pa.array([], pa.int64())}
+    )
+    if len(t) == 0:
+        return empty
+    if len(t) > value_cap:
+        raise ValueError(
+            f"exact_quantiles_hist: >{value_cap} distinct values in {col!r}; "
+            "this column is not histogram-shaped — raise value_cap or use a "
+            "sampling-based quantile sketch"
+        )
+    vals = t.column("val").to_numpy(zero_copy_only=False)
+    cnts = t.column("cnt").to_numpy(zero_copy_only=False)
+    order = np.argsort(vals)
+    vals, cum = vals[order], np.cumsum(cnts[order])
+    n = int(cum[-1])
+    ranks = [(p * (n - 1)) // 100 for p in pcts]
+    idx = np.searchsorted(cum, ranks, side="right")
+    return pa.table(
+        {"pct": pa.array(list(pcts), pa.int64()),
+         "value": pa.array(vals[idx], pa.int64())}
+    )

@@ -77,3 +77,47 @@ def test_hll_accuracy_and_exact_twin():
 def test_hll_empty():
     ds = rd.from_arrow(pa.table({"v": pa.array([], pa.string())}))
     assert hll_estimate(hll_registers(ds, "v", p=10)) == 0.0
+
+
+def _int_ds(vals, parts=8):
+    return rd.from_arrow(
+        pa.table({"x": pa.array(np.asarray(vals, np.int64))})
+    ).repartition(parts)
+
+
+def _nearest_rank(vals, pcts):
+    s = np.sort(np.asarray(vals, np.int64))
+    return [int(s[(p * (len(s) - 1)) // 100]) for p in pcts]
+
+
+def test_exact_quantiles_matches_nearest_rank():
+    from dedup.sketches import exact_quantiles_hist
+
+    rng = np.random.default_rng(7)
+    # heavy duplication (lognormal-ish lengths) + a few outliers
+    vals = np.concatenate(
+        [rng.integers(50, 400, 5000), rng.integers(5000, 6000, 17)]
+    )
+    pcts = [0, 25, 50, 75, 90, 99, 100]
+    t = exact_quantiles_hist(_int_ds(vals), "x", pcts)
+    assert t.column("pct").to_pylist() == pcts
+    assert t.column("value").to_pylist() == _nearest_rank(vals, pcts)
+
+
+def test_exact_quantiles_block_split_invariant():
+    from dedup.sketches import exact_quantiles_hist
+
+    rng = np.random.default_rng(8)
+    vals = rng.integers(0, 90, 999)
+    a = exact_quantiles_hist(_int_ds(vals, parts=1), "x", [50, 90])
+    b = exact_quantiles_hist(_int_ds(vals, parts=13), "x", [50, 90])
+    assert a.equals(b)
+
+
+def test_exact_quantiles_loud_cap_and_empty():
+    from dedup.sketches import exact_quantiles_hist
+
+    with pytest.raises(ValueError, match="not histogram-shaped"):
+        exact_quantiles_hist(_int_ds(np.arange(500)), "x", [50], value_cap=100)
+    out = exact_quantiles_hist(_int_ds([], parts=1), "x", [50])
+    assert len(out) == 0
