@@ -364,10 +364,94 @@ def run_scaling(sf_dir: str, cpus_lo: int = 2, cpus_hi: int = 8) -> dict:
     }
 
 
+def run_weak_scaling(sf_dir: str, cpus_lo: int = 2, cpus_hi: int = 8) -> dict:
+    """WEAK scaling: per-CPU data held constant — the leg at ``cpus_hi``
+    processes ``cpus_hi/cpus_lo`` times the documents of the leg at
+    ``cpus_lo``. This is the direct analogue of the north rule's N vs 4N
+    NODES criterion: a 4N-node cluster holds 4x the data AND brings 4x
+    the memory controllers, so per-node load (and per-node bandwidth
+    demand) is what stays fixed — exactly what this measures on one
+    host. Ideal = equal wall-clock per leg; efficiency = sec_lo/sec_hi
+    (equivalently, throughput_hi / (ratio * throughput_lo)).
+
+    Strong scaling on a single shared memory controller (`--scaling`)
+    additionally charges the hi leg for bandwidth the real cluster's
+    extra nodes would bring with them; both numbers are reported in
+    BASELINE.md, each labeled for what it emulates.
+
+    Per-leg corpus via BENCH_CORPUS_DIR_LO/_HI (pre-written parquet) or
+    BENCH_EXPAND_LO (default 100 ≙ 500k docs; hi leg = lo * ratio)."""
+    repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
+    ratio = cpus_hi // cpus_lo
+    exp_lo = int(os.environ.get("BENCH_EXPAND_LO", "100"))
+    leg_env = {
+        cpus_lo: {"BENCH_EXPAND": str(exp_lo),
+                  "BENCH_CORPUS_DIR": os.environ.get("BENCH_CORPUS_DIR_LO", "")},
+        cpus_hi: {"BENCH_EXPAND": str(exp_lo * ratio),
+                  "BENCH_CORPUS_DIR": os.environ.get("BENCH_CORPUS_DIR_HI", "")},
+    }
+
+    def one(c: int) -> dict:
+        env = dict(os.environ)
+        env.pop("RAY_ADDRESS", None)
+        env.update({k: v for k, v in leg_env[c].items() if v})
+        if not leg_env[c]["BENCH_CORPUS_DIR"]:
+            env.pop("BENCH_CORPUS_DIR", None)
+        r = subprocess.run(
+            [sys.executable, __file__, "--child-throughput", str(c)],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+        if not line:
+            raise RuntimeError(f"weak leg {c} cpus failed: {r.stderr[-2000:]}")
+        return json.loads(line[-1])
+
+    probe_pre = _wait_for_window()
+    runs_by_c: dict[int, list[dict]] = {cpus_lo: [], cpus_hi: []}
+    legs_temporal: list[dict] = []
+    for _ in range(repeats):
+        for c in (cpus_lo, cpus_hi):  # interleaved, like --scaling
+            r = one(c)
+            runs_by_c[c].append(r)
+            legs_temporal.append({"cpus": c, "sec": r["sec"]})
+    med = {c: sorted(rs, key=lambda x: x["sec"])[len(rs) // 2]
+           for c, rs in runs_by_c.items()}
+    lo, hi = med[cpus_lo], med[cpus_hi]
+    return {
+        "metric": "weak_scaling_efficiency",
+        "value": round(lo["sec"] / hi["sec"], 3),
+        "unit": "fraction",
+        "cpus_lo": cpus_lo,
+        "cpus_hi": cpus_hi,
+        "n_docs_lo": lo.get("n_docs"),
+        "n_docs_hi": hi.get("n_docs"),
+        "sec_lo": lo["sec"],
+        "sec_hi": hi["sec"],
+        "all_secs_lo": [r["sec"] for r in runs_by_c[cpus_lo]],
+        "all_secs_hi": [r["sec"] for r in runs_by_c[cpus_hi]],
+        "legs_temporal": legs_temporal,
+        "docs_per_sec_lo": lo["docs_per_sec"],
+        "docs_per_sec_hi": hi["docs_per_sec"],
+        "throughput_ratio": round(hi["docs_per_sec"] / lo["docs_per_sec"], 3),
+        "ideal_ratio": ratio,
+        "sf": _sf_of(sf_dir),
+        "repeats": repeats,
+        "aggregation": "median",
+        "host_probe_pre": probe_pre,
+        "host_probe_post": _host_probe(),
+    }
+
+
 def main():
     global EXPAND_FACTOR
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument(
+        "--weak-scaling", action="store_true",
+        help="per-CPU data held constant across the pair (the N vs 4N "
+        "NODE analogue: added nodes bring their own data and memory)",
+    )
     ap.add_argument(
         "--write-corpus", default=None, metavar="DIR",
         help="write the expanded bench corpus to DIR as parquet and exit "
@@ -392,6 +476,11 @@ def main():
         return
     if args.child_throughput is not None:
         child_throughput(args.sf_dir, args.child_throughput)
+        return
+    if args.weak_scaling:
+        lo = int(os.environ.get("BENCH_CPUS_LO", "2"))
+        hi = int(os.environ.get("BENCH_CPUS_HI", "8"))
+        print(json.dumps(run_weak_scaling(args.sf_dir, cpus_lo=lo, cpus_hi=hi)))
         return
     if args.scaling:
         # scaling needs a corpus big enough that the fixed orchestration

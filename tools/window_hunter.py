@@ -58,6 +58,12 @@ def main() -> None:
     ap.add_argument("--want", type=int, default=3)
     ap.add_argument("--hours", type=float, default=5.0)
     ap.add_argument("--log", default="/tmp/hunt_scaling.jsonl")
+    ap.add_argument(
+        "--mode", choices=["strong", "weak", "alternate"], default="strong",
+        help="strong: bench.py --scaling (same input both legs); weak: "
+        "bench.py --weak-scaling (per-CPU data constant — the N vs 4N "
+        "NODE analogue); alternate: one of each per healthy window",
+    )
     args = ap.parse_args()
 
     min_gbps = float(os.environ.get("HUNT_MIN_GBPS", "7"))
@@ -71,13 +77,19 @@ def main() -> None:
             fh.write(json.dumps(rec) + "\n")
 
     valid = 0
+    n_fired = 0
     while valid < args.want and time.time() < deadline:
         pre = probes()
         if pre["stream_gbps"] < min_gbps or pre["kernel_bps"] < min_kbps:
             log({"event": "skip", **pre})
             time.sleep(150)
             continue
-        log({"event": "fire", **pre})
+        if args.mode == "alternate":
+            flavor = "strong" if n_fired % 2 == 0 else "weak"
+        else:
+            flavor = args.mode
+        n_fired += 1
+        log({"event": "fire", "flavor": flavor, **pre})
         env = dict(os.environ)
         env.setdefault("BENCH_EXPAND", "400")
         env["BENCH_SCALING_REPEATS"] = "1"
@@ -85,9 +97,10 @@ def main() -> None:
         env["BENCH_CPUS_LO"], env["BENCH_CPUS_HI"] = lo_c, hi_c
         env["BENCH_WINDOW_WAIT_S"] = "0"  # hunter already gated
         env.pop("RAY_ADDRESS", None)
+        flag = "--scaling" if flavor == "strong" else "--weak-scaling"
         try:
             r = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
+                [sys.executable, os.path.join(REPO, "bench.py"), flag],
                 capture_output=True, text=True, env=env, cwd=REPO,
                 timeout=40 * 60,
             )
