@@ -396,6 +396,14 @@ def _write_sidecar_obj(
     with open(single + ".tmp", "wb") as fh:
         fh.write(f.to_bytes())
     os.replace(single + ".tmp", single)
+    if os.path.isdir(shard_dir):
+        # never leave two conflicting layouts in the other direction
+        # either: read_bloom_sidecar prefers bloom.d/, so a stale sharded
+        # filter would silently shadow this fresh one — and a Bloom
+        # filter missing keys produces FALSE NEGATIVES downstream
+        import shutil
+
+        shutil.rmtree(shard_dir)
     return single
 
 

@@ -132,6 +132,13 @@ class DedupConfig:
         since schema v4 (the v3→v4 migration restamps matching manifests).
         """
         d = asdict(self)
+        # polars documents Series.hash() as NOT stable across polars
+        # versions, and token hashes are baked into PERSISTED signatures
+        # (checkpoints, the incremental index) — stamp the version so a
+        # polars upgrade invalidates stored state loudly (recompute)
+        # instead of silently comparing signatures hashed under two
+        # different functions (near-dups would vanish with no error).
+        d["token_hash"] = _token_hash_impl(self.token_hash)
         blob = json.dumps(
             {
                 k: v
@@ -152,6 +159,15 @@ class DedupConfig:
         d = asdict(self)
         for k, hist in _EXEC_KNOB_V3_DEFAULTS.items():
             d[k] = hist
+        # ≤v3-era configs had no token_hash field at all (their signatures
+        # were hashed with the in-repo xxh64 kernel), so a genuine pre-bump
+        # manifest's fingerprint was computed WITHOUT the key. Omit it when
+        # the current choice preserves those signature semantics; any other
+        # choice changes signature values, so keep the key — the v3
+        # fingerprint then never matches and the stage correctly recomputes
+        # instead of restamping a checkpoint whose signatures differ.
+        if d.get("token_hash") == "xxh64":
+            del d["token_hash"]
         blob = json.dumps(
             {
                 k: v
@@ -162,6 +178,24 @@ class DedupConfig:
             default=str,
         )
         return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def _token_hash_impl(algo: str) -> str:
+    """The token-hash IMPLEMENTATION identity for fingerprinting.
+
+    'xxh64' is the in-repo kernel, pinned to published XXH64 vectors —
+    stable forever, the name alone identifies it. 'polars-xxh64'
+    delegates to polars, whose hash is documented as unstable across
+    polars versions, so the version is part of the identity."""
+    if algo == "polars-xxh64":
+        try:
+            import polars
+
+            return f"polars-xxh64@{polars.__version__}"
+        except ImportError:  # pragma: no cover - fingerprint of an
+            # unusable config; signing would raise before anything persists
+            return "polars-xxh64@missing"
+    return algo
 
 
 # Fields added after schema v1 (see dedup/schema.py): excluded from the

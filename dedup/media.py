@@ -729,6 +729,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("malformed JPEG: SOS before SOF")
             ns = body[0]
+            if ns != len(frame[2]):
+                # A spec-valid baseline file may carry one scan PER
+                # component (non-interleaved); each such scan uses a
+                # component-local MCU geometry (one 8x8 block per MCU,
+                # T.81 A.2.2) that _jpeg_scan's interleaved walk would
+                # silently mis-decode — fail loud per the module policy.
+                raise NotImplementedError(
+                    "only single-scan interleaved baseline JPEG is "
+                    f"supported (scan covers {ns}/{len(frame[2])} components)"
+                )
             scan = []
             for si in range(ns):
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]

@@ -137,7 +137,20 @@ def semantic_dedup(
         b = np.concatenate(eb) if eb else np.empty(0, np.int64)
         rep = ids.copy()  # default: every row its own representative
         if len(a):
-            keys, comp = components_np(a, b)  # comp = uint64-min member id
+            keys, comp = components_np(a, b)  # comp label = uint64-min member
+            if keep == "min_id":
+                # the documented contract (and the oracle SQL's MIN(vec_id))
+                # is the SIGNED smallest id — components_np's uint64-min
+                # label diverges for negative int64 ids, so re-pick the
+                # representative per component in int64 order. comp stays
+                # a valid group label either way.
+                o = np.lexsort((keys, comp))
+                c_s, k_s = comp[o], keys[o]
+                starts = np.concatenate([[True], c_s[1:] != c_s[:-1]])
+                rep_sorted = k_s[starts][np.cumsum(starts) - 1]
+                new = np.empty_like(keys)
+                new[o] = rep_sorted
+                comp = new
             if keep == "centroid_far":
                 # re-pick the representative per component: least-prototypical
                 # member (min cosine to centroid), tie-break min vec_id

@@ -128,13 +128,29 @@ def topk_exact_2pass(
         .groupby("token")
         .aggregate(Sum("lb", alias_name="lb_total"))
     )
-    # T = k-th largest lower bound (k scalars to the driver — tiny)
+    # T = k-th largest lower bound (k scalars to the driver — tiny).
+    # Fewer than k survivors means the k-th lower bound is effectively 0.
     top = lb_ds.sort("lb_total", descending=True).limit(k).take_all()
+    T = min(r["lb_total"] for r in top) if len(top) >= k else 0
+    if E > 0 and T <= E:
+        # Tokens absent from EVERY block summary have lb_total = 0 but
+        # true frequency up to E; when T <= E such a token could still
+        # belong to the true top-k, and it is not in lb_ds to be
+        # recovered — pruning would be silently unsound. Fail loud,
+        # same contract as the CANDIDATE_CAP below.
+        raise RuntimeError(
+            f"topk_exact_2pass: k-th lower bound T={T} does not exceed "
+            f"total summary error E={E}; a token dropped from every "
+            f"block summary (frequency <= E) could still reach the "
+            f"top-k — raise `counters` (= {counters}) for this "
+            f"distribution"
+        )
     if not top:
+        # reachable only with E == 0: lb_ds is the exact histogram and
+        # it is empty, i.e. the corpus has no tokens at all
         return rd.from_arrow(
             pa.table({"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
         )
-    T = min(r["lb_total"] for r in top)
     # candidates: everything that could still reach T given total error E
     cand_ds = lb_ds.filter(expr=f"lb_total >= {T - E}")
     n_cand = cand_ds.count()

@@ -30,6 +30,51 @@ _PARALLEL_VERIFY_MIN = 200_000  # pairs; below this one core wins
 _PARALLEL_DEDUP_MIN = 2_000_000  # raw pairs; above this dedup runs in Ray
 
 
+def _adjacent_first_mask(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """First-of-run mask over SORTED parallel key arrays — the shared
+    tail of every lexsort-based pair dedup in this module."""
+    first = np.ones(len(a), dtype=bool)
+    if len(a) > 1:
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return first
+
+
+def _canon_unique_np(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Canonicalize pair arrays (lo<hi in uint64 order), drop self-pairs,
+    and de-duplicate — lexsort+boundary mask beats np.unique(axis=0) ~3x
+    (no void-dtype comparisons). → (a, b) int64 views, a<b uint64-order."""
+    au, bu = a.view(np.uint64), b.view(np.uint64)
+    lo, hi = np.minimum(au, bu), np.maximum(au, bu)
+    keep = lo != hi
+    lo, hi = lo[keep], hi[keep]
+    order = np.lexsort((hi, lo))
+    lo, hi = lo[order], hi[order]
+    first = _adjacent_first_mask(lo, hi)
+    return lo[first].view(np.int64), hi[first].view(np.int64)
+
+
+def _canon_unique_batch(batch: pa.Table) -> pa.Table:
+    """Table form of ``_canon_unique_np`` — the per-batch combiner both
+    distributed pair-dedup paths run before their shuffle."""
+    a = batch.column("a").to_numpy(zero_copy_only=False)
+    b = batch.column("b").to_numpy(zero_copy_only=False)
+    a, b = _canon_unique_np(a, b)
+    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+
+def _pair_table_unique(batch: pa.Table) -> pa.Table:
+    """Sort (signed order is fine — only run-grouping matters) and
+    adjacent-dedup an already-canonical (a, b) batch."""
+    a = batch.column("a").to_numpy(zero_copy_only=False)
+    b = batch.column("b").to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    first = _adjacent_first_mask(a, b)
+    return pa.table(
+        {"a": pa.array(a[first], pa.int64()), "b": pa.array(b[first], pa.int64())}
+    )
+
+
 def _compare_slice(
     sig_index, a: np.ndarray, b: np.ndarray, num_perm: int
 ) -> np.ndarray:
@@ -98,20 +143,9 @@ def verify_pairs(
         )
     a = pt.column("a").to_numpy(zero_copy_only=False)
     b = pt.column("b").to_numpy(zero_copy_only=False)
-    # canonicalize (a<b in uint64 order), drop self-pairs, global dedup —
-    # the same pair arrives once per shared band. lexsort+boundary mask
-    # beats np.unique(axis=0) ~3x (no void-dtype comparisons)
-    au, bu = a.view(np.uint64), b.view(np.uint64)
-    lo, hi = np.minimum(au, bu), np.maximum(au, bu)
-    keepm = lo != hi
-    lo, hi = lo[keepm], hi[keepm]
-    order = np.lexsort((hi, lo))
-    lo, hi = lo[order], hi[order]
-    first = np.ones(len(lo), dtype=bool)
-    if len(lo) > 1:
-        first[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
-    a = lo[first].view(np.int64)
-    b = hi[first].view(np.int64)
+    # canonicalize, drop self-pairs, global dedup — the same pair
+    # arrives once per shared band
+    a, b = _canon_unique_np(a, b)
     pt = pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
     if len(pt) == 0:
         return pa.table(
@@ -154,23 +188,6 @@ def dedup_pairs(pairs: Dataset, n_buckets: int = 64) -> Dataset:
     scale the dedup MUST happen before signatures are attached (narrow
     16-byte rows shuffle; signatures are 1 KiB each)."""
 
-    def canon(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy(zero_copy_only=False)
-        b = batch.column("b").to_numpy(zero_copy_only=False)
-        au, bu = a.view(np.uint64), b.view(np.uint64)
-        lo, hi = np.minimum(au, bu), np.maximum(au, bu)
-        keep = lo != hi
-        # per-batch pre-dedup (combiner) shrinks the shuffle
-        order = np.lexsort((hi[keep], lo[keep]))
-        l, h = lo[keep][order], hi[keep][order]
-        first = np.ones(len(l), dtype=bool)
-        if len(l) > 1:
-            first[1:] = (l[1:] != l[:-1]) | (h[1:] != h[:-1])
-        return pa.table(
-            {"a": pa.array(l[first].view(np.int64), pa.int64()),
-             "b": pa.array(h[first].view(np.int64), pa.int64())}
-        )
-
     def bucket(batch: pa.Table) -> pa.Table:
         from .hashing import fmix64
 
@@ -182,25 +199,14 @@ def dedup_pairs(pairs: Dataset, n_buckets: int = 64) -> Dataset:
             "__bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int32), pa.int32())
         )
 
-    def bucket_unique(g: pa.Table) -> pa.Table:
-        a = g.column("a").to_numpy(zero_copy_only=False)
-        b = g.column("b").to_numpy(zero_copy_only=False)
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        first = np.ones(len(a), dtype=bool)
-        if len(a) > 1:
-            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        return pa.table(
-            {"a": pa.array(a[first], pa.int64()), "b": pa.array(b[first], pa.int64())}
-        )
-
-    # 64-bucket single-key groupby + vectorized per-bucket unique — a
-    # groupby keyed on the (huge-cardinality) pair itself is far slower
-    c = pairs.map_batches(canon, batch_format="pyarrow")
+    # per-batch canon combiner, then 64-bucket single-key groupby +
+    # vectorized per-bucket unique — a groupby keyed on the
+    # (huge-cardinality) pair itself is far slower
+    c = pairs.map_batches(_canon_unique_batch, batch_format="pyarrow")
     return (
         c.map_batches(bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(bucket_unique, batch_format="pyarrow")
+        .map_groups(_pair_table_unique, batch_format="pyarrow")
     )
 
 
@@ -217,40 +223,13 @@ def dedup_pairs_sorted(pairs: Dataset) -> Dataset:
     The groupby path above stays for ``verify_distributed``, whose edge
     Dataset never lands anywhere an exactness pass is free."""
 
-    def canon(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy(zero_copy_only=False)
-        b = batch.column("b").to_numpy(zero_copy_only=False)
-        au, bu = a.view(np.uint64), b.view(np.uint64)
-        lo, hi = np.minimum(au, bu), np.maximum(au, bu)
-        keep = lo != hi
-        order = np.lexsort((hi[keep], lo[keep]))
-        l, h = lo[keep][order], hi[keep][order]
-        first = np.ones(len(l), dtype=bool)
-        if len(l) > 1:
-            first[1:] = (l[1:] != l[:-1]) | (h[1:] != h[:-1])
-        return pa.table(
-            {"a": pa.array(l[first].view(np.int64), pa.int64()),
-             "b": pa.array(h[first].view(np.int64), pa.int64())}
-        )
-
-    def adjacent_unique(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy(zero_copy_only=False)
-        b = batch.column("b").to_numpy(zero_copy_only=False)
-        # re-sort defensively (cheap on already-sorted data); exactness
-        # across batch boundaries is the caller's edge-dedup job
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        first = np.ones(len(a), dtype=bool)
-        if len(a) > 1:
-            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        return pa.table(
-            {"a": pa.array(a[first], pa.int64()), "b": pa.array(b[first], pa.int64())}
-        )
-
+    # the per-batch adjacent dedup after the sort is intentionally
+    # _pair_table_unique (re-sorts defensively — cheap on already-sorted
+    # data); exactness across batch boundaries is the caller's edge-dedup
     return (
-        pairs.map_batches(canon, batch_format="pyarrow")
+        pairs.map_batches(_canon_unique_batch, batch_format="pyarrow")
         .sort(["a", "b"])
-        .map_batches(adjacent_unique, batch_format="pyarrow")
+        .map_batches(_pair_table_unique, batch_format="pyarrow")
     )
 
 
@@ -263,10 +242,7 @@ def _edge_table_unique(t: pa.Table) -> pa.Table:
     a = t.column("a").to_numpy(zero_copy_only=False)
     b = t.column("b").to_numpy(zero_copy_only=False)
     order = np.lexsort((b, a))
-    a_s, b_s = a[order], b[order]
-    first = np.ones(len(a_s), dtype=bool)
-    if len(a_s) > 1:
-        first[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+    first = _adjacent_first_mask(a[order], b[order])
     keep_idx = order[first]
     keep_idx.sort()  # preserve input order for determinism
     return t.take(pa.array(keep_idx))

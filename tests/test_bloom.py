@@ -89,6 +89,42 @@ def test_sidecar_roundtrip(tmp_path):
     assert f.contains_many(keys).all()
 
 
+def test_sidecar_rebuild_sharded_to_single_removes_stale_shards(tmp_path):
+    """A single-file rebuild over an existing sharded sidecar must WIN:
+    read_bloom_sidecar prefers bloom.d/, so leaving the stale sharded
+    layout behind would silently shadow the fresh filter — and a filter
+    missing later keys yields Bloom FALSE NEGATIVES (true duplicates
+    reported definitely-new)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dedup.bloom import BloomFilter, read_bloom_sidecar
+
+    idx = tmp_path / "index"
+    (idx / "sigs").mkdir(parents=True)
+    keys = _keys(11, 1_000)
+    pq.write_table(
+        pa.table({"doc_hash": pa.array(keys, pa.int64())}),
+        idx / "sigs" / "part0.parquet",
+    )
+    write_bloom_sidecar(str(idx), n_shards=4)
+    assert os.path.exists(idx / "bloom.d" / "meta.json")
+    # more sig rows arrive outside update_index; operator rebuilds single-file
+    more = _keys(12, 1_000)
+    pq.write_table(
+        pa.table({"doc_hash": pa.array(more, pa.int64())}),
+        idx / "sigs" / "part1.parquet",
+    )
+    path = write_bloom_sidecar(str(idx), n_shards=1)
+    assert path.endswith("bloom.bin")
+    assert not os.path.exists(idx / "bloom.d")
+    f = read_bloom_sidecar(str(idx))
+    assert isinstance(f, BloomFilter)
+    # the fresh filter covers BOTH batches — no false negatives
+    assert f.contains_many(keys).all() and f.contains_many(more).all()
+
+
 def test_incremental_bloom_identical(tmp_path):
     """incremental_dedup output is identical with and without the Bloom
     sidecar (the filter is an I/O screen, never a correctness change),

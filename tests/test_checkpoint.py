@@ -157,7 +157,11 @@ def test_schema_migration_in_place(tmp_path):
     schema did change) recomputes."""
     from dedup.schema import SCHEMA_VERSION
 
-    cfg = DedupConfig()
+    # token_hash="xxh64" preserves v1-era signature semantics — the only
+    # config under which restamping an old checkpoint is sound (a genuine
+    # v1 build hashed tokens with the in-repo kernel; no token_hash key
+    # existed in its fingerprint)
+    cfg = DedupConfig(token_hash="xxh64")
     ck = CheckpointManager(str(tmp_path), cfg)
     runs: list[str] = []
 
@@ -185,8 +189,10 @@ def test_schema_migration_in_place(tmp_path):
 
     v1_values = dict(_asdict(cfg))
     # a genuine v1 build ran with the execution knobs at their v1-era
-    # defaults (driver_verify_max=20M), not today's
+    # defaults (driver_verify_max=20M), not today's — and had NO
+    # token_hash key at all (the field postdates v3)
     v1_values.update(_EXEC_KNOB_V3_DEFAULTS)
+    del v1_values["token_hash"]
     v1_fields = {
         k: v for k, v in v1_values.items() if k not in _POST_V1_FIELDS
     }
@@ -223,7 +229,8 @@ def test_migration_v3_to_v4_exec_knob_fingerprint(tmp_path):
     from dedup.config import DedupConfig
     from dedup.schema import SCHEMA_VERSION
 
-    cfg = DedupConfig()
+    # v3-era signature semantics ⟺ token_hash="xxh64" (see the v1 test)
+    cfg = DedupConfig(token_hash="xxh64")
     cm = CheckpointManager(str(tmp_path / "ck"), cfg)
     sdir, ddir, mpath = cm._paths("p1_ingested")
     os.makedirs(ddir, exist_ok=True)
@@ -239,7 +246,7 @@ def test_migration_v3_to_v4_exec_knob_fingerprint(tmp_path):
     assert any(e.startswith("migrate:p1_ingested:v3->v4") for e in cm.events)
 
     # a semantically different config must NOT be restamped
-    cfg2 = DedupConfig(shingle_k=7)
+    cfg2 = DedupConfig(shingle_k=7, token_hash="xxh64")
     cm2 = CheckpointManager(str(tmp_path / "ck2"), cfg2)
     sdir2, ddir2, mpath2 = cm2._paths("p1_ingested")
     os.makedirs(ddir2, exist_ok=True)
@@ -248,6 +255,41 @@ def test_migration_v3_to_v4_exec_knob_fingerprint(tmp_path):
             {"schema_version": 3, "config_fingerprint": cfg.fingerprint_v3()}, f
         )
     assert cm2._maybe_migrate("p1_ingested") is None
+
+    # the default polars token hash changes signature VALUES vs any v3
+    # checkpoint, so a genuine v3 manifest must never be restamped under
+    # it (recompute is the only sound outcome)
+    cfg3 = DedupConfig()  # token_hash="polars-xxh64"
+    cm3 = CheckpointManager(str(tmp_path / "ck3"), cfg3)
+    _, ddir3, mpath3 = cm3._paths("p1_ingested")
+    os.makedirs(ddir3, exist_ok=True)
+    with open(mpath3, "w") as f:
+        json.dump(
+            {"schema_version": 3, "config_fingerprint": cfg.fingerprint_v3()}, f
+        )
+    assert cm3._maybe_migrate("p1_ingested") is None
+
+
+def test_fingerprint_stamps_polars_version():
+    """polars' hash is version-unstable and token hashes persist inside
+    signatures: the fingerprint must pin the polars VERSION so an
+    upgrade invalidates stored signatures loudly (recompute), never
+    silently compares signatures hashed under two different functions."""
+    import polars
+
+    from dedup.config import DedupConfig, _token_hash_impl
+
+    assert _token_hash_impl("polars-xxh64") == f"polars-xxh64@{polars.__version__}"
+    assert _token_hash_impl("xxh64") == "xxh64"
+    # and the stamp actually reaches the fingerprint
+    a = DedupConfig().fingerprint()
+    try:
+        orig = polars.__version__
+        polars.__version__ = "999.0.0-hypothetical"
+        assert DedupConfig().fingerprint() != a
+    finally:
+        polars.__version__ = orig
+    assert DedupConfig().fingerprint() == a
 
 
 def test_fingerprint_ignores_exec_knobs():

@@ -241,6 +241,24 @@ def test_jpeg_progressive_rejected():
         decode_jpeg(bytes(payload))
 
 
+def test_jpeg_noninterleaved_multiscan_rejected():
+    """A scan covering fewer components than the frame (non-interleaved
+    baseline, one scan per component) uses component-local MCU geometry;
+    decoding it with the interleaved walk silently yields garbage, so it
+    must raise instead (fail-loud policy)."""
+    import pytest as _pytest
+
+    from dedup.media import decode_jpeg, encode_jpeg
+
+    rgb = np.full((8, 8, 3), 40, np.uint8)
+    payload = bytearray(encode_jpeg(rgb))
+    i = payload.find(b"\xff\xda")
+    assert payload[i + 4] == 3  # Ns for the interleaved 3-component scan
+    payload[i + 4] = 1  # pretend scan 1/3 (non-interleaved layout)
+    with _pytest.raises(NotImplementedError, match="1/3"):
+        decode_jpeg(bytes(payload))
+
+
 def test_jpeg_quant_tables_honored():
     """A coarser quant table changes coefficients but decode still lands
     near the source (sanity that DQT is actually applied, not ignored)."""

@@ -54,6 +54,21 @@ def test_exact_verify_requires_bit_identity():
     assert df.loc[40, "rep_id"] == 40 and bool(df.loc[40, "kept"])
 
 
+def test_min_id_is_signed_min_for_negative_ids():
+    """doc_hash-style ids are int64 bit patterns and frequently negative:
+    'min_id' must mean the SIGNED smallest vec_id (the oracle SQL's
+    MIN(vec_id)), not components_np's uint64-min label."""
+    rng = np.random.default_rng(4)
+    M = rng.standard_normal((40, 16))
+    M[1] = M[0] + 1e-4 * rng.standard_normal(16)  # dup pair {ids -5, 3}
+    ids = list(range(2, 42))
+    ids[0], ids[1] = -5, 3
+    t = semantic_dedup_table(_emb_ds(M, ids=ids), threshold=0.99, n_cells=2)
+    df = t.to_pandas().set_index("vec_id")
+    assert df.loc[-5, "rep_id"] == -5 and bool(df.loc[-5, "kept"])
+    assert df.loc[3, "rep_id"] == -5 and not bool(df.loc[3, "kept"])
+
+
 def test_centroid_far_policy_deterministic_rep():
     rng = np.random.default_rng(3)
     M = rng.standard_normal((60, 16))

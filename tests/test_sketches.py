@@ -50,8 +50,29 @@ def test_topk_candidate_cap_raises_loud(monkeypatch):
     import dedup.sketches as S
 
     monkeypatch.setattr(S, "CANDIDATE_CAP", 5)
+    # counters=48 keeps T > E (the sound-prune regime — same config the
+    # exactness test uses) so the failure exercised is the cap, not the
+    # T<=E unsound-prune guard
     with pytest.raises(RuntimeError, match="candidate set"):
-        topk_exact_2pass(_zipf_ds(n_docs=300), col="text", k=20, counters=8)
+        topk_exact_2pass(_zipf_ds(n_docs=300), col="text", k=20, counters=48)
+
+
+def test_topk_unsound_prune_raises_loud():
+    # flat distribution: every token appears once, far more distinct
+    # tokens per block than counters → every block's summary drops
+    # everything (lb=0), so NO token survives pass 1 while the true
+    # top-k is non-empty. The old code silently returned an empty (or
+    # wrong) result; the T<=E guard must refuse instead.
+    docs = [f"u{i}" for i in range(400)]
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs)})).repartition(8)
+    with pytest.raises(RuntimeError, match="does not exceed"):
+        topk_exact_2pass(ds, col="text", k=20, counters=8)
+
+
+def test_topk_empty_corpus_is_empty_not_error():
+    ds = rd.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+    out = topk_exact_2pass(ds, col="text", k=5, counters=16)
+    assert out.count() == 0
 
 
 def test_hll_batch_split_invariant_and_mergeable():
