@@ -92,7 +92,7 @@ def knn_cosine(
             if len(cand) == 0:
                 continue
             kk = min(k, len(cand))
-            top = cand[np.argpartition(-s[cand], kk - 1)[:kk]]
+            top = _topk_idx_tiebreak(cand, s, ids, kk)
             out_q.append(np.full(kk, qids[j], np.int64))
             out_n.append(ids[top].astype(np.int64))
             out_s.append(s[top])
@@ -121,6 +121,26 @@ def knn_cosine(
     return out.astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
 
 
+def _topk_idx_tiebreak(
+    cand: np.ndarray, s: np.ndarray, ids: np.ndarray, kk: int
+) -> np.ndarray:
+    """Batch-row indices of the top-``kk`` candidates under
+    (sim DESC, id ASC) — argpartition for the O(n) cut plus boundary-tie
+    resolution, so an exact similarity tie at the local cut never
+    discards the lower-id neighbor (duplicate embeddings make exact
+    ties common in a dedup corpus; the driver merge can only rank what
+    the local pass kept)."""
+    s_c = s[cand]
+    if kk < len(cand):
+        part = np.argpartition(-s_c, kk - 1)[:kk]
+        v = s_c[part].min()
+        tie = np.nonzero(s_c >= v)[0]  # top-kk plus every boundary tie
+    else:
+        tie = np.arange(len(cand))
+    o = np.lexsort((ids[cand[tie]], -s_c[tie]))[:kk]
+    return cand[tie[o]]
+
+
 class EmbeddingIndexer:
     """Actor-pool stage: holds the normalized reference matrix once per
     actor (``__init__``), answers batch queries in ``__call__``.
@@ -130,21 +150,29 @@ class EmbeddingIndexer:
     """
 
     def __init__(self, index_ref, k: int = 5):
-        self.ids, self.M = ray.get(index_ref)
+        ids, M = ray.get(index_ref)
+        # ascending-id column order: required by the searchsorted self-mask
+        # AND makes a stable row sort break similarity ties by id asc
+        o = np.argsort(ids)
+        self.ids, self.M = np.ascontiguousarray(ids[o]), np.ascontiguousarray(M[o])
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         X = _normalize(_emb_matrix(batch))
         sims = X @ self.M.T
-        np.put_along_axis(
-            sims,
-            np.searchsorted(self.ids, ids)[:, None].clip(0, len(self.ids) - 1),
-            -np.inf,
-            axis=1,
-        )  # mask self where present
+        # mask self ONLY where the query id actually exists in the index —
+        # masking the raw clipped insertion point would erase an unrelated
+        # neighbor's similarity for ids absent from the index
+        pos = np.searchsorted(self.ids, ids).clip(0, len(self.ids) - 1)
+        hit = self.ids[pos] == ids
+        r = np.nonzero(hit)[0]
+        sims[r, pos[r]] = -np.inf
         kk = min(self.k, sims.shape[1])
-        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        # stable sort over ascending-id columns = (sim DESC, id ASC) —
+        # O(m log m) per row vs argpartition's O(m), paid for exact tie
+        # discipline (matches knn_cosine / the oracle's ORDER BY)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
         rows = np.repeat(ids, kk)
         cols = self.ids[top].reshape(-1)
         s = np.take_along_axis(sims, top, axis=1).reshape(-1)
@@ -363,7 +391,7 @@ def ivf_search(
             if not len(cand):
                 continue
             kk = min(k, len(cand))
-            top = cand[np.argpartition(-sims[cand, j], kk - 1)[:kk]]
+            top = _topk_idx_tiebreak(cand, sims[:, j], ids, kk)
             out_q.append(np.full(kk, qids[j], np.int64))
             out_n.append(ids[top])
             out_s.append(sims[top, j])
@@ -404,7 +432,11 @@ def lsh_bucketed_pairs(
     the scale path (no O(n·m) GEMM, only bucket-local work).
     """
     # plane matrix is seeded and broadcast once
-    first = next(iter(embeddings.iter_batches(batch_size=1, batch_format="pyarrow")))
+    first = next(
+        iter(embeddings.iter_batches(batch_size=1, batch_format="pyarrow")), None
+    )
+    if first is None or len(first) == 0:  # empty corpus → no pairs
+        return _PAIRS_EMPTY
     d = len(first.column("embedding")[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, d))

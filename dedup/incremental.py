@@ -128,7 +128,9 @@ def build_index(pages: Dataset, cfg: DedupConfig, index_dir: str) -> dict:
     os.makedirs(sigs_dir, exist_ok=True)
     os.makedirs(bands_dir, exist_ok=True)
     ing = ingest(pages, cfg)
-    reps = distinct_reps(ing, n_buckets=cfg.join_buckets)
+    reps = distinct_reps(
+        ing, n_buckets=cfg.join_buckets, max_broadcast_rows=cfg.broadcast_max_rows
+    )
     sigs = sign(reps, cfg)
     sigs.write_parquet(sigs_dir)
     # precomputed band table: each batch run probes (doc_hash, bkey) rows
@@ -197,7 +199,10 @@ def incremental_dedup(
             kept_sigs=rd.from_arrow(empty_kept.select(["doc_hash"])),
         )
     dups = dup_keys(ing, "doc_hash")  # batch-internal exact-dup hashes
-    reps = distinct_reps(ing, dups=dups, n_buckets=cfg.join_buckets)
+    reps = distinct_reps(
+        ing, dups=dups, n_buckets=cfg.join_buckets,
+        max_broadcast_rows=cfg.broadcast_max_rows,
+    )
     new_sigs = sign(reps, cfg).materialize()
 
     # ---- 1. exact vs corpus: index hashes that occur in the batch.
@@ -255,10 +260,15 @@ def incremental_dedup(
         bands_idx = band_rows(
             rd.read_parquet(sigs_dir, columns=["doc_hash", "sig", "n_shingles"]), cfg
         )
+    # materialize: consumed twice (candidate generation below + the
+    # old_cand collect) — without this the corpus-sized index bands scan
+    # and its size-guarded membership filter would re-execute per
+    # consumer. The hit set itself is bounded by band-key collisions
+    # with the batch, not by the corpus.
     bands_old_hit = semi_filter_auto(
         bands_idx.select_columns(["doc_hash", "bkey"]), "bkey", nb_keys,
         max_broadcast_rows=cfg.broadcast_max_rows, n_buckets=cfg.join_buckets,
-    )
+    ).materialize()
     pairs, chain = candidate_pairs(bands_new.union(bands_old_hit), cfg)
     if len(chain):
         pairs = pairs.union(rd.from_arrow(chain))
@@ -399,9 +409,13 @@ def incremental_dedup(
             }
         )
         drop_urls = urls[drop_mask]
+        kept_hash_drop = np.setdiff1d(
+            np.unique(hashes), np.unique(hashes[keep_mask])
+        )
     else:
         report = _REPORT_EMPTY
         drop_urls = np.empty(0, object)
+        kept_hash_drop = np.empty(0, np.int64)
 
     # ---- 4. kept pages stream out via a hashed url anti-filter (the
     # same dup-bounded pattern as near_dup_corpus — the batch itself
@@ -433,13 +447,13 @@ def incremental_dedup(
         .select_columns(["url", "size_bytes", "doc_hash"])
     )
 
-    # kept signature rows = new sigs minus dropped doc_hashes (a kept
-    # page's hash; dropped-hash set is dup-bounded)
-    kept_hash_drop = np.setdiff1d(new_hashes, np.unique(
-        collect_table(kept.select_columns(["doc_hash"]))
-        .column("doc_hash")
-        .to_numpy(zero_copy_only=False)
-    ))
+    # kept signature rows = new sigs minus fully-dropped doc_hashes. The
+    # drop set is derived from the involved arrays already in hand
+    # (re-running the kept pipeline and collecting every kept hash would
+    # re-execute the batch ingest and put a BATCH-sized array on the
+    # driver; this stays bounded by duplicate-involved docs). A hash
+    # outside `involved` always has a kept page, so only involved hashes
+    # with zero kept rows drop.
     kept_sigs = semi_filter(new_sigs, "doc_hash", kept_hash_drop, keep=False)
     return IncrementalResult(kept=kept, report=report, kept_sigs=kept_sigs)
 

@@ -82,6 +82,45 @@ def band_rows(signatures: Dataset, cfg: DedupConfig) -> Dataset:
     )
 
 
+def _segment_emit(
+    bk: np.ndarray, dh: np.ndarray, cap: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The skew-critical pair-emission kernel, shared by ``_emit_star``
+    (sorted-stream batches) and ``segment_pairs`` (whole-component row
+    sets) so the small/jumbo semantics can never diverge between them.
+
+    Rows must be SORTED by ``bk`` (any within-segment order). Segments
+    with ≤ ``cap`` rows emit ALL member–member pairs via one vectorized
+    pass per offset d (O(cap) passes, each a boolean AND over the rows);
+    jumbo segments emit bucket-min → member star edges (linear). Returns
+    raw ``(a, b, rep_u)`` — NOT canonicalized/deduplicated; ``rep_u`` is
+    each segment's uint64-min member, indexed by segment.
+    """
+    n = len(bk)
+    du = dh.view(U64)
+    seg_starts = np.concatenate([[0], np.flatnonzero(bk[1:] != bk[:-1]) + 1])
+    seg_len = np.diff(np.append(seg_starts, n))
+    seg_id = np.cumsum(np.concatenate([[0], (bk[1:] != bk[:-1]).astype(np.int8)]))
+    rep_u = np.minimum.reduceat(du, seg_starts)
+    small = seg_len <= cap
+    small_row = small[seg_id]
+    # star edges for jumbo segments only
+    rep_per_row = rep_u[seg_id].view(np.int64)
+    is_member = (dh != rep_per_row) & ~small_row
+    parts_a = [rep_per_row[is_member]]
+    parts_b = [dh[is_member]]
+    # all-pairs for small segments: pair row k with row k+d when both
+    # sit in the same small segment
+    max_small = int(seg_len[small].max()) if small.any() else 0
+    for d in range(1, max_small):
+        ok = small_row[: n - d] & (seg_id[: n - d] == seg_id[d:])
+        if not ok.any():
+            continue
+        parts_a.append(dh[: n - d][ok])
+        parts_b.append(dh[d:][ok])
+    return np.concatenate(parts_a), np.concatenate(parts_b), rep_u
+
+
 def _emit_star(batch: pa.Table, allpairs_max: int = 64) -> pa.Table:
     """One sorted batch → candidate edges + boundary records.
 
@@ -111,30 +150,7 @@ def _emit_star(batch: pa.Table, allpairs_max: int = 64) -> pa.Table:
     order = np.argsort(bk, kind="stable")  # defensive; stream is sorted
     bk = bk[order]
     dh = dh[order]
-    du = dh.view(U64)
-    seg_starts = np.concatenate([[0], np.flatnonzero(bk[1:] != bk[:-1]) + 1])
-    seg_len = np.diff(np.append(seg_starts, n))
-    rep_u = np.minimum.reduceat(du, seg_starts)
-    seg_id = np.cumsum(np.concatenate([[0], (bk[1:] != bk[:-1]).astype(np.int8)]))
-    small = seg_len <= allpairs_max
-    small_row = small[seg_id]
-    # star edges for jumbo segments only
-    rep_per_row = rep_u[seg_id].view(np.int64)
-    is_member = (dh != rep_per_row) & ~small_row
-    parts_a = [rep_per_row[is_member]]
-    parts_b = [dh[is_member]]
-    # all-pairs for small segments: one vectorized pass per offset d —
-    # pair row k with row k+d when both sit in the same small segment.
-    # O(allpairs_max) passes, each a boolean AND over the batch.
-    max_small = int(seg_len[small].max()) if small.any() else 0
-    for d in range(1, max_small):
-        ok = small_row[: n - d] & (seg_id[: n - d] == seg_id[d:])
-        if not ok.any():
-            continue
-        parts_a.append(dh[: n - d][ok])
-        parts_b.append(dh[d:][ok])
-    edges_a = np.concatenate(parts_a)
-    edges_b = np.concatenate(parts_b)
+    edges_a, edges_b, rep_u = _segment_emit(bk, dh, allpairs_max)
     # boundary records for first and last segment
     rep_i = rep_u.view(np.int64)
     brec_a = [int(bk[0]), int(bk[-1])]
@@ -168,43 +184,13 @@ def segment_pairs(
     n = len(bk)
     if n == 0:
         return empty, empty
-    du0 = dh.view(U64)
-    order = np.lexsort((du0, bk))
-    bk = bk[order]
-    dh = dh[order]
-    du = dh.view(U64)
-    seg_starts = np.concatenate([[0], np.flatnonzero(bk[1:] != bk[:-1]) + 1])
-    seg_len = np.diff(np.append(seg_starts, n))
-    seg_id = np.cumsum(np.concatenate([[0], (bk[1:] != bk[:-1]).astype(np.int8)]))
-    rep_u = du[seg_starts]  # min member: rows are uint64-sorted within segment
-    small = seg_len <= cap
-    small_row = small[seg_id]
-    rep_per_row = rep_u[seg_id].view(np.int64)
-    is_member = (dh != rep_per_row) & ~small_row
-    parts_a = [rep_per_row[is_member]]
-    parts_b = [dh[is_member]]
-    max_small = int(seg_len[small].max()) if small.any() else 0
-    for d in range(1, max_small):
-        ok = small_row[: n - d] & (seg_id[: n - d] == seg_id[d:])
-        if not ok.any():
-            continue
-        parts_a.append(dh[: n - d][ok])
-        parts_b.append(dh[d:][ok])
-    a = np.concatenate(parts_a)
-    b = np.concatenate(parts_b)
+    order = np.argsort(bk, kind="stable")
+    a, b, _ = _segment_emit(bk[order], dh[order], cap)
     if not len(a):
         return empty, empty
-    au, bu = a.view(U64), b.view(U64)
-    lo, hi = np.minimum(au, bu), np.maximum(au, bu)
-    keep = lo != hi
-    lo, hi = lo[keep], hi[keep]
-    if not len(lo):
-        return empty, empty
-    o = np.lexsort((hi, lo))
-    lo, hi = lo[o], hi[o]
-    first = np.ones(len(lo), dtype=bool)
-    first[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
-    return lo[first].view(np.int64), hi[first].view(np.int64)
+    from .verify import _canon_unique_np
+
+    return _canon_unique_np(a, b)
 
 
 def candidate_pairs(

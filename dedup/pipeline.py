@@ -35,7 +35,10 @@ from .verify import verify_auto
 
 
 def distinct_reps(
-    ingested: Dataset, dups: np.ndarray | None = None, n_buckets: int = 32
+    ingested: Dataset,
+    dups: np.ndarray | None = None,
+    n_buckets: int = 32,
+    max_broadcast_rows: int | None = None,
 ) -> Dataset:
     """One row per distinct doc_hash, keeping (doc_hash, text).
 
@@ -50,11 +53,17 @@ def distinct_reps(
 
     ``dups``: precomputed sorted duplicated-key array (callers that
     already ran the narrow count pass supply it to avoid re-executing).
+    ``max_broadcast_rows``: threaded into the size-guarded membership
+    filters (cfg.broadcast_max_rows at call sites); None keeps the
+    module default.
     """
     narrow = ingested.select_columns(["doc_hash", "text"])
     if dups is None:
         dups = dup_keys(ingested, "doc_hash")
-    uniq = semi_filter(narrow, "doc_hash", dups, keep=False)
+    uniq = semi_filter(
+        narrow, "doc_hash", dups, keep=False,
+        max_broadcast_rows=max_broadcast_rows, n_buckets=n_buckets,
+    )
     if len(dups) == 0:
         return uniq
 
@@ -63,13 +72,6 @@ def distinct_reps(
         dh = batch.column("doc_hash").to_numpy(zero_copy_only=False)
         _, first_idx = np.unique(dh, return_index=True)
         return batch.take(pa.array(np.sort(first_idx)))
-
-    def bucket(batch: pa.Table) -> pa.Table:
-        from .hashing import fmix64
-
-        dh = batch.column("doc_hash").to_numpy(zero_copy_only=False)
-        b = (fmix64(dh.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int32)
-        return batch.append_column("__bucket", pa.array(b, pa.int32()))
 
     def bucket_first(g: pa.Table) -> pa.Table:
         # Arrow-native first-per-hash: stable sort on the int64 key +
@@ -82,10 +84,17 @@ def distinct_reps(
         keep = np.sort(order[first])  # preserve original row order
         return g.select(["doc_hash", "text"]).take(pa.array(keep, pa.int64()))
 
+    from .exchange import _add_bucket
+
     rep_dups = (
-        semi_filter(narrow, "doc_hash", dups)
-        .map_batches(local_first, batch_format="pyarrow")
-        .map_batches(bucket, batch_format="pyarrow")
+        _add_bucket(
+            semi_filter(
+                narrow, "doc_hash", dups,
+                max_broadcast_rows=max_broadcast_rows, n_buckets=n_buckets,
+            ).map_batches(local_first, batch_format="pyarrow"),
+            "doc_hash",
+            n_buckets,
+        )
         .groupby("__bucket")
         .map_groups(bucket_first, batch_format="pyarrow")
     )
@@ -183,7 +192,10 @@ def near_dup_pipeline(
     # sizing (url count per duplicated doc_hash)
     dup_hashes, dup_cnts = dup_key_counts(ing, "doc_hash")
     tick("dup_counts")
-    reps = distinct_reps(ing, dups=dup_hashes, n_buckets=cfg.join_buckets)
+    reps = distinct_reps(
+        ing, dups=dup_hashes, n_buckets=cfg.join_buckets,
+        max_broadcast_rows=cfg.broadcast_max_rows,
+    )
     if checkpoint is not None:
         # the per-partition signing loop below scans reps P times — pin it.
         # Without a checkpoint reps has exactly ONE consumer (sign), so the

@@ -37,6 +37,57 @@ def test_knn_exact_matches_numpy():
         assert got == expect
 
 
+def test_knn_local_tie_at_cut_keeps_lower_id():
+    """Two identical neighbor vectors tie exactly at the local top-k cut:
+    the contract (and oracle ORDER BY sim DESC, id ASC) requires the
+    LOWER id to survive — argpartition alone picks arbitrarily."""
+    M = np.zeros((3, 2))
+    M[0] = [1.0, 0.0]  # query, id 1
+    M[1] = [1.0, 0.0]  # id 9 — identical
+    M[2] = [1.0, 0.0]  # id 5 — identical
+    out = knn_cosine(_emb_ds(M, ids=[1, 9, 5]), query_ids=[1], k=1)
+    assert out["neighbor_id"].tolist() == [5]
+
+
+def test_indexer_absent_query_id_masks_nothing():
+    """A query id absent from the index must not erase an unrelated
+    index column via the clipped searchsorted insertion point."""
+    import ray
+
+    from dedup.embed import EmbeddingIndexer, _emb_matrix, _normalize
+
+    ids = np.array([10, 20, 30], np.int64)
+    M = np.eye(3)
+    ref = ray.put((ids, _normalize(M)))
+    ix = EmbeddingIndexer(ref, k=1)
+    # query id 25 (absent), identical to index vector 30
+    q = pa.table(
+        {
+            "vec_id": pa.array([25], pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(M[2].astype(np.float32), pa.float32()), 3
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    out = ix(q)
+    assert out.column("neighbor_id").to_pylist() == [30]
+    assert out.column("sim")[0].as_py() == pytest.approx(1.0)
+    # and a PRESENT id still masks itself
+    q2 = pa.table(
+        {
+            "vec_id": pa.array([30], pa.int64()),
+            "embedding": q.column("embedding"),
+        }
+    )
+    out2 = ix(q2)
+    assert 30 not in out2.column("neighbor_id").to_pylist()
+
+
+def test_lsh_bucketed_empty_corpus():
+    out = lsh_bucketed_pairs(_emb_ds(np.zeros((0, 4))), threshold=0.9)
+    assert len(out) == 0
+
+
 def test_cosine_near_dup_planted():
     rng = np.random.default_rng(1)
     M = rng.standard_normal((100, 32))
