@@ -58,48 +58,73 @@ def key_counts(ds: Dataset, key_col: str) -> Dataset:
 _DRIVER_AGG_MAX = 30_000_000  # partial-count rows; 16 B each → ≤ ~500 MB
 
 
-def dup_key_counts(ds: Dataset, key_col: str) -> tuple[np.ndarray, np.ndarray]:
-    """(sorted keys occurring >1, their counts) — one execution.
+def merged_threshold_keys(
+    partials: Dataset,
+    key_col: str,
+    cnt_col: str,
+    min_count: int,
+    return_counts: bool = False,
+) -> "np.ndarray | tuple[np.ndarray, np.ndarray]":
+    """Merge (key, partial-count) combiner rows and return the SORTED
+    keys whose summed count ≥ ``min_count`` (with the counts when
+    ``return_counts``). The shared driver/groupby split policy: partial
+    rows are merged on the driver with one argsort+reduceat while they
+    fit ``_DRIVER_AGG_MAX`` (a Ray groupby shuffle costs seconds of
+    fixed latency that dominates at ≤10^7 distinct keys); past the
+    bound a narrow groupby takes over (the 10^12-doc regime).
 
-    ≅ singleton-group pruning (process_matches.rs:51-61) expressed as a
-    narrow aggregate. The per-batch partial counts (16-byte rows) are
-    merged on the driver with one argsort+reduceat while they fit —
-    a Ray groupby shuffle costs seconds of fixed latency that dominates
-    at ≤10^7 distinct keys; past ``_DRIVER_AGG_MAX`` partial rows the
-    groupby path takes over (the 10^12-doc regime).
+    NOTE: the over-bound dispatch consumes ``partials`` twice (the probe
+    loop, then the groupby). Callers whose partial map stage is the
+    expensive part (e.g. substr window hashing) must pass a MATERIALIZED
+    Dataset; for cheap column-scan combiners re-execution is fine.
     """
-    partial = ds.map_batches(_batch_key_counts(key_col), batch_format="pyarrow")
+    empty = np.empty(0, np.int64)
     batches, n = [], 0
-    for b in partial.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+    for b in partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
         batches.append(b)
         n += len(b)
         if n > _DRIVER_AGG_MAX:
             break
     if n <= _DRIVER_AGG_MAX:
         if not batches:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
+            return (empty, empty.copy()) if return_counts else empty
         tbl = pa.concat_tables(batches)
         keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
-        cnts = tbl.column("partial_cnt").to_numpy(zero_copy_only=False)
+        cnts = tbl.column(cnt_col).to_numpy(zero_copy_only=False)
         order = np.argsort(keys, kind="stable")
         k, c = keys[order], cnts[order]
         starts = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
         uk = k[starts]
         uc = np.add.reduceat(c, starts)
-        dup = uc > 1
-        return uk[dup], uc[dup]
+        m = uc >= min_count
+        return (uk[m], uc[m]) if return_counts else uk[m]
 
     # distinct-key cardinality too large for the driver → Ray groupby
-    agg = key_counts(ds, key_col)
-    dup = agg.filter(expr="cnt > 1")
-    tbl = pa.concat_tables(
-        [b for b in dup.iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
-        or [pa.table({key_col: pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})]
-    )
-    keys = tbl.column(key_col).to_numpy(zero_copy_only=False)
-    cnts = tbl.column("cnt").to_numpy(zero_copy_only=False)
+    agg = partials.groupby(key_col).aggregate(Sum(cnt_col, alias_name="__n"))
+    ks, cs = [], []
+    for b in agg.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        nn = b.column("__n").to_numpy(zero_copy_only=False)
+        m = nn >= min_count
+        ks.append(b.column(key_col).to_numpy(zero_copy_only=False)[m])
+        cs.append(nn[m])
+    keys = np.concatenate(ks) if ks else empty
+    cnts = np.concatenate(cs) if cs else empty
     order = np.argsort(keys)
-    return keys[order], cnts[order]
+    return (keys[order], cnts[order]) if return_counts else keys[order]
+
+
+def dup_key_counts(ds: Dataset, key_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted keys occurring >1, their counts) — one execution.
+
+    ≅ singleton-group pruning (process_matches.rs:51-61) expressed as a
+    narrow aggregate; the merge policy lives in ``merged_threshold_keys``
+    (the combiner here is a cheap column scan, so over-bound
+    re-execution is acceptable).
+    """
+    partial = ds.map_batches(_batch_key_counts(key_col), batch_format="pyarrow")
+    return merged_threshold_keys(
+        partial, key_col, "partial_cnt", 2, return_counts=True
+    )
 
 
 def n_distinct(ds: Dataset, key_col: str) -> int:

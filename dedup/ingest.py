@@ -22,7 +22,6 @@ url" holds because ``text`` is never rewritten anywhere downstream.
 
 from __future__ import annotations
 
-import re
 
 import numpy as np
 import pyarrow as pa
@@ -42,12 +41,14 @@ class Ingester:
     def __init__(self, cfg: DedupConfig, extra_cols: tuple[str, ...] = ()):
         self.cfg = cfg
         self.extra_cols = tuple(extra_cols)
-        self.url_re = re.compile(cfg.exclude_url_regex) if cfg.exclude_url_regex else None
+        # the pattern string, NOT a Python re.compile: the batch-time
+        # matcher is Arrow RE2, and Python re rejects RE2-valid syntax
+        # (e.g. \pL Unicode classes) that Arrow accepts — the probe below
+        # is the authoritative fail-fast validation
+        self.url_pattern = cfg.exclude_url_regex or None
         if cfg.exclude_url_regex:
-            # the batch-time matcher is Arrow RE2, whose syntax is narrower
-            # than Python re (no lookaround/backrefs) — probe it here so a
-            # bad pattern fails at construction with a clear error, not
-            # mid-pipeline inside a Ray task
+            # probe so a bad pattern fails at construction with a clear
+            # error, not mid-pipeline inside a Ray task
             try:
                 # one-element probe: Arrow skips regex compilation entirely
                 # on an empty array
@@ -61,6 +62,39 @@ class Ingester:
                 ) from e
         self.langs = set(cfg.lang_filter) if cfg.lang_filter else None
 
+    def reject_masks(
+        self, t: pa.Table, size: np.ndarray
+    ) -> list[tuple[np.ndarray, str]]:
+        """Per-gate reject masks in fixed priority order (too_short →
+        too_long → lang → url) — the ONE definition of the gates, shared
+        by ``__call__`` (keeps = complement) and ``gate_rejects``
+        (labels), so the rejects table can never desynchronize from what
+        ingest actually drops."""
+        cfg = self.cfg
+        out = [(size < cfg.min_size, "too_short")]
+        if cfg.max_size:
+            out.append((size > cfg.max_size, "too_long"))
+        if self.langs is not None:
+            if "lang" not in t.column_names:
+                # a silently-inactive filter is worse than a crash: the
+                # user asked for language gating they would not be getting
+                raise ValueError(
+                    "cfg.lang_filter is set but the input has no 'lang' column"
+                )
+            lang_ok = pc.is_in(
+                pc.fill_null(t.column("lang"), ""),
+                value_set=pa.array(sorted(self.langs)),
+            ).to_numpy(zero_copy_only=False).astype(bool)
+            out.append((~lang_ok, "lang"))
+        if self.url_pattern is not None:
+            # Arrow RE2 regex — vectorized, no per-row Python. Matches
+            # re.search semantics (unanchored substring match).
+            bad = pc.match_substring_regex(
+                pc.fill_null(t.column("url"), ""), self.url_pattern
+            ).to_numpy(zero_copy_only=False).astype(bool)
+            out.append((bad, "url"))
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         keep = list(_KEEP) + [c for c in self.extra_cols if c not in _KEEP]
@@ -70,21 +104,9 @@ class Ingester:
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         size = utf8_lengths(text)
-        mask = size >= cfg.min_size
-        if cfg.max_size:
-            mask &= size <= cfg.max_size
-        if self.langs is not None and "lang" in t.column_names:
-            lang_ok = pc.is_in(
-                pc.fill_null(t.column("lang"), ""), value_set=pa.array(sorted(self.langs))
-            )
-            mask &= lang_ok.to_numpy(zero_copy_only=False).astype(bool)
-        if self.url_re is not None:
-            # Arrow RE2 regex — vectorized, no per-row Python. Matches
-            # re.search semantics (unanchored substring match).
-            hit = pc.match_substring_regex(
-                pc.fill_null(t.column("url"), ""), self.cfg.exclude_url_regex
-            )
-            mask &= ~hit.to_numpy(zero_copy_only=False).astype(bool)
+        mask = np.ones(len(t), dtype=bool)
+        for rej, _label in self.reject_masks(t, size):
+            mask &= ~rej
         t = t.filter(pa.array(mask))
         text = t.column("text")
         if isinstance(text, pa.ChunkedArray):
@@ -141,27 +163,10 @@ def gate_rejects(pages: Dataset, cfg: DedupConfig) -> Dataset:
         n = len(batch)
         reason = np.array([""] * n, dtype=object)
         ok = np.ones(n, dtype=bool)
-
-        def mark(mask, label):
-            nonlocal ok
+        for mask, label in gate.reject_masks(batch, size):
             hit = mask & ok
             reason[hit] = label
             ok &= ~mask
-
-        mark(size < cfg.min_size, "too_short")
-        if cfg.max_size:
-            mark(size > cfg.max_size, "too_long")
-        if gate.langs is not None and "lang" in batch.column_names:
-            lang_ok = pc.is_in(
-                pc.fill_null(batch.column("lang"), ""),
-                value_set=pa.array(sorted(gate.langs)),
-            ).to_numpy(zero_copy_only=False).astype(bool)
-            mark(~lang_ok, "lang")
-        if gate.url_re is not None:
-            bad = pc.match_substring_regex(
-                pc.fill_null(batch.column("url"), ""), cfg.exclude_url_regex
-            ).to_numpy(zero_copy_only=False).astype(bool)
-            mark(bad, "url")
         rej = ~ok
         return pa.table(
             {

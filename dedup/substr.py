@@ -55,7 +55,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Sum
 
 from .hashing import U64, fmix64
 from .minhash import DEFAULT_TOKEN_HASH, _hash_tokens
@@ -145,41 +144,19 @@ def dup_window_hashes(
             {"wh": pa.array(key, pa.int64()), "pd": pa.array(cnt, pa.int64())}
         )
 
+    # materialized: the merge policy below may consume the stream twice
+    # (probe + groupby fallback), and THIS combiner's map stage — the
+    # O(total-tokens) tokenize + window-hash pass — is the dominant cost
+    # of pass 1; re-executing it would double the pipeline's hot work
     partials = docs.map_batches(
         partial, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
-    )
+    ).materialize()
 
-    # merge the 16 B (wh, pd) combiner rows on the driver with one
-    # argsort+reduceat while they fit (a Ray groupby shuffle costs tens
-    # of seconds of sort/spill on tens of millions of rows where the
-    # driver merge takes ~1 s); past the bound the groupby path takes
-    # over — same split as exchange.dup_key_counts
-    from .exchange import _DRIVER_AGG_MAX
+    # merge the 16 B (wh, pd) combiner rows with the shared
+    # driver-argsort / groupby split policy (exchange.merged_threshold_keys)
+    from .exchange import merged_threshold_keys
 
-    batches, n = [], 0
-    for b in partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        batches.append(b)
-        n += len(b)
-        if n > _DRIVER_AGG_MAX:
-            break
-    if n <= _DRIVER_AGG_MAX:
-        if not batches:
-            return np.empty(0, np.int64)
-        tbl = pa.concat_tables(batches)
-        keys = tbl.column("wh").to_numpy(zero_copy_only=False)
-        cnts = tbl.column("pd").to_numpy(zero_copy_only=False)
-        order = np.argsort(keys, kind="stable")
-        k_s, c_s = keys[order], cnts[order]
-        starts = np.concatenate([[0], np.flatnonzero(k_s[1:] != k_s[:-1]) + 1])
-        total = np.add.reduceat(c_s, starts)
-        return k_s[starts][total >= min_docs]
-
-    agg = partials.groupby("wh").aggregate(Sum("pd", alias_name="n_docs"))
-    out = []
-    for b in agg.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        nn = b.column("n_docs").to_numpy(zero_copy_only=False)
-        out.append(b.column("wh").to_numpy(zero_copy_only=False)[nn >= min_docs])
-    return np.sort(np.concatenate(out)) if out else np.empty(0, np.int64)
+    return merged_threshold_keys(partials, "wh", "pd", min_docs)
 
 
 def strip_dup_spans(

@@ -38,8 +38,9 @@ def _enc_np(x: np.ndarray) -> np.ndarray:
     return (x.view(np.uint64) ^ _SIGN).view(np.int64)
 
 
-def _dec_np(x: np.ndarray) -> np.ndarray:
-    return (x.view(np.uint64) ^ _SIGN).view(np.int64)
+# the sign-bit XOR is an involution, so decode IS encode; the second name
+# only marks direction at call sites
+_dec_np = _enc_np
 
 
 class UnionFind:

@@ -27,7 +27,6 @@ from .hashing import U64
 
 
 _PARALLEL_VERIFY_MIN = 200_000  # pairs; below this one core wins
-_PARALLEL_DEDUP_MIN = 2_000_000  # raw pairs; above this dedup runs in Ray
 
 
 def _adjacent_first_mask(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -256,13 +255,12 @@ def verify_auto(pairs: Dataset, sigs: Dataset, cfg: DedupConfig) -> pa.Table:
       ``map_batches`` against a **plasma-broadcast** signature matrix
       (``verify_broadcast``): every worker on a node reads the one
       shared zero-copy object; no signature ever enters a shuffle.
-      (The bucketed-join path ``verify_distributed`` remains for the
-      regime where even the candidate-involved signature set exceeds
-      node memory.)
+      ``verify_broadcast`` itself degrades to the bucketed-exchange
+      ``verify_distributed`` when the candidate-involved doc count
+      exceeds ``cfg.sig_broadcast_max`` (the signature matrix would not
+      fit one node), so no tier ever collects an unbounded matrix.
     """
     # cfg.driver_verify_max is the documented driver/distributed switchover
-    # and wins outright; _PARALLEL_DEDUP_MIN is only the default floor used
-    # when no config is in play (see dedup_pairs callers)
     raw_cap = cfg.driver_verify_max
     pt = collect_table(pairs, limit_rows=raw_cap + 1)
     if len(pt) <= raw_cap:
@@ -326,6 +324,27 @@ def candidate_ids(
     return uniq
 
 
+def _keep_all_ones(pairs: Dataset) -> Dataset:
+    """``verify_threshold <= 0`` semantics, identical at EVERY tier
+    (pinned by ``verify_pairs`` / ``component_verified_edges``): keep
+    every canonical pair with sim 1.0 and read no signatures. Without
+    this short-circuit the broadcast/distributed tiers reported computed
+    sims (and the distributed join dropped signature-less pairs), so the
+    same corpus + config produced different edge tables purely as a
+    function of which tier the pair count selected."""
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "sim": pa.array(np.ones(len(batch)), pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(ones, batch_format="pyarrow")
+
+
 def broadcast_check(
     pairs_deduped: Dataset, sigs: Dataset, cfg: DedupConfig, cand: np.ndarray
 ) -> Dataset:
@@ -333,6 +352,8 @@ def broadcast_check(
     signatures are semi-filtered, collected ONCE, ``ray.put`` once, and
     every checking task reads the one zero-copy plasma view. The pair
     stream (and the edge output) never touches the driver."""
+    if cfg.verify_threshold <= 0:
+        return _keep_all_ones(pairs_deduped)
     sub = semi_filter(sigs.select_columns(["doc_hash", "sig"]), "doc_hash", cand)
     st = collect_table(sub)
     ref = ray.put(_prep_sigs(st, cfg.num_perm))
@@ -344,7 +365,7 @@ def broadcast_check(
         a = batch.column("a").to_numpy(zero_copy_only=False)
         b = batch.column("b").to_numpy(zero_copy_only=False)
         sim = _compare_slice(sig_index, a, b, np_)
-        keep = sim >= thr if thr > 0 else np.ones(len(a), bool)
+        keep = sim >= thr
         return pa.table(
             {
                 "a": pa.array(a[keep], pa.int64()),
@@ -366,8 +387,15 @@ def verify_broadcast(pairs_deduped: Dataset, sigs: Dataset, cfg: DedupConfig) ->
     batches.
     """
     pairs_deduped = pairs_deduped.materialize()
-    cand = candidate_ids(pairs_deduped)
-    t = collect_table(broadcast_check(pairs_deduped, sigs, cfg, cand))
+    # size-guard the broadcast: past cfg.sig_broadcast_max candidate-
+    # involved docs the collected signature matrix would not fit one
+    # node (~1 KB/doc at 128 perms) — degrade to the bucketed-exchange
+    # verifier, where only the (edge-bounded) RESULT collects
+    cand = candidate_ids(pairs_deduped, limit=cfg.sig_broadcast_max)
+    if cand is None:
+        t = collect_table(verify_distributed(pairs_deduped, sigs, cfg))
+    else:
+        t = collect_table(broadcast_check(pairs_deduped, sigs, cfg, cand))
     if len(t) == 0:
         return pa.table(
             {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
@@ -429,6 +457,8 @@ def verify_distributed(pairs: Dataset, sigs: Dataset, cfg: DedupConfig) -> Datas
     generic pandas-merge ``bucketed_join``). Each exchange is a plain
     union + groupby(bucket) + vectorized searchsorted attach — sigs have
     one row per doc_hash, so the sorted-key gather IS the inner join."""
+    if cfg.verify_threshold <= 0:
+        return _keep_all_ones(pairs)
     width = 8 * cfg.num_perm
 
     def pack(batch: pa.Table) -> pa.Table:

@@ -205,6 +205,37 @@ def test_exclude_url_regex_validated_at_construction():
         Ingester(DedupConfig(exclude_url_regex=r"foo(?=bar)"))
 
 
+def test_exclude_url_regex_re2_only_syntax_accepted():
+    """RE2-valid syntax that PYTHON re rejects (\\pL Unicode class) must
+    work end-to-end: the matcher is Arrow RE2, so Python re must never
+    gate pattern acceptance."""
+    t = pa.table(
+        {
+            "url": pa.array(["u/abc", "u/123"]),
+            "warc_ts": pa.array([0, 1], pa.timestamp("us")),
+            "html": pa.array([b""] * 2, pa.binary()),
+            "text": pa.array(["x" * 50] * 2),
+            "lang": pa.array(["en"] * 2),
+        }
+    )
+    cfg = DedupConfig(min_size=1, exclude_url_regex=r"/\pL+$")
+    kept = ingest(rd.from_arrow(t), cfg).to_pandas()
+    assert kept["url"].tolist() == ["u/123"]
+
+
+def test_lang_filter_without_lang_column_fails_loud():
+    """A configured lang_filter over an input lacking the lang column
+    must raise, not silently pass every language through."""
+    import pytest
+
+    from dedup.ingest import Ingester
+
+    t = pa.table({"url": pa.array(["u"]), "text": pa.array(["x" * 50])})
+    ing = Ingester(DedupConfig(min_size=1, lang_filter=("en",)))
+    with pytest.raises(ValueError, match="lang"):
+        ing(t)
+
+
 def test_url_exclude_regex_gate():
     """Vectorized RE2 url filter: matching urls are rejected with reason
     'url'; non-matching pass (mirrors re.search substring semantics)."""
