@@ -66,3 +66,54 @@ def test_semi_filter_auto_branches_identical():
         b = _norm(semi_filter_auto(ds, "k", sub, keep=keep, max_broadcast_rows=0))
         pd.testing.assert_frame_equal(a, b)
         assert len(a) > 0
+
+
+def test_merged_threshold_keys_branches_identical(monkeypatch):
+    """The driver-argsort merge and the groupby fallback of
+    ``merged_threshold_keys`` must return identical keys/counts — the
+    ``_DRIVER_AGG_MAX`` bound only changes the execution plan. The
+    fallback consumes the partials Dataset twice (probe + groupby), so
+    a plain in-memory Dataset is a valid input per the docstring."""
+    import dedup.exchange as ex
+
+    rng = np.random.default_rng(11)
+    # keys with repeats spread across several combiner rows; counts 1..5
+    keys = rng.integers(-(2**62), 2**62, size=200).repeat(rng.integers(1, 4, 200))
+    rng.shuffle(keys)
+    cnts = rng.integers(1, 6, size=len(keys))
+    partials = rd.from_arrow(
+        pa.table({"wh": pa.array(keys, pa.int64()), "pd": pa.array(cnts, pa.int64())})
+    )
+    for min_count in (2, 5, 10**9):
+        k_drv, c_drv = ex.merged_threshold_keys(
+            partials, "wh", "pd", min_count, return_counts=True
+        )
+        monkeypatch.setattr(ex, "_DRIVER_AGG_MAX", 10)  # force groupby path
+        k_gb, c_gb = ex.merged_threshold_keys(
+            partials, "wh", "pd", min_count, return_counts=True
+        )
+        monkeypatch.undo()
+        assert np.array_equal(k_drv, k_gb)
+        assert np.array_equal(c_drv, c_gb)
+        # keys-only form agrees with the counted form
+        assert np.array_equal(
+            ex.merged_threshold_keys(partials, "wh", "pd", min_count), k_drv
+        )
+        # contract: sorted, all counts >= min_count
+        assert np.all(np.diff(k_drv) > 0)
+        assert np.all(c_drv >= min_count)
+
+
+def test_dup_key_counts_both_branches(monkeypatch):
+    """``dup_key_counts`` (>1 occurrences) via both merge plans."""
+    import dedup.exchange as ex
+
+    vals = np.array([5, 5, 5, -9, -9, 7, 0, 0], np.int64)
+    ds = rd.from_arrow(pa.table({"k": pa.array(vals, pa.int64())}))
+    k1, c1 = ex.dup_key_counts(ds, "k")
+    monkeypatch.setattr(ex, "_DRIVER_AGG_MAX", 0)
+    k2, c2 = ex.dup_key_counts(ds, "k")
+    exp = {-9: 2, 0: 2, 5: 3}
+    for k, c in ((k1, c1), (k2, c2)):
+        assert dict(zip(k.tolist(), c.tolist())) == exp
+        assert np.array_equal(k, np.sort(k))
