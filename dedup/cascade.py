@@ -23,11 +23,10 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import ray
 from ray.data import Dataset
 
 from .config import DedupConfig
-from .exchange import dup_key_counts, dup_keys, semi_filter
+from .exchange import broadcast_map_i64, dup_key_counts, dup_keys, semi_filter
 from .ingest import ingest
 
 
@@ -81,31 +80,29 @@ def exact_clusters(pages: Dataset, cfg: DedupConfig | None = None) -> Dataset:
     # cascade counts from ONE narrow pass chain; the emit below fuses the
     # survivor filter and the cluster columns into a single text pass
     keys, cnts = _dup_fulls(ing)
-    ref = ray.put((keys, cnts))
+    # dup-bounded count map attaches through the size-guarded broadcast
+    # helper (falls back to a bucketed join past the cap); misses get 0
+    # and are dropped by the n>1 filter below.
+    sized = broadcast_map_i64(
+        ing, "doc_hash", keys, cnts, "cluster_size", default_identity=False
+    )
 
     def emit(batch: pa.Table) -> pa.Table:
-        k_sorted, c_sorted = ray.get(ref)
-        dh = batch.column("doc_hash").to_numpy(zero_copy_only=False)
-        if len(k_sorted):
-            idx = np.minimum(np.searchsorted(k_sorted, dh), len(k_sorted) - 1)
-            n = np.where(k_sorted[idx] == dh, c_sorted[idx], 0)
-        else:
-            n = np.zeros(len(dh), np.int64)
+        n = batch.column("cluster_size").to_numpy(zero_copy_only=False)
         sz = batch.column("size_bytes").to_numpy(zero_copy_only=False)
-        keep = n > 1
         out = pa.table(
             {
                 "url": batch.column("url"),
                 "doc_hash": batch.column("doc_hash"),
                 "cluster_id": batch.column("doc_hash"),
-                "cluster_size": pa.array(n, pa.int64()),
+                "cluster_size": batch.column("cluster_size"),
                 "size_bytes": batch.column("size_bytes"),
                 "redundant_bytes": pa.array((n - 1) * sz, pa.int64()),
             }
         )
-        return out.filter(pa.array(keep))
+        return out.filter(pa.array(n > 1))
 
-    return ing.map_batches(emit, batch_format="pyarrow")
+    return sized.map_batches(emit, batch_format="pyarrow")
 
 
 def dedup_corpus(pages: Dataset, cfg: DedupConfig) -> Dataset:

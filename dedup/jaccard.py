@@ -28,10 +28,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import ray
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
+from .exchange import broadcast_map_i64, collect_table, semi_filter
 from .hashing import U64, fmix64
 from .minhash import DEFAULT_TOKEN_HASH, _hash_tokens
 from .textstats import _tokenize
@@ -114,14 +114,6 @@ def jaccard_pairs(
         .groupby("doc")
         .aggregate(Sum("pc", alias_name="n"))
     )
-    ct = pa.concat_tables(
-        list(cnt.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-        or [pa.table({"doc": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})]
-    )
-    dkeys = ct.column("doc").to_numpy(zero_copy_only=False)
-    dns = ct.column("n").to_numpy(zero_copy_only=False)
-    order = np.argsort(dkeys)
-    nref = ray.put((dkeys[order], dns[order]))
 
     # bucket by shingle hash; each bucket holds whole shingle groups
     def bucketize(batch: pa.Table) -> pa.Table:
@@ -158,17 +150,42 @@ def jaccard_pairs(
         partial_pairs.map_batches(lambda t: t, batch_format="pyarrow")
         .groupby(["pa", "pb"])
         .aggregate(Sum("pi", alias_name="n_common"))
+        .materialize()
+    )
+
+    # shingle counts are only needed for candidate-pair endpoints, a
+    # dup-bounded set — never ship the corpus-cardinality count table.
+    pp = collect_table(inter.select_columns(["pa", "pb"])) if inter.count() else None
+    if pp is not None:
+        cand = np.unique(
+            np.concatenate(
+                [
+                    pp.column("pa").to_numpy(zero_copy_only=False),
+                    pp.column("pb").to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+    else:
+        cand = np.empty(0, np.int64)
+    if len(cand):
+        sub = collect_table(semi_filter(cnt, "doc", cand))
+        dkeys = sub.column("doc").to_numpy(zero_copy_only=False)
+        dns = sub.column("n").to_numpy(zero_copy_only=False)
+    else:
+        dkeys = np.empty(0, np.int64)
+        dns = np.empty(0, np.int64)
+    # attach n_a / n_b through the size-guarded broadcast helper
+    withn = broadcast_map_i64(
+        broadcast_map_i64(inter, "pa", dkeys, dns, "n_a", default_identity=False),
+        "pb", dkeys, dns, "n_b", default_identity=False,
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        mk, mv = ray.get(nref)
         a = batch.column("pa").to_numpy(zero_copy_only=False)
         b = batch.column("pb").to_numpy(zero_copy_only=False)
         i = batch.column("n_common").to_numpy(zero_copy_only=False)
-        ia = np.searchsorted(mk, a)
-        ib = np.searchsorted(mk, b)
-        na = mv[np.minimum(ia, len(mk) - 1)]
-        nb = mv[np.minimum(ib, len(mk) - 1)]
+        na = batch.column("n_a").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_b").to_numpy(zero_copy_only=False)
         keep = threshold_den * i >= threshold_num * (na + nb - i)
         return pa.table(
             {
@@ -180,7 +197,7 @@ def jaccard_pairs(
             }
         )
 
-    out = inter.map_batches(finish, batch_format="pyarrow")
+    out = withn.map_batches(finish, batch_format="pyarrow")
     return pa.concat_tables(
         list(out.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
         or [

@@ -25,7 +25,12 @@ import ray.data as rd
 from ray.data import Dataset
 
 from .config import DedupConfig
-from .exchange import broadcast_map_i64, collect_table, key_counts, semi_filter
+from .exchange import (
+    broadcast_map_i64,
+    collect_table,
+    dup_key_counts,
+    semi_filter,
+)
 from .hashing import U64, fmix64
 from .lsh import candidate_pairs
 from .minhash import _token_lists, shingle_hashes
@@ -198,21 +203,16 @@ def simhash_clusters(
         ing.select_columns(["url", "doc_hash"]),
         "doc_hash", keys, cids, "cluster_id", default_identity=True,
     )
-    counts = key_counts(assigned, "cluster_id")
-    ct = collect_table(counts)
-    ckeys = ct.column("cluster_id").to_numpy(zero_copy_only=False)
-    ccnts = ct.column("cnt").to_numpy(zero_copy_only=False)
-    import ray as _ray
-
-    order = np.argsort(ckeys)
-    ref = _ray.put((ckeys[order], ccnts[order]))
+    # cluster sizes: only ids occurring >1 matter (singletons are dropped
+    # below), so the size map is dup-bounded — never the corpus-cardinality
+    # full count table — and ships through the guarded broadcast helper.
+    dk, dc = dup_key_counts(assigned.select_columns(["cluster_id"]), "cluster_id")
+    sized = broadcast_map_i64(
+        assigned, "cluster_id", dk, dc, "cluster_size", default_identity=False
+    )
 
     def finish(batch: pa.Table) -> pa.Table:
-        ks, cs = _ray.get(ref)
-        cid = batch.column("cluster_id").to_numpy(zero_copy_only=False)
-        idx = np.minimum(np.searchsorted(ks, cid), max(len(ks) - 1, 0))
-        n = cs[idx] if len(ks) else np.zeros(len(cid), np.int64)
-        out = batch.append_column("cluster_size", pa.array(n, pa.int64()))
-        return out.filter(pa.array(n > 1))
+        n = batch.column("cluster_size").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(n > 1))
 
-    return assigned.map_batches(finish, batch_format="pyarrow")
+    return sized.map_batches(finish, batch_format="pyarrow")

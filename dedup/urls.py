@@ -29,7 +29,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
-from .exchange import dup_key_counts, min_by_key, semi_filter
+from .exchange import (
+    broadcast_map_i64,
+    dup_key_counts,
+    min_by_key,
+    semi_filter,
+    small_join,
+)
 from .hashing import xxh64_arrow
 
 # scheme://host split; host includes any :port (handled by later rules)
@@ -167,29 +173,37 @@ def latest_snapshot(
         win_k = np.empty(0, np.int64)
         win_v = np.empty(0, np.int64)
 
-    import ray
+    # both maps are dup-bounded (revisited urls only); attach them through
+    # the size-guarded exchange helpers so an adversarial revisit-heavy
+    # corpus falls back to bucketed joins instead of an unbounded ray.put.
+    win_tbl = pa.table(
+        {
+            "__kh": pa.array(win_k, pa.int64()),
+            "__win_negts": pa.array(win_v, pa.int64()),
+        }
+    )
+    joined = small_join(keyed, "__kh", win_tbl, "__kh", how="left")
 
-    ref = ray.put((win_k, win_v, dup_k, dup_c))
-
-    def keep_latest(batch: pa.Table) -> pa.Table:
-        wk, wv, dk, dc = ray.get(ref)
-        kh = batch.column("__kh").to_numpy(zero_copy_only=False)
+    def keep_win(batch: pa.Table) -> pa.Table:
+        wv = batch.column("__win_negts")
+        if isinstance(wv, pa.ChunkedArray):
+            wv = wv.combine_chunks()
+        hit = pc.is_valid(wv).to_numpy(zero_copy_only=False)
+        wvf = pc.fill_null(wv, 0).to_numpy(zero_copy_only=False)
         ts = _ts_i64(batch.column(ts_col))
-        if len(wk):
-            idx = np.minimum(np.searchsorted(wk, kh), len(wk) - 1)
-            hit = wk[idx] == kh
-            keep = ~hit | (-ts == wv[idx])
-        else:
-            keep = np.ones(len(kh), bool)
-        out = batch.filter(pa.array(keep))
-        okh = out.column("__kh").to_numpy(zero_copy_only=False)
-        n = np.ones(len(okh), np.int64)
-        if len(dk):
-            idx = np.minimum(np.searchsorted(dk, okh), len(dk) - 1)
-            hit = dk[idx] == okh
-            n[hit] = dc[idx[hit]]
-        return out.drop_columns(["__kh"]).append_column(
+        keep = ~hit | (-ts == wvf)
+        return batch.filter(pa.array(keep)).drop_columns(["__win_negts"])
+
+    kept = joined.map_batches(keep_win, batch_format="pyarrow")
+    sized = broadcast_map_i64(
+        kept, "__kh", dup_k, dup_c, "n_snapshots", default_identity=False
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_snapshots").to_numpy(zero_copy_only=False)
+        n = np.maximum(n, 1)  # 0 = url never revisited → one snapshot
+        return batch.drop_columns(["__kh", "n_snapshots"]).append_column(
             "n_snapshots", pa.array(n, pa.int64())
         )
 
-    return keyed.map_batches(keep_latest, batch_format="pyarrow")
+    return sized.map_batches(finish, batch_format="pyarrow")
