@@ -17,10 +17,14 @@ corpus uses are decoded with **pure numpy + stdlib zlib/struct**:
     DQT/DHT/SOF0/SOS parse, Huffman entropy decode, dequant + zigzag,
     separable float IDCT, chroma upsample, YCbCr→RGB.
 
-``encode_png``/``encode_wav``/``encode_jpeg`` are the matching minimal
-encoders (used to synthesize deterministic payloads in tests/benches).
-Formats needing a real codec lib (GIF/MP3, progressive JPEG) raise
-``NotImplementedError``.
+  - ``decode_gif``: real GIF87a/89a decode — color tables, variable-width
+    LSB-first LZW, interlace — lossless for palette images, so GIF
+    payloads carry planted pixel sums exactly.
+
+``encode_png``/``encode_wav``/``encode_jpeg``/``encode_gif`` are the
+matching minimal encoders (used to synthesize deterministic payloads in
+tests/benches). Formats needing a real codec lib (MP3, progressive
+JPEG) raise ``NotImplementedError``.
 
 Scale notes: binary payloads dominate block memory → use small
 ``batch_size`` (default 64) and let the streaming executor backpressure;
@@ -91,10 +95,12 @@ def decode_image(payload: bytes) -> np.ndarray:
     """
     if payload[:3] == b"\xff\xd8\xff":
         return decode_jpeg(payload)
+    if payload[:4] == b"GIF8":
+        return decode_gif(payload)
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise NotImplementedError(
-            f"unsupported image format (magic {payload[:4]!r}); only PNG and "
-            "baseline JPEG are decodable without codec libs"
+            f"unsupported image format (magic {payload[:4]!r}); only PNG, "
+            "baseline JPEG and GIF are decodable without codec libs"
         )
     pos, ihdr, idat = len(_PNG_SIG), None, []
     while pos + 8 <= len(payload):
@@ -335,6 +341,11 @@ def synth_media_payload(i: int) -> bytes:
         c = 1 if i % 4 == 0 else 3
         y, x, ch = np.ogrid[0:h, 0:w, 0:c]
         px = ((i * 7 + y * 5 + x * 3 + ch) % 256).astype(np.uint8)
+        if c == 3 and i % 8 == 2:
+            # same planted pixels in a GIF container (≤256 distinct
+            # (r,g,b) triples by construction — lossless round-trip, so
+            # the media_decode oracle sums are unchanged)
+            return encode_gif(px, interlace=(i % 16 == 2))
         return encode_png(px)
     frames = 32 + i % 33
     channels = 1 + (i // 2) % 2
@@ -385,7 +396,7 @@ class MediaDecoder:
         for j in range(n):
             p = payload[j].as_py()
             t = sniff_type(p)
-            if t in ("image/png", "image/jpeg"):
+            if t in ("image/png", "image/jpeg", "image/gif"):
                 px = decode_image(p)
                 kind[j] = "image"
                 cols["height"][j], cols["width"][j], cols["channels"][j] = px.shape
@@ -833,3 +844,201 @@ def _jpeg_scan(d, data_pos, frame, scan, qt, huff, restart) -> np.ndarray:
             axis=2,
         )
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# --- GIF (GIF87a/89a, public spec; LZW per Welch 1984) ---------------------
+#
+# Palette-based and lossless for <=256-color frames, so GIF payloads can
+# join the planted media corpus where lossy JPEG cannot: the decoder must
+# reproduce the oracle's per-pixel sums exactly. The decoder reads the
+# first image frame (global/local color table, optional interlace,
+# variable-width LSB-first LZW with clear/EOI and deferred-clear); the
+# encoder is the matching minimal writer used by synth_media_payload.
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a stream → (H, W, 3) uint8 RGB."""
+    d = payload
+    if d[:4] != b"GIF8" or d[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF stream")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", d[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(d[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(d):
+        b0 = d[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(d) and d[pos] != 0:
+                pos += 1 + d[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _left, _top, iw, ih, ipk = struct.unpack("<HHHHB", d[pos + 1 : pos + 10])
+            pos += 10
+            ct = gct
+            if ipk & 0x80:
+                n = 2 << (ipk & 0x07)
+                ct = np.frombuffer(d[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF frame has no color table")
+            mcs = d[pos]
+            pos += 1
+            chunks = []
+            while pos < len(d) and d[pos] != 0:
+                ln = d[pos]
+                chunks.append(d[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _lzw_decode(b"".join(chunks), mcs, iw * ih)
+            img = idx.reshape(ih, iw)
+            if ipk & 0x40:  # interlaced: rows written in 4 passes
+                out = np.empty_like(img)
+                order = np.concatenate(
+                    [np.arange(s, ih, t) for s, t in ((0, 8), (4, 8), (2, 4), (1, 2))]
+                )
+                out[order] = img
+                img = out
+            if int(img.max(initial=0)) >= len(ct):
+                raise ValueError("GIF pixel index outside color table")
+            return ct[img]
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("malformed GIF: no image frame")
+
+
+def _lzw_decode(data: bytes, mcs: int, n_out: int) -> np.ndarray:
+    """GIF-variant LZW: variable 3-12 bit codes, LSB-first packing."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    roots = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(roots)
+    width = mcs + 1
+    acc = nbits = di = 0
+    out = bytearray()
+    prev: bytes | None = None
+    while len(out) < n_out:
+        while nbits < width:
+            if di >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[di] << nbits
+            di += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(roots)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        out += entry
+        prev = entry
+        # grow width when the NEXT code would not fit (deferred at 12)
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < n_out:
+        raise ValueError("GIF LZW stream ended early")
+    return np.frombuffer(bytes(out[:n_out]), np.uint8)
+
+
+def _lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
+    """GIF-variant LZW encoder (dict keyed on (prefix_code, symbol))."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    width = mcs + 1
+    put(clear, width)
+    it = iter(indices.tolist())
+    try:
+        prev = next(it)
+    except StopIteration:
+        put(eoi, width)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+    for k in it:
+        key = (prev, k)
+        if key in table:
+            prev = table[key]
+            continue
+        put(prev, width)
+        table[key] = next_code
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        if next_code > 4095:
+            put(clear, width)
+            table.clear()
+            next_code = eoi + 1
+            width = mcs + 1
+        prev = k
+    put(prev, width)
+    put(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """(H, W, 3) uint8 with ≤256 distinct colors → GIF89a bytes."""
+    px = np.asarray(pixels, np.uint8)
+    if px.ndim == 3 and px.shape[2] == 1:
+        px = np.repeat(px, 3, axis=2)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_gif expects (H, W, 3) uint8")
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"GIF needs ≤256 colors, image has {len(palette)}")
+    pbits = max(1, int(len(palette) - 1).bit_length())
+    n_pal = 1 << pbits
+    pal = np.zeros((n_pal, 3), np.uint8)
+    pal[: len(palette)] = palette
+    img = idx.astype(np.uint8).reshape(h, w)
+    if interlace:
+        order = np.concatenate(
+            [np.arange(s, h, t) for s, t in ((0, 8), (4, 8), (2, 4), (1, 2))]
+        )
+        img = img[order]
+    mcs = max(2, pbits)
+    lzw = _lzw_encode(img.reshape(-1), mcs)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x70 | (pbits - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(mcs)
+    for i in range(0, len(lzw), 255):
+        blk = lzw[i : i + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3b"
+    return bytes(out)

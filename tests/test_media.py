@@ -115,14 +115,15 @@ def test_wav_roundtrip():
 
 
 def test_decode_unsupported_formats_raise():
-    # GIF needs a codec lib not in this container (JPEG is decodable now)
-    with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a\x01\x00gif...")
+    # MP3 needs a codec lib not in this container
     with pytest.raises(NotImplementedError):
         decode_audio(b"ID3\x04mp3...")
-    # a truncated/garbage JPEG is a malformed-stream error, not unsupported
+    # truncated/garbage JPEG and GIF are malformed-stream errors, not
+    # unsupported formats (both are decodable now)
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0jpeg...")
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a\x01\x00gif...")
 
 
 def test_featurize_actor_pool_schema_and_determinism():
@@ -159,7 +160,8 @@ def test_sniffed_payloads_decode():
 def test_synth_media_payload_decodes_to_formulas():
     from dedup.media import synth_media_payload
 
-    for i in (0, 1, 2, 3, 7, 12, 33, 64, 101):
+    # 2, 10, 18 are GIF-container images (2 and 18 interlaced, 10 plain)
+    for i in (0, 1, 2, 3, 7, 10, 12, 18, 33, 64, 101):
         p = synth_media_payload(i)
         if i % 2 == 0:
             px = decode_image(p)
@@ -269,3 +271,53 @@ def test_jpeg_quant_tables_honored():
     out = decode_jpeg(encode_jpeg(img, quant=4))
     assert out.shape == (16, 16, 1)
     assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).mean() < 6
+
+
+# ----------------------------------------------------------------- GIF
+def test_gif_roundtrip_random_palette():
+    from dedup.media import decode_gif, encode_gif
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, size=(200, 3), dtype=np.uint8)
+    idx = rng.integers(0, 200, size=(23, 17))
+    px = pal[idx]
+    for interlace in (False, True):
+        out = decode_gif(encode_gif(px, interlace=interlace))
+        assert out.shape == (23, 17, 3)
+        assert (out == px).all()
+
+
+def test_gif_roundtrip_solid_and_two_color():
+    from dedup.media import decode_gif, encode_gif
+
+    solid = np.full((9, 5, 3), 42, np.uint8)
+    assert (decode_gif(encode_gif(solid)) == solid).all()
+    two = np.zeros((8, 8, 3), np.uint8)
+    two[::2, ::2] = 255
+    assert (decode_gif(encode_gif(two)) == two).all()
+
+
+def test_gif_lzw_dict_overflow_roundtrip():
+    # 256 colors × noisy 150×150 forces the LZW dict past 4096 codes →
+    # exercises the encoder's clear/reset and the decoder's width growth
+    from dedup.media import decode_gif, encode_gif
+
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 256, size=(150, 150), dtype=np.uint8)
+    px = np.stack([v, (v + 1) % 256, (v + 3) % 256], axis=2)
+    out = decode_gif(encode_gif(px))
+    assert (out == px).all()
+
+
+def test_gif_dispatch_and_sniff():
+    from dedup.media import encode_gif
+
+    px = np.zeros((4, 4, 3), np.uint8)
+    payload = encode_gif(px)
+    assert sniff_type(payload) == "image/gif"
+    assert (decode_image(payload) == px).all()
+    # >256 distinct colors must fail loud (GIF is palette-based)
+    v = np.arange(300, dtype=np.int64)
+    many = np.stack([v % 256, (v // 256) * 7, np.zeros(300, np.int64)], axis=1)
+    with pytest.raises(ValueError):
+        encode_gif(many.astype(np.uint8).reshape(30, 10, 3))
