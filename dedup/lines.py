@@ -17,6 +17,15 @@ Two streaming passes, no wide shuffle of text:
 2. filter pass — per batch: split again, drop lines in the broadcast
    set, rejoin with ``\\n`` (pure-Arrow list reassembly).
 
+Size guard: while the boilerplate set fits ``max_broadcast_rows`` it
+broadcasts (the pure-streaming fast path above); past the bound — a
+web-scale corpus can hold billions of distinct boilerplate lines — the
+set stays a Dataset and the filter pass becomes explode → bucketed
+left join on line hash → per-bucket sort-segment reassembly. Text
+lines shuffle once in that regime (the price of a membership set that
+fits no single worker); output is identical (branch-pinned in
+tests/test_lines.py).
+
 Empty lines count like any other line (they repeat across docs and are
 dropped once ``min_docs`` docs contain one — same as the SQL mirror).
 """
@@ -50,10 +59,10 @@ def _split_lines(text: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
     return flat, counts, hashes
 
 
-def boilerplate_line_hashes(
+def _boilerplate_counts(
     docs: Dataset, min_docs: int = 2, text_col: str = "text"
-) -> np.ndarray:
-    """Sorted int64 hashes of lines appearing in ≥ ``min_docs`` docs."""
+) -> Dataset:
+    """Dataset of (lh) rows for lines appearing in ≥ ``min_docs`` docs."""
 
     def partial(batch: pa.Table) -> pa.Table:
         _, counts, hashes = _split_lines(batch.column(text_col))
@@ -74,11 +83,22 @@ def boilerplate_line_hashes(
         .groupby("lh")
         .aggregate(Sum("pd", alias_name="n_docs"))
     )
-    out = []
-    for b in agg.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        n = b.column("n_docs").to_numpy(zero_copy_only=False)
-        out.append(b.column("lh").to_numpy(zero_copy_only=False)[n >= min_docs])
-    return np.sort(np.concatenate(out)) if out else np.empty(0, np.int64)
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_docs").to_numpy(zero_copy_only=False)
+        return pa.table({"lh": batch.column("lh").filter(pa.array(n >= min_docs))})
+
+    return agg.map_batches(threshold, batch_format="pyarrow")
+
+
+def boilerplate_line_hashes(
+    docs: Dataset, min_docs: int = 2, text_col: str = "text"
+) -> np.ndarray:
+    """Sorted int64 hashes of lines appearing in ≥ ``min_docs`` docs."""
+    from .exchange import collect_table
+
+    t = collect_table(_boilerplate_counts(docs, min_docs, text_col))
+    return np.sort(t.column("lh").to_numpy(zero_copy_only=False))
 
 
 def line_dedup(
@@ -86,13 +106,27 @@ def line_dedup(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_broadcast_rows: int | None = None,
 ) -> Dataset:
     """→ Dataset(id, text) with boilerplate lines removed.
 
     A doc whose every line is boilerplate keeps an empty text (the row
     is not dropped — pair with the ingest size gate to discard it).
+    Precondition: ``id_col`` values are unique per row.
+
+    Size-guarded (module docstring): boilerplate sets above the cap
+    switch to the join + reassembly path instead of broadcasting.
     """
-    drop = boilerplate_line_hashes(docs, min_docs=min_docs, text_col=text_col)
+    from .exchange import BROADCAST_MAX_ROWS, collect_table
+
+    dropd = _boilerplate_counts(docs, min_docs=min_docs, text_col=text_col)
+    dropd = dropd.materialize()
+    cap = BROADCAST_MAX_ROWS if max_broadcast_rows is None else max_broadcast_rows
+    if dropd.count() > cap:
+        return _line_dedup_join(docs, dropd, id_col, text_col)
+    drop = np.sort(
+        collect_table(dropd).column("lh").to_numpy(zero_copy_only=False)
+    )
     ref = ray.put(drop)
 
     def strip(batch: pa.Table) -> pa.Table:
@@ -120,3 +154,92 @@ def line_dedup(
         return pa.table({id_col: batch.column(id_col), text_col: joined})
 
     return docs.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _line_dedup_join(
+    docs: Dataset, dropd: Dataset, id_col: str, text_col: str
+) -> Dataset:
+    """Boilerplate-set-too-big-to-broadcast path: explode docs into
+    (id, line_no, line_hash, line) rows, mark boilerplate lines with a
+    bucketed LEFT join against the drop-set Dataset, and reassemble each
+    doc from its kept lines with a per-bucket sort-segment pass. Fully
+    boilerplate docs survive as empty text (rows are marked, never
+    dropped, so every doc keeps ≥1 line row)."""
+    from .exchange import bucketed_join
+    from .hashing import fmix64, xxh64_arrow
+
+    n_buckets = 32
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        flat, counts, hashes = _split_lines(batch.column(text_col))
+        ridx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        offs = np.cumsum(counts) - counts
+        ln = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(offs, counts)
+        return pa.table(
+            {
+                "__did": ids.take(pa.array(ridx, pa.int64())),
+                "__ln": pa.array(ln, pa.int64()),
+                "lh": pa.array(hashes.view(np.int64), pa.int64()),
+                "__line": flat,
+            }
+        )
+
+    lines = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    dropt = dropd.map_batches(
+        lambda t: t.rename_columns(["__dlh"]), batch_format="pyarrow"
+    )
+    joined = bucketed_join(lines, dropt, "lh", "__dlh", n_buckets=n_buckets, how="left")
+
+    def mark(batch: pa.Table) -> pa.Table:
+        did = batch.column("__did")
+        if isinstance(did, pa.ChunkedArray):
+            did = did.combine_chunks()
+        if pa.types.is_integer(did.type):
+            h = fmix64(did.to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:
+            h = xxh64_arrow(did)
+        b = (h % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "__did": did,
+                "__ln": batch.column("__ln"),
+                "__line": batch.column("__line"),
+                "__keep": pc.is_null(batch.column("__dlh")),
+                "__bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    marked = joined.map_batches(mark, batch_format="pyarrow")
+
+    def reassemble(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("__did", "ascending"), ("__ln", "ascending")])
+        did = t.column("__did")
+        if isinstance(did, pa.ChunkedArray):
+            did = did.combine_chunks()
+        codes = pc.dictionary_encode(did).indices.to_numpy(zero_copy_only=False)
+        first = np.ones(len(codes), dtype=bool)
+        first[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(first)
+        seg_len = np.diff(np.append(starts, len(codes)))
+        keep = t.column("__keep").to_numpy(zero_copy_only=False).astype(bool)
+        doc_of = np.repeat(np.arange(len(starts), dtype=np.int64), seg_len)
+        kept_per_doc = np.bincount(doc_of[keep], minlength=len(starts)).astype(np.int64)
+        flat = t.column("__line")
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        kept_flat = flat.filter(pa.array(keep))
+        if isinstance(kept_flat, pa.ChunkedArray):
+            kept_flat = kept_flat.combine_chunks()
+        offs = np.concatenate([[0], np.cumsum(kept_per_doc)]).astype(np.int32)
+        kept_lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), kept_flat)
+        return pa.table(
+            {
+                id_col: did.take(pa.array(starts, pa.int64())),
+                text_col: pc.binary_join(kept_lists, "\n"),
+            }
+        )
+
+    return marked.groupby("__bucket").map_groups(reassemble, batch_format="pyarrow")

@@ -57,3 +57,46 @@ def test_line_count_is_per_distinct_doc_not_occurrence():
     texts = ["rep\nrep\nrep", "unique stuff"]
     out = line_dedup(_docs(texts), min_docs=2).to_pandas().sort_values("doc_id")
     assert out["text"].tolist() == texts
+
+
+def test_line_dedup_join_branch_identical_int_ids():
+    # cap=0 forces the explode→join→reassemble path; output must match
+    # the broadcast branch exactly, including the fully-boilerplate doc
+    banner = "ACCEPT COOKIES"
+    texts = [
+        f"{banner}\nunique alpha\nmiddle one",
+        f"{banner}\nunique beta",
+        "totally distinct document",
+        f"{banner}",  # fully boilerplate → empty text, row kept
+        "a\n\nb",
+        "c\n\nd",
+    ]
+    a = (
+        line_dedup(_docs(texts), min_docs=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        line_dedup(_docs(texts), min_docs=2, max_broadcast_rows=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a["text"].tolist() == b["text"].tolist()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert b.loc[3, "text"] == ""
+
+
+def test_line_dedup_join_branch_identical_string_ids():
+    texts = ["x\nshared", "y\nshared", "z alone"]
+    ds = rd.from_arrow(
+        pa.table({"url": pa.array([f"u{i}" for i in range(3)]),
+                  "text": pa.array(texts)})
+    )
+    a = (
+        line_dedup(ds, min_docs=2, id_col="url")
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    b = (
+        line_dedup(ds, min_docs=2, id_col="url", max_broadcast_rows=0)
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert a["text"].tolist() == b["text"].tolist() == ["x", "y", "z alone"]
+    assert a["url"].tolist() == b["url"].tolist()
