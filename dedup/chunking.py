@@ -86,3 +86,109 @@ def chunk_documents(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def pack_sequences(
+    docs: Dataset,
+    capacity: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> Dataset:
+    """Greedy sequence packing: docs in ``id_col`` order stream into
+    fixed-``capacity`` token sequences; each doc is stamped with the
+    sequence holding its FIRST token and its offset inside it.
+
+    ``offset(d) = Σ n_tokens of docs with id < d`` (a GLOBAL prefix
+    sum), ``seq_id = offset // capacity``, ``seq_offset = offset %
+    capacity`` — the deterministic packing rule a training-export
+    shard writer needs, reproducible in SQL as a window cumsum.
+
+    Distributed prefix sum, no corpus materialization: ids range-bucket
+    (order-preserving, ``(id-lo)*nb // span``); per-bucket token totals
+    (ONE combiner row per bucket) prefix on the driver; a per-bucket
+    Arrow sort + cumsum adds the bucket base. Only the narrow
+    (id, n_tokens) projection shuffles. Precondition: ``id_col`` int64,
+    unique. Output: (id_col, n_tokens, seq_id, seq_offset).
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    from ray.data.aggregate import Max, Min, Sum
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        _, counts = _tokenize(batch.column(text_col))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(counts, pa.int64()),
+            }
+        )
+
+    nt = docs.map_batches(
+        narrow, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    stats = nt.aggregate(Min(id_col), Max(id_col))
+    lo, hi = stats[f"min({id_col})"], stats[f"max({id_col})"]
+    if lo is None:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "seq_id": pa.array([], pa.int64()),
+                    "seq_offset": pa.array([], pa.int64()),
+                }
+            )
+        )
+    span = int(hi) - int(lo) + 1
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        b = ((ids - lo) * n_buckets // span).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
+
+    bucketed = nt.map_batches(add_bucket, batch_format="pyarrow").materialize()
+
+    # one 12-byte combiner row per (block, bucket) → driver sees ≤ n_buckets
+    def bucket_partials(batch: pa.Table) -> pa.Table:
+        b = batch.column("__bucket").to_numpy(zero_copy_only=False)
+        n = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        u = np.unique(b)
+        s = np.zeros(len(u), np.int64)
+        for i, bb in enumerate(u):  # ≤ n_buckets iterations
+            s[i] = n[b == bb].sum()
+        return pa.table(
+            {"__bucket": pa.array(u, pa.int32()), "ps": pa.array(s, pa.int64())}
+        )
+
+    totals = (
+        bucketed.map_batches(bucket_partials, batch_format="pyarrow")
+        .groupby("__bucket")
+        .aggregate(Sum("ps", alias_name="tok"))
+        .to_pandas()
+    )
+    bases = np.zeros(n_buckets + 1, np.int64)
+    bases[np.asarray(totals["__bucket"], np.int64) + 1] = np.asarray(
+        totals["tok"], np.int64
+    )
+    bases = np.cumsum(bases)  # bases[b] = tokens in buckets < b
+
+    def pack_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by([(id_col, "ascending")])
+        bno = int(t.column("__bucket")[0].as_py())
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        off = bases[bno] + np.cumsum(n) - n
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_tokens": t.column("n_tokens"),
+                "seq_id": pa.array(off // capacity, pa.int64()),
+                "seq_offset": pa.array(off % capacity, pa.int64()),
+            }
+        )
+
+    return bucketed.groupby("__bucket").map_groups(
+        pack_bucket, batch_format="pyarrow"
+    )

@@ -443,6 +443,19 @@ def q_domain_cap(sf_dir: str):
 
 # chunking params shared by q_chunk_documents and its oracle
 CHUNK_WINDOW, CHUNK_STRIDE = 64, 48
+# sequence-packing capacity shared by q_pack_sequences and its oracle
+PACK_CAPACITY = 256
+
+
+def q_pack_sequences(sf_dir: str):
+    """Training-sequence packing: docs in doc_id order stream into
+    fixed-capacity token sequences via a distributed global prefix sum
+    (range buckets → per-bucket totals → driver prefix → in-bucket
+    cumsum); each doc gets (seq_id, seq_offset) of its first token."""
+    from .chunking import pack_sequences
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_sequences(docs, capacity=PACK_CAPACITY)
 
 
 def q_chunk_documents(sf_dir: str):
@@ -1483,6 +1496,7 @@ QUERIES = {
     "domain_stats": q_domain_stats,
     "domain_cap": q_domain_cap,
     "chunk_documents": q_chunk_documents,
+    "pack_sequences": q_pack_sequences,
     "exact_substr": q_exact_substr,
     "redact_pii": q_redact_pii,
     "training_export": q_training_export,
@@ -1977,6 +1991,17 @@ h AS (SELECT url, text,
       FROM pages)
 SELECT url, strlen(text) AS size_bytes FROM h
 QUALIFY ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) <= {DOMAIN_CAP}
+""".strip(),
+    "pack_sequences": f"""
+WITH t AS (SELECT doc_id, len({TOKENS_SQL}) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS off
+      FROM t)
+SELECT doc_id, n_tokens, off // {PACK_CAPACITY} AS seq_id,
+       off % {PACK_CAPACITY} AS seq_offset
+FROM c
 """.strip(),
     "chunk_documents": f"""
 WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS ts FROM documents),

@@ -63,3 +63,60 @@ def test_rejects_bad_params():
         chunk_documents(_docs(["a"]), window=4, stride=5)
     with pytest.raises(ValueError):
         chunk_documents(_docs(["a"]), window=0)
+
+
+# ------------------------------------------------------- pack_sequences
+def _pack_ref(ids, texts, capacity):
+    from dedup.textstats import _tokenize as tk
+
+    counts = tk(pa.array(texts))[1]
+    order = np.argsort(ids)
+    off = np.zeros(len(ids), np.int64)
+    run = 0
+    for i in order:
+        off[i] = run
+        run += int(counts[i])
+    return counts, off // capacity, off % capacity
+
+
+def test_pack_sequences_matches_reference():
+    from dedup.chunking import pack_sequences
+
+    rng = np.random.default_rng(5)
+    # non-contiguous, shuffled ids — order is by id value, not row order
+    ids = rng.permutation(np.arange(0, 900, 7, dtype=np.int64))
+    texts = [" ".join(f"w{j}" for j in range(rng.integers(0, 40))) for _ in ids]
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)}))
+    out = (
+        pack_sequences(ds, capacity=64, n_buckets=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    counts, seq_id, seq_off = _pack_ref(ids, texts, 64)
+    o = np.argsort(ids)
+    assert out["doc_id"].tolist() == ids[o].tolist()
+    assert out["n_tokens"].tolist() == counts[o].tolist()
+    assert out["seq_id"].tolist() == seq_id[o].tolist()
+    assert out["seq_offset"].tolist() == seq_off[o].tolist()
+
+
+def test_pack_sequences_capacity_one_and_empty():
+    from dedup.chunking import pack_sequences
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([3, 1], pa.int64()),
+                  "text": pa.array(["a b", "c"])})
+    )
+    out = pack_sequences(ds, capacity=1).to_pandas().sort_values("doc_id")
+    # doc 1 (1 token) → offset 0; doc 3 (2 tokens) → offset 1
+    assert out["seq_id"].tolist() == [0, 1]
+    assert out["seq_offset"].tolist() == [0, 0]
+    empty = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    )
+    eds = pack_sequences(empty, capacity=8)
+    # to_pandas() drops columns on 0-row datasets (Ray quirk) — check
+    # the Dataset-level schema instead
+    assert eds.schema().names == ["doc_id", "n_tokens", "seq_id", "seq_offset"]
+    assert eds.count() == 0
+    with pytest.raises(ValueError):
+        pack_sequences(ds, capacity=0)
