@@ -84,7 +84,8 @@ def exact_clusters(pages: Dataset, cfg: DedupConfig | None = None) -> Dataset:
     # helper (falls back to a bucketed join past the cap); misses get 0
     # and are dropped by the n>1 filter below.
     sized = broadcast_map_i64(
-        ing, "doc_hash", keys, cnts, "cluster_size", default_identity=False
+        ing.select_columns(["url", "doc_hash", "size_bytes"]),
+        "doc_hash", keys, cnts, "cluster_size", default_identity=False,
     )
 
     def emit(batch: pa.Table) -> pa.Table:
