@@ -155,12 +155,14 @@ def pack_sequences(
     def bucket_partials(batch: pa.Table) -> pa.Table:
         b = batch.column("__bucket").to_numpy(zero_copy_only=False)
         n = batch.column("n_tokens").to_numpy(zero_copy_only=False)
-        u = np.unique(b)
-        s = np.zeros(len(u), np.int64)
-        for i, bb in enumerate(u):  # ≤ n_buckets iterations
-            s[i] = n[b == bb].sum()
+        s = np.zeros(n_buckets, np.int64)
+        np.add.at(s, b, n)  # exact int64 segment sum, one pass
+        u = np.flatnonzero(s)
         return pa.table(
-            {"__bucket": pa.array(u, pa.int32()), "ps": pa.array(s, pa.int64())}
+            {
+                "__bucket": pa.array(u.astype(np.int32), pa.int32()),
+                "ps": pa.array(s[u], pa.int64()),
+            }
         )
 
     totals = (
