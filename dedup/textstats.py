@@ -95,11 +95,14 @@ class TextStatser:
     """
 
     def __init__(self, id_col: str = "doc_id", shingle_k: int = 5):
-        from .hashing import xxh64_arrow  # local import keeps pickling light
+        # identity-proxy hash for the per-doc distinct count only — never
+        # persisted, never oracle-compared, so the fast polars Rust xxhash
+        # (when present) is safe; same policy as jaccard/lines/substr.
+        from .minhash import DEFAULT_TOKEN_HASH, _hash_tokens
 
         self.id_col = id_col
         self.k = shingle_k
-        self._hash = xxh64_arrow
+        self._hash = lambda flat: _hash_tokens(flat, DEFAULT_TOKEN_HASH)
         self.stop_arrays = {
             lang: pa.array(sorted(words)) for lang, words in STOPWORDS.items()
         }
