@@ -105,7 +105,10 @@ def pack_sequences(
     shard writer needs, reproducible in SQL as a window cumsum.
 
     Distributed prefix sum, no corpus materialization: ids range-bucket
-    (order-preserving, ``(id-lo)*nb // span``); per-bucket token totals
+    (order-preserving, ``(id-lo) >> shift`` with the shift sized so at
+    most ``n_buckets`` buckets exist — overflow-free for ids spanning
+    the full int64 range, unlike a ``(id-lo)*nb // span`` multiply,
+    which wraps for hash-derived ids); per-bucket token totals
     (ONE combiner row per bucket) prefix on the driver; a per-bucket
     Arrow sort + cumsum adds the bucket base. Only the narrow
     (id, n_tokens) projection shuffles. Precondition: ``id_col`` int64,
@@ -142,11 +145,20 @@ def pack_sequences(
                 }
             )
         )
-    span = int(hi) - int(lo) + 1
+    lo_i = int(lo)
+    span = int(hi) - lo_i + 1  # Python int: exact even past int64
+    # bucket = (id - lo) >> shift, computed in wrapping uint64 (the true
+    # difference is always in [0, 2^64), so modular subtract is exact).
+    # shift is sized so bucket < 2^k <= n_buckets; a multiply-divide
+    # formula overflows int64 when ids span > 2^63/n_buckets.
+    k = max(1, int(n_buckets)).bit_length() - 1
+    shift = np.uint64(max(0, span.bit_length() - k))
+    lo_u = np.uint64(lo_i % (1 << 64))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        b = ((ids - lo) * n_buckets // span).astype(np.int32)
+        delta = ids.astype(np.uint64) - lo_u  # wraps to the true diff
+        b = (delta >> shift).astype(np.int32)
         return batch.append_column("__bucket", pa.array(b, pa.int32()))
 
     bucketed = nt.map_batches(add_bucket, batch_format="pyarrow").materialize()

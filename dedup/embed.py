@@ -129,8 +129,14 @@ def _topk_idx_tiebreak(
     resolution, so an exact similarity tie at the local cut never
     discards the lower-id neighbor (duplicate embeddings make exact
     ties common in a dedup corpus; the driver merge can only rank what
-    the local pass kept)."""
-    s_c = s[cand]
+    the local pass kept).
+
+    NaN similarities (a NaN embedding propagates through normalize +
+    GEMM) are treated as -inf so the cut always returns exactly ``kk``
+    indices — a NaN landing inside the partition cut would otherwise
+    poison the boundary min and empty the tie mask."""
+    s_c = s[cand]  # fancy indexing: a copy, safe to sanitize in place
+    np.copyto(s_c, -np.inf, where=np.isnan(s_c))
     if kk < len(cand):
         part = np.argpartition(-s_c, kk - 1)[:kk]
         v = s_c[part].min()
@@ -169,10 +175,18 @@ class EmbeddingIndexer:
         r = np.nonzero(hit)[0]
         sims[r, pos[r]] = -np.inf
         kk = min(self.k, sims.shape[1])
-        # stable sort over ascending-id columns = (sim DESC, id ASC) —
-        # O(m log m) per row vs argpartition's O(m), paid for exact tie
-        # discipline (matches knn_cosine / the oracle's ORDER BY)
-        top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        m = sims.shape[1]
+        if m <= 4096:
+            # stable sort over ascending-id columns = (sim DESC, id ASC);
+            # at small m the vectorized C sort beats a per-row Python loop
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        else:
+            # large index: O(m) argpartition cut per row with exact
+            # boundary-tie discipline — same (sim DESC, id ASC) order
+            cand = np.arange(m)
+            top = np.empty((sims.shape[0], kk), np.int64)
+            for i in range(sims.shape[0]):
+                top[i] = _topk_idx_tiebreak(cand, sims[i], self.ids, kk)
         rows = np.repeat(ids, kk)
         cols = self.ids[top].reshape(-1)
         s = np.take_along_axis(sims, top, axis=1).reshape(-1)

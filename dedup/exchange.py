@@ -195,7 +195,18 @@ def broadcast_map_i64(ds: Dataset, key_col: str, mapping_keys: np.ndarray,
     ``BROADCAST_MAX_ROWS``) it ships once via ``ray.put``; past the bound
     the lookup becomes a bucketed LEFT hash join + coalesce — identical
     output.
+
+    Precondition: ``mapping_keys`` must be UNIQUE (the broadcast branch
+    resolves one value per key, the join branch would replicate rows
+    per duplicate) — rejected loudly so the branches cannot silently
+    diverge as the mapping grows past the cap.
     """
+    mk_sorted = np.sort(mapping_keys) if len(mapping_keys) > 1 else mapping_keys
+    if len(mk_sorted) > 1 and np.any(mk_sorted[1:] == mk_sorted[:-1]):
+        raise ValueError(
+            "broadcast_map_i64: mapping_keys has duplicates — the broadcast "
+            "and join branches would diverge; collapse the mapping first"
+        )
     cap = BROADCAST_MAX_ROWS if max_broadcast_rows is None else max_broadcast_rows
     if len(mapping_keys) > cap:
         import pyarrow.compute as pc
@@ -433,11 +444,25 @@ def small_join(
     (both sides shuffle once on narrow bucketed blocks). Identical output
     either way (asserted in tests/test_exchange_guard.py).
 
+    Precondition: ``right[right_key]`` must be UNIQUE. The broadcast
+    branch attaches exactly one match per left row while the bucketed
+    branch would replicate per duplicate — so duplicates are rejected
+    loudly here rather than letting the two branches silently diverge
+    as ``right`` grows past the cap.
+
     ``how="inner"`` keeps matched rows only; ``how="left"`` null-pads the
     right columns for unmatched rows.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"small_join: unsupported how={how!r}")
+    rkeys = right.column(right_key).to_numpy(zero_copy_only=False)
+    order = np.argsort(rkeys)
+    if len(rkeys) > 1 and np.any(rkeys[order][1:] == rkeys[order][:-1]):
+        raise ValueError(
+            f"small_join: right[{right_key!r}] has duplicate keys — the "
+            "broadcast and bucketed branches would diverge (one match vs "
+            "replicated rows); deduplicate the right side first"
+        )
     cap = BROADCAST_MAX_ROWS if max_broadcast_rows is None else max_broadcast_rows
     if len(right) > cap:
         import ray.data as rd
@@ -453,8 +478,6 @@ def small_join(
             )
         return out
 
-    rkeys = right.column(right_key).to_numpy(zero_copy_only=False)
-    order = np.argsort(rkeys)
     vals = right.drop_columns([right_key]).take(pa.array(order, pa.int64())).combine_chunks()
     ref = ray.put((rkeys[order], vals))
 

@@ -122,8 +122,14 @@ def line_dedup(
     dropd = _boilerplate_counts(docs, min_docs=min_docs, text_col=text_col)
     dropd = dropd.materialize()
     cap = BROADCAST_MAX_ROWS if max_broadcast_rows is None else max_broadcast_rows
-    if dropd.count() > cap:
-        return _line_dedup_join(docs, dropd, id_col, text_col)
+    n_drop = dropd.count()
+    if n_drop > cap:
+        # scale reassembly buckets with the drop-set size (the only
+        # corpus-size signal already in hand): ~500k boilerplate hashes
+        # per bucket keeps each sort-segment group far from Arrow's
+        # 2 GiB / int32 limits at the scale that triggers this path
+        n_buckets = max(64, min(4096, n_drop // 500_000))
+        return _line_dedup_join(docs, dropd, id_col, text_col, n_buckets=n_buckets)
     drop = np.sort(
         collect_table(dropd).column("lh").to_numpy(zero_copy_only=False)
     )
@@ -157,18 +163,22 @@ def line_dedup(
 
 
 def _line_dedup_join(
-    docs: Dataset, dropd: Dataset, id_col: str, text_col: str
+    docs: Dataset, dropd: Dataset, id_col: str, text_col: str,
+    n_buckets: int = 64,
 ) -> Dataset:
     """Boilerplate-set-too-big-to-broadcast path: explode docs into
     (id, line_no, line_hash, line) rows, mark boilerplate lines with a
     bucketed LEFT join against the drop-set Dataset, and reassemble each
     doc from its kept lines with a per-bucket sort-segment pass. Fully
     boilerplate docs survive as empty text (rows are marked, never
-    dropped, so every doc keeps ≥1 line row)."""
+    dropped, so every doc keeps ≥1 line row).
+
+    ``n_buckets`` sizes the reassembly groups — the caller scales it
+    with the drop-set size. Reassembly uses int64 list offsets and
+    large_string line buffers so a big bucket fails loudly at the final
+    string cast rather than silently wrapping int32 offsets."""
     from .exchange import bucketed_join
     from .hashing import fmix64, xxh64_arrow
-
-    n_buckets = 32
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col)
@@ -227,18 +237,26 @@ def _line_dedup_join(
         keep = t.column("__keep").to_numpy(zero_copy_only=False).astype(bool)
         doc_of = np.repeat(np.arange(len(starts), dtype=np.int64), seg_len)
         kept_per_doc = np.bincount(doc_of[keep], minlength=len(starts)).astype(np.int64)
-        flat = t.column("__line")
+        # large_string + int64 offsets: a bucket past 2 GiB of line text
+        # must not wrap int32 offsets; the final cast back to string is
+        # the one loud capacity check left (per-doc text is far smaller
+        # than the bucket's line total)
+        flat = t.column("__line").cast(pa.large_string())
         if isinstance(flat, pa.ChunkedArray):
             flat = flat.combine_chunks()
         kept_flat = flat.filter(pa.array(keep))
         if isinstance(kept_flat, pa.ChunkedArray):
             kept_flat = kept_flat.combine_chunks()
-        offs = np.concatenate([[0], np.cumsum(kept_per_doc)]).astype(np.int32)
-        kept_lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), kept_flat)
+        offs = np.concatenate([[0], np.cumsum(kept_per_doc)])
+        kept_lists = pa.LargeListArray.from_arrays(
+            pa.array(offs, pa.int64()), kept_flat
+        )
         return pa.table(
             {
                 id_col: did.take(pa.array(starts, pa.int64())),
-                text_col: pc.binary_join(kept_lists, "\n"),
+                text_col: pc.binary_join(
+                    kept_lists, pa.scalar("\n", pa.large_string())
+                ).cast(pa.string()),
             }
         )
 

@@ -89,9 +89,10 @@ def decode_image(payload: bytes) -> np.ndarray:
 
     Supports the baseline subset the synthetic corpus emits: 8-bit depth,
     color types 0/2/4/6, non-interlaced, zlib-inflated concatenated IDAT,
-    all five scanline filters. Other image formats raise
-    ``NotImplementedError`` (JPEG/GIF need codec libs not in this
-    container).
+    all five scanline filters. Baseline JPEG (``decode_jpeg``) and
+    GIF87a/89a (``decode_gif``) are dispatched by magic bytes; other
+    image formats (progressive JPEG, MP3-era containers) raise
+    ``NotImplementedError``.
     """
     if payload[:3] == b"\xff\xd8\xff":
         return decode_jpeg(payload)
@@ -876,8 +877,17 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 pos += 1 + d[pos]
             pos += 1
         elif b0 == 0x2C:  # image descriptor
-            _left, _top, iw, ih, ipk = struct.unpack("<HHHHB", d[pos + 1 : pos + 10])
+            left, top, iw, ih, ipk = struct.unpack("<HHHHB", d[pos + 1 : pos + 10])
             pos += 10
+            if left or top or (iw, ih) != (sw, sh):
+                # a positioned/partial first frame does not cover the
+                # logical screen; decoding it as the whole canvas would
+                # silently report wrong dims + pixel sums — refuse loudly
+                raise NotImplementedError(
+                    "GIF first frame is positioned/partial "
+                    f"(frame {iw}x{ih}@{left},{top} vs screen {sw}x{sh}); "
+                    "only full-canvas first frames are decodable"
+                )
             ct = gct
             if ipk & 0x80:
                 n = 2 << (ipk & 0x07)

@@ -120,3 +120,27 @@ def test_pack_sequences_capacity_one_and_empty():
     assert eds.count() == 0
     with pytest.raises(ValueError):
         pack_sequences(ds, capacity=0)
+
+
+def test_pack_sequences_full_range_int64_ids():
+    """Hash-derived ids spanning nearly the whole int64 range must not
+    overflow the bucket formula (regression: (id-lo)*nb//span wrapped)."""
+    from dedup.chunking import pack_sequences
+
+    rng = np.random.default_rng(11)
+    ids = np.concatenate([
+        np.array([-(2**62), -(2**61), -1, 0, 1, 2**61, 2**62], np.int64),
+        rng.integers(-(2**62), 2**62, 25, dtype=np.int64),
+    ])
+    ids = np.unique(ids)
+    texts = [" ".join(f"w{j}" for j in range(rng.integers(1, 20))) for _ in ids]
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)}))
+    out = (
+        pack_sequences(ds, capacity=16, n_buckets=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    counts, seq_id, seq_off = _pack_ref(ids, texts, 16)
+    o = np.argsort(ids)
+    assert out["doc_id"].tolist() == ids[o].tolist()
+    assert out["seq_id"].tolist() == seq_id[o].tolist()
+    assert out["seq_offset"].tolist() == seq_off[o].tolist()

@@ -6,6 +6,7 @@ the guard only changes the execution plan, never the rows."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from dedup.exchange import semi_filter_auto, small_join
@@ -117,3 +118,23 @@ def test_dup_key_counts_both_branches(monkeypatch):
     for k, c in ((k1, c1), (k2, c2)):
         assert dict(zip(k.tolist(), c.tolist())) == exp
         assert np.array_equal(k, np.sort(k))
+
+
+def test_small_join_rejects_duplicate_right_keys():
+    """Duplicate right keys would make the broadcast branch (one match)
+    and the bucketed branch (replicated rows) silently diverge as the
+    right side grows past the cap — both must be rejected loudly."""
+    import ray.data as rd
+
+    from dedup.exchange import broadcast_map_i64, small_join
+
+    ds = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64())}))
+    dup = pa.table({"k": pa.array([1, 1], pa.int64()),
+                    "v": pa.array([10, 11], pa.int64())})
+    with pytest.raises(ValueError, match="duplicate"):
+        small_join(ds, "k", dup, "k")
+    with pytest.raises(ValueError, match="duplicate"):
+        small_join(ds, "k", dup, "k", max_broadcast_rows=1)
+    with pytest.raises(ValueError, match="duplicate"):
+        broadcast_map_i64(ds, "k", np.array([1, 1], np.int64),
+                          np.array([5, 6], np.int64), "out")

@@ -321,3 +321,23 @@ def test_gif_dispatch_and_sniff():
     many = np.stack([v % 256, (v // 256) * 7, np.zeros(300, np.int64)], axis=1)
     with pytest.raises(ValueError):
         encode_gif(many.astype(np.uint8).reshape(30, 10, 3))
+
+
+def test_gif_positioned_partial_frame_refused():
+    """A first frame smaller than the logical screen (or offset) must
+    raise rather than silently decode frame-local pixels as the canvas."""
+    import struct
+
+    from dedup.media import decode_gif, encode_gif
+
+    full = encode_gif(np.zeros((4, 4, 3), np.uint8))
+    # rewrite the image descriptor: 2x2 frame at offset (1, 1)
+    i = full.index(b"\x2c")
+    hacked = (
+        full[:i]
+        + b"\x2c"
+        + struct.pack("<HHHH", 1, 1, 2, 2)
+        + full[i + 9 :]
+    )
+    with pytest.raises(NotImplementedError, match="positioned/partial"):
+        decode_gif(hacked)

@@ -254,3 +254,47 @@ def test_ann_lsh_planted_twins(sf_dir):
     t = q_ann_lsh_planted(sf_dir).to_pandas()
     assert t.a.tolist() == list(range(10))
     assert t.b.tolist() == [i + PLANT_OFFSET for i in range(10)]
+
+
+def test_knn_nan_embeddings_never_crash():
+    """NaN embeddings propagate NaN similarities; the top-k cut must
+    still return exactly k rows per query (NaN ranks last, as -inf) —
+    regression: a NaN inside the partition cut emptied the tie mask and
+    crashed the Arrow table build with unequal column lengths."""
+    M = np.zeros((4, 2))
+    M[0] = [1.0, 0.0]          # query
+    M[1] = [np.nan, np.nan]    # NaN neighbor
+    M[2] = [np.nan, 1.0]       # NaN neighbor
+    M[3] = [0.6, 0.8]          # the one real neighbor
+    out = knn_cosine(_emb_ds(M, ids=[0, 1, 2, 3]), query_ids=[0], k=2)
+    got = out.sort_values("rank")["neighbor_id"].tolist()
+    assert got[0] == 3          # real neighbor first
+    assert len(got) == 2        # padded with a NaN-sim row, not a crash
+
+
+def test_indexer_large_index_partition_path_matches_sort_path():
+    """The >4096-column argpartition path must produce the identical
+    (sim DESC, id ASC) ranking as the small-index stable-sort path."""
+    import ray
+
+    from dedup.embed import EmbeddingIndexer, _emb_matrix, _normalize
+
+    rng = np.random.default_rng(3)
+    m = 5000
+    M = rng.standard_normal((m, 8))
+    M[17] = M[4231]  # exact tie pair: lower id must win
+    ids = np.arange(m, dtype=np.int64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ref = ray.put((ids, Mn))
+    q = pa.table({
+        "vec_id": pa.array([4231], pa.int64()),
+        "embedding": pa.array([M[4231].tolist()],
+                              pa.list_(pa.float32(), 8)),
+    })
+    ix = EmbeddingIndexer(ref, k=3)
+    out = ix(q)
+    s = (Mn / np.linalg.norm(Mn, axis=1, keepdims=True)) @ Mn[4231]
+    s[4231] = -np.inf
+    order = np.lexsort((ids, -s))[:3]
+    assert out["neighbor_id"].to_pylist() == ids[order].tolist()
+    assert out["neighbor_id"].to_pylist()[0] == 17
