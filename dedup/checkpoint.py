@@ -106,6 +106,19 @@ def _migrate_v4_to_v5(name: str, manifest: dict, stage_dir: str) -> dict | None:
     return manifest
 
 
+@register_migration(5)
+def _migrate_v5_to_v6(name: str, manifest: dict, stage_dir: str) -> dict | None:
+    """v6 truncated stored signature slots to cfg.sig_bytes (default 4):
+    signature checkpoints carry the old 8-byte layout and the verified
+    edges derive from them, so both recompute; every narrow stage's
+    layout is untouched and stamps forward in place."""
+    if name in ("p3_signatures", "p4_edges"):
+        return None
+    manifest = dict(manifest)
+    manifest["schema_version"] = 6
+    return manifest
+
+
 class CheckpointManager:
     def __init__(self, root: str, cfg: DedupConfig):
         self.root = root

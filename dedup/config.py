@@ -28,6 +28,14 @@ class DedupConfig:
     bands: int = 32
     rows_per_band: int = 4
     minhash_seed: int = 42
+    # stored signature slot width in bytes (4 or 8). MinHash mins are
+    # computed in 64-bit and stored truncated to their low ``sig_bytes``
+    # bytes: per-slot false-equal probability is 2^-32 at 4 bytes
+    # (negligible next to the 1/num_perm estimator resolution), while
+    # signature bytes through the object store / checkpoints halve —
+    # the largest non-text intermediate at corpus scale. 8 keeps the
+    # full 64-bit slots (pre-v6 layout).
+    sig_bytes: int = 4
     # candidate-pair verification: estimated Jaccard (fraction of agreeing
     # signature slots) must reach this; 0 disables verification.
     verify_threshold: float = 0.5
@@ -116,6 +124,8 @@ class DedupConfig:
             raise ValueError(f"unknown token_hash {self.token_hash!r}")
         if self.candidate_path not in ("components", "classic"):
             raise ValueError(f"unknown candidate_path {self.candidate_path!r}")
+        if self.sig_bytes not in (4, 8):
+            raise ValueError(f"sig_bytes must be 4 or 8, got {self.sig_bytes}")
 
     def fingerprint(self) -> str:
         """Stable hash of the config — stored in checkpoint manifests so a
@@ -211,6 +221,9 @@ _POST_V1_FIELDS = {
     # fingerprint rules (fingerprint_v3) skip it at default too
     "candidate_path",  # semantic default change covered by schema v5's
     # p4_edges invalidation, not the fingerprint
+    "sig_bytes",  # layout default change covered by schema v6's
+    # p3_signatures/p4_edges invalidation (and the incremental index's
+    # explicit sig_bytes manifest stamp), not the fingerprint
 }
 
 # Execution-only knobs (path selection, not results): excluded from the

@@ -91,6 +91,11 @@ def _write_manifest(index_dir: str, cfg: DedupConfig, n_docs: int) -> None:
             {
                 "schema_version": INDEX_SCHEMA_VERSION,
                 "config_fingerprint": cfg.fingerprint(),
+                # persisted slot width: the fingerprint excludes sig_bytes
+                # at its default, so the layout must be stamped explicitly
+                # (an old 8-byte index probed under sig_bytes=4 would
+                # otherwise fail deep inside a union with an opaque error)
+                "sig_bytes": cfg.sig_bytes,
                 "n_docs": int(n_docs),
             },
             f,
@@ -109,6 +114,13 @@ def _check_manifest(index_dir: str, cfg: DedupConfig) -> dict:
         raise ValueError(
             "index was built with a different config fingerprint; "
             "rebuild the index or use the original config"
+        )
+    stored_width = mf.get("sig_bytes", 8)  # pre-stamp indexes are 8-byte
+    if stored_width != cfg.sig_bytes:
+        raise ValueError(
+            f"index stores {stored_width}-byte signature slots but the "
+            f"config expects sig_bytes={cfg.sig_bytes}; rebuild the index "
+            f"or set sig_bytes={stored_width}"
         )
     return mf
 

@@ -49,7 +49,10 @@ class Bander:
         sig_col = batch.column("sig")
         if isinstance(sig_col, pa.ChunkedArray):
             sig_col = sig_col.combine_chunks()
-        flat = sig_col.flatten().to_numpy(zero_copy_only=False).view(U64)
+        flat = sig_col.flatten().to_numpy(zero_copy_only=False)
+        # slot width follows the stored column (cfg.sig_bytes): uint32
+        # slots upcast to uint64 inside the band polynomial below
+        flat = flat.view(np.uint32 if flat.dtype.itemsize == 4 else U64)
         sig = flat.reshape(n, cfg.num_perm)
         # docs with no shingles (all-sentinel signature) never band
         has = batch.column("n_shingles").to_numpy(zero_copy_only=False) > 0

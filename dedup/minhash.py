@@ -227,7 +227,17 @@ class MinHashSigner:
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         sig, n_sh, set_hash = self.signatures_full(text)
-        flat = pa.array(sig.reshape(-1).view(np.int64), pa.int64())
+        # storage truncation (cfg.sig_bytes=4): keep the low 32 bits of
+        # each 64-bit min. Slots are uniform post-mix, so truncation only
+        # adds a 2^-32 per-slot false-equal — invisible next to the
+        # 1/num_perm estimator step — and halves every signature byte
+        # that crosses the object store or lands in a checkpoint.
+        if self.cfg.sig_bytes == 4:
+            flat = pa.array(
+                sig.reshape(-1).astype(np.uint32).view(np.int32), pa.int32()
+            )
+        else:
+            flat = pa.array(sig.reshape(-1).view(np.int64), pa.int64())
         sig_col = pa.FixedSizeListArray.from_arrays(flat, self.cfg.num_perm)
         return pa.table(
             {

@@ -25,7 +25,11 @@ import pyarrow as pa
 #     cross-pairs are no longer dropped and jumbo stars anchor at the
 #     true bucket min — p4_edges results can change; upstream stage
 #     layouts do not
-SCHEMA_VERSION = 5
+# v6: signature slots stored truncated to cfg.sig_bytes (default 4 —
+#     list<int32> u32 bit-patterns; 8 keeps the pre-v6 list<int64>
+#     layout): p3_signatures and the sig-derived p4_edges recompute;
+#     ingest and narrow stage layouts are untouched
+SCHEMA_VERSION = 6
 
 PAGES = pa.schema(
     [
@@ -50,11 +54,12 @@ INGESTED = pa.schema(
     ]
 )
 
-# MinHash signatures (P3): one row per distinct doc_hash
+# MinHash signatures (P3): one row per distinct doc_hash. Slot type
+# follows cfg.sig_bytes: int32 (u32 bit-patterns, the default) or int64.
 SIGNATURES = pa.schema(
     [
         ("doc_hash", pa.int64()),
-        ("sig", pa.list_(pa.int64())),  # len == num_perm (u64 bit-patterns)
+        ("sig", pa.list_(pa.int32())),  # len == num_perm
         ("n_shingles", pa.int64()),
         ("set_hash", pa.int64()),  # 64-bit distinct-shingle-set hash
     ]

@@ -98,8 +98,9 @@ def _compare_slice(
     ia_ok, ib_ok = row_o[ia[ok]], row_o[ib[ok]]
     sim_ok = np.empty(len(ia_ok))
     CH = 16384
-    ga = _scratch("verify_ga", CH * num_perm, np.int64).reshape(CH, num_perm)
-    gb = _scratch("verify_gb", CH * num_perm, np.int64).reshape(CH, num_perm)
+    # scratch dtype follows the stored slot width (cfg.sig_bytes)
+    ga = _scratch("verify_ga", CH * num_perm, mat.dtype).reshape(CH, num_perm)
+    gb = _scratch("verify_gb", CH * num_perm, mat.dtype).reshape(CH, num_perm)
     for s in range(0, len(ia_ok), CH):
         e = min(s + CH, len(ia_ok))
         np.take(mat, ia_ok[s:e], axis=0, out=ga[: e - s])
@@ -407,30 +408,33 @@ def verify_broadcast(pairs_deduped: Dataset, sigs: Dataset, cfg: DedupConfig) ->
     return _edge_table_unique(t.select(["a", "b", "sim"]))
 
 
-def sig_matrix(col, n: int, num_perm: int) -> np.ndarray:
-    """(n, num_perm) uint64 view of a packed-signature blob column.
+def sig_matrix(col, n: int, num_perm: int, item_bytes: int = 4) -> np.ndarray:
+    """(n, num_perm) unsigned-int view of a packed-signature blob column
+    (dtype uint32 or uint64 per ``item_bytes`` = cfg.sig_bytes).
 
     Zero-copy for fixed_size_binary and for plain binary/large_binary
     whose offsets form one constant-stride run (the pandas round-trip
     inside ``bucketed_join`` demotes fixed_size_binary to plain binary
-    but keeps every blob exactly ``8 * num_perm`` bytes). Falls back to
-    a per-row join only for irregular layouts (nulls, mixed widths).
+    but keeps every blob exactly ``item_bytes * num_perm`` bytes). Falls
+    back to a per-row join only for irregular layouts (nulls, mixed
+    widths).
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    width = 8 * num_perm
+    width = item_bytes * num_perm
+    dt = np.uint32 if item_bytes == 4 else U64
     if isinstance(col, pa.FixedSizeBinaryArray) and col.null_count == 0:
         if col.type.byte_width != width:
-            # a stored signature width that disagrees with cfg.num_perm is
+            # a stored signature width that disagrees with the config is
             # a config/index mismatch — fail loudly instead of silently
             # slicing the buffer into garbage similarities
             raise ValueError(
                 f"signature width mismatch: column byte_width="
-                f"{col.type.byte_width}, expected 8*num_perm={width}"
+                f"{col.type.byte_width}, expected sig_bytes*num_perm={width}"
             )
         buf = np.frombuffer(col.buffers()[1], dtype=np.uint8)
         buf = buf[col.offset * width : (col.offset + n) * width]
-        return buf.view(U64).reshape(n, num_perm)
+        return buf.view(dt).reshape(n, num_perm)
     if (
         isinstance(col, (pa.BinaryArray, pa.LargeBinaryArray))
         and col.null_count == 0
@@ -442,8 +446,8 @@ def sig_matrix(col, n: int, num_perm: int) -> np.ndarray:
         if (np.diff(offs) == width).all():
             buf = np.frombuffer(col.buffers()[2], dtype=np.uint8)
             buf = buf[offs[0] : offs[-1]]
-            return buf.view(U64).reshape(n, num_perm)
-    buf = np.frombuffer(b"".join(col.to_pylist()), dtype=U64)
+            return buf.view(dt).reshape(n, num_perm)
+    buf = np.frombuffer(b"".join(col.to_pylist()), dtype=dt)
     return buf.reshape(n, num_perm)
 
 
@@ -459,7 +463,7 @@ def verify_distributed(pairs: Dataset, sigs: Dataset, cfg: DedupConfig) -> Datas
     one row per doc_hash, so the sorted-key gather IS the inner join."""
     if cfg.verify_threshold <= 0:
         return _keep_all_ones(pairs)
-    width = 8 * cfg.num_perm
+    width = cfg.sig_bytes * cfg.num_perm
 
     def pack(batch: pa.Table) -> pa.Table:
         col = batch.column("sig")
@@ -554,8 +558,8 @@ def verify_distributed(pairs: Dataset, sigs: Dataset, cfg: DedupConfig) -> Datas
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                              "sim": pa.array([], pa.float64())})
 
-        ma = sig_matrix(batch.column("__sa"), n, cfg.num_perm)
-        mb = sig_matrix(batch.column("__sb"), n, cfg.num_perm)
+        ma = sig_matrix(batch.column("__sa"), n, cfg.num_perm, cfg.sig_bytes)
+        mb = sig_matrix(batch.column("__sb"), n, cfg.num_perm, cfg.sig_bytes)
         sim = (ma == mb).mean(axis=1)
         keep = sim >= cfg.verify_threshold
         return pa.table(

@@ -330,3 +330,29 @@ def test_distributed_backend_verify_tiers_bit_identical():
         DedupConfig(sig_broadcast_max=0).fingerprint()
         == DedupConfig().fingerprint()
     )
+
+
+def test_sig_bytes_4_and_8_same_clusters():
+    """Stored slot width is an engineering knob: truncating the 64-bit
+    mins to 32 bits (sig_bytes=4, the default) must recover the same
+    planted clusters as the full-width layout (per-slot false-equal is
+    2^-32 — invisible on any real corpus)."""
+    table, exp = make_pages()
+    ds = rd.from_arrow(table)
+    c4 = _url_cluster_map(
+        near_dup_pipeline(ds, DedupConfig(min_size=1, sig_bytes=4)).clusters
+    )
+    c8 = _url_cluster_map(
+        near_dup_pipeline(ds, DedupConfig(min_size=1, sig_bytes=8)).clusters
+    )
+    # same membership partition (cluster ids are min doc_hash, which can
+    # differ only if membership differs — compare the partitions)
+    from collections import defaultdict
+
+    def parts(cmap):
+        g = defaultdict(set)
+        for u, cid in cmap.items():
+            g[cid].add(u)
+        return {frozenset(v) for v in g.values()}
+
+    assert parts(c4) == parts(c8)

@@ -97,18 +97,34 @@ def test_sig_matrix_layouts():
     plain = pa.array(blobs, pa.binary())
     large = pa.array(blobs, pa.large_binary())
     for col in (fsb, plain, large):
-        got = sig_matrix(col, n, perms)
+        got = sig_matrix(col, n, perms, item_bytes=8)
         assert (got == want).all(), type(col).__name__
 
     # sliced (non-zero offset) views must respect the offset
     for col in (fsb, plain, large):
         sl = col.slice(10, 20)
-        got = sig_matrix(sl, 20, perms)
+        got = sig_matrix(sl, 20, perms, item_bytes=8)
         assert (got == want[10:30]).all(), f"sliced {type(col).__name__}"
 
     # chunked input
     ch = pa.chunked_array([plain.slice(0, 25), plain.slice(25, 25)])
-    assert (sig_matrix(ch, n, perms) == want).all()
+    assert (sig_matrix(ch, n, perms, item_bytes=8) == want).all()
+
+    # 4-byte slots (the default sig_bytes=4 layout)
+    want32 = want.astype(np.uint32)
+    blobs32 = [want32[i].tobytes() for i in range(n)]
+    for col in (
+        pa.array(blobs32, pa.binary(4 * perms)),
+        pa.array(blobs32, pa.binary()),
+        pa.array(blobs32, pa.large_binary()),
+    ):
+        got = sig_matrix(col, n, perms, item_bytes=4)
+        assert got.dtype == np.uint32 and (got == want32).all()
+
+    # width mismatch (an 8-byte column read under sig_bytes=4) is loud
+    import pytest
+    with pytest.raises(ValueError, match="width mismatch"):
+        sig_matrix(fsb, n, perms, item_bytes=4)
 
 
 def test_dedup_pairs_sorted_equals_groupby_after_edge_dedup():
