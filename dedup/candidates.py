@@ -36,12 +36,17 @@ smaller:
    signature matrix, no ``sig_broadcast_max`` ceiling: a component's
    signatures travel once, to the group that needs them.
 
-vs the classic path the pair set differs only in two documented corner
-cases, both strictly cleaner: pairs split across sorted-block fragments
-of one bucket are no longer dropped (the classic path chains fragments
-for connectivity but skips their cross-fragment pairs), and jumbo
-buckets anchor their stars at the true bucket min instead of
-per-fragment mins. Reference anchor: the same "group, then work only
+vs the classic path the pair set differs only in fragment-related corner
+cases, all of which make the output batch-split-INVARIANT where classic
+depended on where sorted-block boundaries happened to fall: pairs split
+across sorted-block fragments of one bucket are no longer dropped (the
+classic path chains fragments for connectivity but skips their
+cross-fragment pairs); jumbo buckets anchor their stars at the true
+bucket min instead of per-fragment mins; and the all-pairs cap applies
+to the TRUE bucket size — an over-cap bucket that classic's block
+boundaries happened to split into under-cap fragments no longer gets
+fragment-local all-pairs (it gets the documented star treatment, like
+every other over-cap bucket). Reference anchor: the same "group, then work only
 inside groups" shape as the reference's size→checksum cascade
 (process_matches.rs:293-407), pushed two levels further (bucket →
 component → verified edge).
@@ -89,10 +94,12 @@ _EMPTY_EDGES = pa.table(
 
 def _tagged_sig_rows(
     sigs: Dataset, cfg: DedupConfig, dataset_labels: bool, cols: list[str]
-) -> tuple[Dataset | None, np.ndarray | None]:
+) -> tuple[Dataset | None, np.ndarray | None, int]:
     """Phases 1–3: star pass → component labels → candidate signature
     rows tagged with ``__comp``. → (tagged Dataset | None if no
-    candidates, sorted candidate array | None on the Dataset tier)."""
+    candidates, sorted candidate array | None on the Dataset tier,
+    deduped star-edge count — 2× an upper bound on candidate docs, the
+    group-fanout hint for ``_grouped``)."""
     from .verify import dedup_pairs_sorted
 
     bands = band_rows(sigs, cfg)
@@ -103,8 +110,9 @@ def _tagged_sig_rows(
     # bands); this sort-dedup is over ~25x fewer rows than the classic
     # path's pair stream
     stars_d = ensure_schema(dedup_pairs_sorted(stars), PAIRS_SCHEMA).materialize()
-    if stars_d.count() == 0:
-        return None, (None if dataset_labels else np.empty(0, np.int64))
+    n_stars = stars_d.count()
+    if n_stars == 0:
+        return None, (None if dataset_labels else np.empty(0, np.int64)), 0
 
     sig_cols = sigs.select_columns(cols)
     if not dataset_labels:
@@ -128,7 +136,7 @@ def _tagged_sig_rows(
                 max_broadcast_rows=cfg.broadcast_max_rows,
                 n_buckets=cfg.join_buckets,
             )
-            return tagged, keys
+            return tagged, keys, n_stars
 
     # Dataset tier: component labels never leave the cluster; the inner
     # join is simultaneously the candidate-membership filter
@@ -144,15 +152,29 @@ def _tagged_sig_rows(
         keep = [c for c in batch.column_names if c not in ("node", "label")]
         return batch.select(keep).append_column("__comp", batch.column("label"))
 
-    return joined.map_batches(rename, batch_format="pyarrow"), None
+    return joined.map_batches(rename, batch_format="pyarrow"), None, n_stars
 
 
-def _grouped(tagged: Dataset, cfg: DedupConfig, fn: Callable) -> Dataset:
-    """Route whole components to ``join_buckets`` hash groups and apply
-    ``fn`` per group (the ``distinct_reps`` bucketed-groupby idiom —
-    per-group Python cost is ``join_buckets`` calls, not per-component
-    calls)."""
-    n_buckets = cfg.join_buckets
+_GROUP_DOCS_TARGET = 250_000  # ≈128 MB of signatures per group at 512 B/doc
+
+
+def _grouped(
+    tagged: Dataset, cfg: DedupConfig, fn: Callable, n_cand_hint: int = 0
+) -> Dataset:
+    """Route whole components to hash groups and apply ``fn`` per group
+    (the ``distinct_reps`` bucketed-groupby idiom — per-group Python
+    cost is one call per group, not per component).
+
+    Group count scales with the candidate set (``n_cand_hint``, an
+    upper bound on candidate docs derived from the deduped star-edge
+    count) so one group's signatures stay near ``_GROUP_DOCS_TARGET``
+    docs regardless of corpus size — a fixed fanout would grow per-task
+    memory linearly with candidates. A single component larger than the
+    target still lands in one group (the documented pathological-key
+    caveat)."""
+    n_buckets = max(
+        cfg.join_buckets, min(65536, n_cand_hint // _GROUP_DOCS_TARGET)
+    )
 
     def bucket(batch: pa.Table) -> pa.Table:
         comp = batch.column("__comp").to_numpy(zero_copy_only=False)
@@ -187,7 +209,7 @@ def component_candidate_pairs(
     that also want verification should use ``component_verified_edges``,
     which does it without re-shipping signatures.
     """
-    tagged, cand = _tagged_sig_rows(
+    tagged, cand, n_stars = _tagged_sig_rows(
         sigs, cfg, dataset_labels, ["doc_hash", "sig", "n_shingles"]
     )
     if tagged is None:
@@ -199,7 +221,9 @@ def component_candidate_pairs(
             {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())}
         )
 
-    return ensure_schema(_grouped(tagged, cfg, gen), PAIRS_SCHEMA), cand
+    return ensure_schema(
+        _grouped(tagged, cfg, gen, n_cand_hint=2 * n_stars), PAIRS_SCHEMA
+    ), cand
 
 
 def component_verified_edges(
@@ -219,7 +243,7 @@ def component_verified_edges(
     cols = ["doc_hash", "sig", "n_shingles"]
     if cfg.exact_set_verify:
         cols.append("set_hash")
-    tagged, _ = _tagged_sig_rows(sigs, cfg, dataset_labels, cols)
+    tagged, _, n_stars = _tagged_sig_rows(sigs, cfg, dataset_labels, cols)
     if tagged is None:
         return rd.from_arrow(_EMPTY_EDGES)
     thr = cfg.verify_threshold
@@ -255,4 +279,6 @@ def component_verified_edges(
             }
         )
 
-    return ensure_schema(_grouped(tagged, cfg, gen_verify), EDGES_SCHEMA)
+    return ensure_schema(
+        _grouped(tagged, cfg, gen_verify, n_cand_hint=2 * n_stars), EDGES_SCHEMA
+    )

@@ -184,8 +184,17 @@ def components_sharded(
         a = batch.column("a").to_numpy(zero_copy_only=False)
         b = batch.column("b").to_numpy(zero_copy_only=False)
         with np.errstate(over="ignore"):
+            # route by a hash of BOTH endpoints: verified edges are
+            # canonical (a = uint64-min), so hashing the min endpoint
+            # would send a star component's entire edge set to ONE shard
+            # (the jumbo-cluster case sharding exists for). Spreading by
+            # pair leaves the hub as a boundary node on several shards;
+            # the merge below resolves those for free.
             route = (
-                fmix64(np.minimum(a.view(np.uint64), b.view(np.uint64)))
+                fmix64(
+                    a.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                    ^ b.view(np.uint64)
+                )
                 % np.uint64(n_shards)
             ).astype(np.int64)
         for s in range(n_shards):
@@ -390,6 +399,13 @@ def label_propagation(
     _t0 = _time.monotonic()
 
     from .exchange import ensure_schema
+
+    # ``pairs`` is consumed twice below (static edges + round-0 seed):
+    # one execution guarantees both derivations see the SAME rows even
+    # for a lazy upstream (a divergent re-execution could leave a node
+    # in the edge set with no seed label, and answer_step would then
+    # silently drop its messages), and avoids re-running the lineage.
+    pairs = pairs.materialize()
 
     # static directed edges, partitioned once into n_buckets blocks (the
     # per-round exchange re-buckets rows anyway; the repartition bounds
