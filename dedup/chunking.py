@@ -152,13 +152,24 @@ def pack_sequences(
     # shift is sized so bucket < 2^k <= n_buckets; a multiply-divide
     # formula overflows int64 when ids span > 2^63/n_buckets.
     k = max(1, int(n_buckets)).bit_length() - 1
-    shift = np.uint64(max(0, span.bit_length() - k))
+    shift_i = max(0, span.bit_length() - k)
+    # delta is always < 2^64, so a shift of >= 64 maps every id to bucket
+    # 0 — but numpy's uint64 >> 64 is formally undefined (C shift UB; it
+    # happens to return 0 on this build, not guaranteed elsewhere). The
+    # degenerate case is reachable: n_buckets=1 gives k=0, and ids
+    # spanning >= 2^63 give span.bit_length() >= 64. Emit the zeros
+    # explicitly instead of shifting.
+    degenerate = shift_i >= 64
+    shift = np.uint64(min(shift_i, 63))
     lo_u = np.uint64(lo_i % (1 << 64))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        delta = ids.astype(np.uint64) - lo_u  # wraps to the true diff
-        b = (delta >> shift).astype(np.int32)
+        if degenerate:
+            b = np.zeros(len(ids), np.int32)
+        else:
+            delta = ids.astype(np.uint64) - lo_u  # wraps to the true diff
+            b = (delta >> shift).astype(np.int32)
         return batch.append_column("__bucket", pa.array(b, pa.int32()))
 
     bucketed = nt.map_batches(add_bucket, batch_format="pyarrow").materialize()

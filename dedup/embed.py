@@ -174,6 +174,14 @@ class EmbeddingIndexer:
         hit = self.ids[pos] == ids
         r = np.nonzero(hit)[0]
         sims[r, pos[r]] = -np.inf
+        # sanitize NaN (zero-norm or corrupt vectors) to -inf ONCE so the
+        # small-m argsort path and the large-m argpartition path rank the
+        # degenerate entries identically (argsort ranks NaN last, AFTER
+        # the -inf self-mask; the partition helper maps NaN to -inf where
+        # it ties with the mask — without this the two paths disagree).
+        # NOT nan_to_num: that would also flatten the -inf self-mask to
+        # the finite float min, un-tying it from the NaN entries.
+        sims[np.isnan(sims)] = -np.inf
         kk = min(self.k, sims.shape[1])
         m = sims.shape[1]
         if m <= 4096:

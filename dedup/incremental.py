@@ -107,20 +107,38 @@ def _check_manifest(index_dir: str, cfg: DedupConfig) -> dict:
     mf = _manifest(index_dir)
     if mf is None:
         raise FileNotFoundError(f"no index manifest under {index_dir}")
-    if mf.get("config_fingerprint") != cfg.fingerprint():
-        # ≅ the reference invalidating checksums when hash params change
-        # (file_db.rs:311-342): signatures under a different shingle/perm
-        # config are not comparable — refuse instead of silently missing dups
-        raise ValueError(
-            "index was built with a different config fingerprint; "
-            "rebuild the index or use the original config"
-        )
+    # sig_bytes is normalized out of the comparison: the explicit
+    # ``sig_bytes`` manifest stamp below is the authority on slot-width
+    # comparability, and a pre-v6 index's stored fingerprint was computed
+    # by code with no sig_bytes field at all — so following the width
+    # error's own advice ("set sig_bytes=8") must not then trip the
+    # fingerprint gate (the normalized form, sig_bytes at default, is
+    # byte-identical to the pre-v6 fingerprint).
+    from dataclasses import replace
+
+    from .config import DEFAULT
+
+    # Width first: when the only disagreement is the slot width, the user
+    # must see the actionable "set sig_bytes=N" message, not a generic
+    # fingerprint error (a v6 8-byte index opened under the 4-byte default
+    # would otherwise trip the fingerprint gate — sig_bytes=8 is
+    # fingerprinted off-default — before ever reaching this check).
     stored_width = mf.get("sig_bytes", 8)  # pre-stamp indexes are 8-byte
     if stored_width != cfg.sig_bytes:
         raise ValueError(
             f"index stores {stored_width}-byte signature slots but the "
             f"config expects sig_bytes={cfg.sig_bytes}; rebuild the index "
             f"or set sig_bytes={stored_width}"
+        )
+    acceptable = {cfg.fingerprint(),
+                  replace(cfg, sig_bytes=DEFAULT.sig_bytes).fingerprint()}
+    if mf.get("config_fingerprint") not in acceptable:
+        # ≅ the reference invalidating checksums when hash params change
+        # (file_db.rs:311-342): signatures under a different shingle/perm
+        # config are not comparable — refuse instead of silently missing dups
+        raise ValueError(
+            "index was built with a different config fingerprint; "
+            "rebuild the index or use the original config"
         )
     return mf
 

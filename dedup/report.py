@@ -124,21 +124,20 @@ def write_report(clusters: Dataset, out_dir: str) -> dict:
     with open(json_path, "w") as f:
         f.write("[")
         first = True
-        for batch in nested.iter_batches(batch_size=4096, batch_format="pandas"):
-            for _, row in batch.iterrows():
-                rec = {
-                    # Arrow list<list<string>> → numpy object arrays in
-                    # pandas; coerce to plain lists for the JSON writer
-                    "duplicates": [list(x) for x in row["duplicates"]],
-                    "redundant_bytes": int(row["redundant_bytes"]),
-                }
+        for batch in nested.iter_batches(batch_size=4096, batch_format="pyarrow"):
+            # to_pylist on the Arrow batch gives plain nested Python lists
+            # directly (no pandas object-array detour, no iterrows)
+            dups = batch.column("duplicates").to_pylist()
+            rbytes = batch.column("redundant_bytes").to_pylist()
+            members = batch.column("n_members").to_pylist()
+            for d, rb in zip(dups, rbytes):
                 if not first:
                     f.write(",")
-                json.dump(rec, f)
+                json.dump({"duplicates": d, "redundant_bytes": int(rb)}, f)
                 first = False
-                n_groups += 1
-                n_members += int(row["n_members"])
-                redundant += int(row["redundant_bytes"])
+            n_groups += len(dups)
+            n_members += int(sum(members))
+            redundant += int(sum(rbytes))
         f.write("]")
     summary = {
         "n_groups": n_groups,

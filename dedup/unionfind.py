@@ -143,9 +143,11 @@ def components_from_pairs(pairs: Dataset) -> tuple[np.ndarray, np.ndarray]:
 class UnionFindShard:
     """One shard of the distributed union-find actor fleet.
 
-    Receives edge batches (routed by hash of the edge's min node — a
-    node's edges may land on several shards), maintains a local forest,
-    and emits a (node → local uint64-min component member) map. The
+    Receives edge batches (routed by a hash of BOTH endpoints — see
+    ``components_sharded`` — so a star component's edges spread across
+    shards and its hub becomes a boundary node on several of them),
+    maintains a local forest, and emits a (node → local uint64-min
+    component member) map. The
     driver then merges the per-shard maps: that merge graph has one edge
     per (node, shard) pair — O(V·shards), independent of E, so the O(E)
     union work stays sharded. The actor holds mutable cross-batch state,

@@ -470,6 +470,15 @@ def verify_distributed(pairs: Dataset, sigs: Dataset, cfg: DedupConfig) -> Datas
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         flat = col.flatten().to_numpy(zero_copy_only=False)
+        if flat.dtype.itemsize != cfg.sig_bytes:
+            # a stored slot width that disagrees with the config would
+            # silently interleave rows in the fixed-width blob below
+            # (from_buffers doesn't validate) — fail loudly, same
+            # contract as sig_matrix above
+            raise ValueError(
+                f"signature width mismatch: stored slot itemsize="
+                f"{flat.dtype.itemsize}, expected sig_bytes={cfg.sig_bytes}"
+            )
         blob = flat.reshape(len(batch), cfg.num_perm).view(np.uint8).reshape(len(batch), -1)
         arr = pa.FixedSizeBinaryArray.from_buffers(
             pa.binary(width), len(batch),

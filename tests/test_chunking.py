@@ -144,3 +144,25 @@ def test_pack_sequences_full_range_int64_ids():
     assert out["doc_id"].tolist() == ids[o].tolist()
     assert out["seq_id"].tolist() == seq_id[o].tolist()
     assert out["seq_offset"].tolist() == seq_off[o].tolist()
+
+
+def test_pack_sequences_degenerate_shift_n_buckets_one():
+    """n_buckets=1 with ids spanning >= 2^63 sizes the range-bucket shift
+    to 64-65 — numpy uint64 >> 64 is C-undefined, so the implementation
+    must special-case the all-zero-bucket path (ADVICE r4)."""
+    from dedup.chunking import pack_sequences
+
+    ids = np.array(
+        [-(2**63), -(2**61), -7, 0, 3, 2**61, 2**63 - 1], np.int64
+    )
+    texts = [" ".join(f"w{j}" for j in range(3 + i)) for i in range(len(ids))]
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)}))
+    out = (
+        pack_sequences(ds, capacity=8, n_buckets=1)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    counts, seq_id, seq_off = _pack_ref(ids, texts, 8)
+    o = np.argsort(ids)
+    assert out["doc_id"].tolist() == ids[o].tolist()
+    assert out["seq_id"].tolist() == seq_id[o].tolist()
+    assert out["seq_offset"].tolist() == seq_off[o].tolist()

@@ -196,6 +196,36 @@ def test_config_fingerprint_mismatch_refuses(scenario):
         incremental_dedup(_pages(batch), idx, other)
 
 
+def test_pre_v6_index_remediation_path(scenario, tmp_path):
+    """A pre-v6 manifest (no sig_bytes stamp, fingerprint computed by code
+    with no sig_bytes field) opened under the v6 4-byte default must raise
+    the WIDTH error naming the fix — and following that fix
+    (sig_bytes=8) must then pass the gate rather than tripping the
+    fingerprint check (sig_bytes=8 is fingerprinted off-default, but
+    _check_manifest normalizes it out)."""
+    import json as _json
+    import os
+    import shutil
+
+    from dedup.incremental import _check_manifest
+
+    _, _, idx, cfg = scenario
+    old = str(tmp_path / "pre_v6_index")
+    shutil.copytree(idx, old)
+    mpath = os.path.join(old, "manifest.json")
+    with open(mpath) as f:
+        mf = _json.load(f)
+    mf.pop("sig_bytes", None)  # pre-stamp manifests carry no width key
+    with open(mpath, "w") as f:
+        _json.dump(mf, f)
+    with pytest.raises(ValueError, match="set sig_bytes=8"):
+        _check_manifest(old, cfg)
+    # the error's own advice must work: same config, width pinned to 8
+    from dataclasses import replace
+
+    assert _check_manifest(old, replace(cfg, sig_bytes=8))["n_docs"] >= 1
+
+
 def test_empty_batch_and_no_overlap_batch(scenario):
     _, _, idx, cfg = scenario
     empty = _pages([("b://none", "x")]).filter(lambda r: False)

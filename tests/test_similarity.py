@@ -298,3 +298,39 @@ def test_indexer_large_index_partition_path_matches_sort_path():
     order = np.lexsort((ids, -s))[:3]
     assert out["neighbor_id"].to_pylist() == ids[order].tolist()
     assert out["neighbor_id"].to_pylist()[0] == 17
+
+
+def test_indexer_paths_agree_with_nan_entries():
+    """NaN sims (zero-norm index vectors) must rank identically in the
+    small-m argsort path and the large-m argpartition path: both sanitize
+    NaN to -inf BEFORE ranking, so degenerate entries tie with the
+    self-mask and break ties by id ASC (ADVICE r4)."""
+    import ray
+
+    from dedup.embed import EmbeddingIndexer
+
+    rng = np.random.default_rng(9)
+
+    def run(m):
+        M = rng.standard_normal((m, 8))
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = M / norms
+        Mn[1] = np.nan  # a corrupt index vector → NaN sim for every query
+        ids = np.arange(m, dtype=np.int64)
+        ref = ray.put((ids, Mn))
+        q = pa.table({
+            "vec_id": pa.array([0], pa.int64()),
+            "embedding": pa.array([M[0].tolist()], pa.list_(pa.float32(), 8)),
+        })
+        return EmbeddingIndexer(ref, k=m)(q)
+
+    small, large = run(4096), run(4097)
+    # in both paths: all real sims first (desc), then the NaN entry and the
+    # self-masked query id tie at -inf and order by id ASC
+    for out, m in ((small, 4096), (large, 4097)):
+        nb = out["neighbor_id"].to_pylist()
+        sims = out["sim"].to_pylist()
+        assert nb[-2:] == [0, 1]          # -inf ties, id ASC
+        assert sims[-2] == -np.inf and sims[-1] == -np.inf
+        assert not any(np.isnan(sims))    # NaN never escapes
+        assert sims[: m - 2] == sorted(sims[: m - 2], reverse=True)

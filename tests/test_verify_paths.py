@@ -153,3 +153,18 @@ def test_dedup_pairs_sorted_equals_groupby_after_edge_dedup():
     assert g.column("a").equals(s.column("a"))
     assert g.column("b").equals(s.column("b"))
     assert len(g) > 0
+
+
+def test_verify_distributed_rejects_width_mismatch():
+    """A sig table whose stored slot width disagrees with cfg.sig_bytes
+    must fail LOUDLY in pack() — from_buffers doesn't validate, so a
+    silent mismatch would interleave rows into garbage blobs (ADVICE r4)."""
+    import pytest
+    from dataclasses import replace
+
+    pairs, sigs, cfg = _setup()
+    assert cfg.sig_bytes == 4  # stored slots are int32 under the default
+    wrong = replace(cfg, sig_bytes=8)
+    deduped = dedup_pairs(pairs)
+    with pytest.raises(Exception, match="width mismatch"):
+        collect_table(verify_distributed(deduped, sigs, wrong))
