@@ -42,10 +42,17 @@ Scale knobs:
   with probability ~1-(1-1/m)^(L-K+1); only the emitted-key volume
   drops by m. ``sample_mod=1`` is exact and oracle-checkable.
 - The duplicated-window set is broadcast once via ``ray.put``
-  (zero-copy per node); it is bounded by cross-doc repeated content,
-  the thing the pipeline exists to remove. ``min_docs`` and
-  ``sample_mod`` are the pressure valves if a pathological corpus
-  blows it up (same bound/valve story as lines.py's drop set).
+  (zero-copy per node) while it fits ``max_broadcast_rows``; it is
+  bounded by cross-doc repeated content, the thing the pipeline exists
+  to remove, and ``min_docs`` / ``sample_mod`` are the pressure valves.
+  Past the bound — a boilerplate-heavy 100 TB corpus can hold billions
+  of distinct duplicated windows — the set stays a Dataset and the
+  strip pass becomes: explode (doc, window-start, window-hash) rows →
+  bucketed INNER join against the dup set (only the duplicated starts
+  survive, so the join output is dup-bounded) → co-locate each doc
+  with its dup starts by doc-hash bucket → per-bucket span merge +
+  strip with the SAME kernel as the broadcast path (branch-pinned in
+  tests/test_substr.py). Same guard/fallback shape as lines.py.
 """
 
 from __future__ import annotations
@@ -107,14 +114,14 @@ def _win_layout(batch: pa.Table, k: int, sample_mod: int, text_col: str):
     return flat, counts, wh, n_win, keep
 
 
-def dup_window_hashes(
+def _dup_partials(
     docs: Dataset,
-    k: int = 8,
-    min_docs: int = 2,
-    sample_mod: int = 1,
-    text_col: str = "text",
-) -> np.ndarray:
-    """Sorted int64 hashes of K-token windows in >= ``min_docs`` docs."""
+    k: int,
+    sample_mod: int,
+    text_col: str,
+) -> Dataset:
+    """Materialized (wh, pd) combiner rows — one row per distinct
+    (window hash) per batch with its batch-local distinct-doc count."""
 
     def partial(batch: pa.Table) -> pa.Table:
         _, _, wh, n_win, keep = _win_layout(batch, k, sample_mod, text_col)
@@ -148,15 +155,89 @@ def dup_window_hashes(
     # (probe + groupby fallback), and THIS combiner's map stage — the
     # O(total-tokens) tokenize + window-hash pass — is the dominant cost
     # of pass 1; re-executing it would double the pipeline's hot work
-    partials = docs.map_batches(
+    return docs.map_batches(
         partial, batch_format="pyarrow", batch_size=4096, zero_copy_batch=True
     ).materialize()
 
+
+def dup_window_hashes(
+    docs: Dataset,
+    k: int = 8,
+    min_docs: int = 2,
+    sample_mod: int = 1,
+    text_col: str = "text",
+) -> np.ndarray:
+    """Sorted int64 hashes of K-token windows in >= ``min_docs`` docs.
+
+    Driver-collected form — callers needing the size-guarded variant go
+    through ``exact_substr_dedup``, which keeps an over-cap set as a
+    Dataset instead."""
     # merge the 16 B (wh, pd) combiner rows with the shared
     # driver-argsort / groupby split policy (exchange.merged_threshold_keys)
     from .exchange import merged_threshold_keys
 
+    partials = _dup_partials(docs, k, sample_mod, text_col)
     return merged_threshold_keys(partials, "wh", "pd", min_docs)
+
+
+def _dup_window_table(partials: Dataset, min_docs: int) -> Dataset:
+    """Thresholded dup-window set as a DATASET (column ``wh``) — the
+    over-broadcast-cap regime, where the set never lands on the driver.
+    A narrow groupby over 16 B rows; the driver-argsort fast path is
+    pointless here because the caller only takes this branch when the
+    set is too big to collect anyway."""
+    from ray.data.aggregate import Sum
+
+    agg = partials.groupby("wh").aggregate(Sum("pd", alias_name="__n"))
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch.column("__n"), min_docs)
+        return batch.filter(m).select(["wh"])
+
+    return agg.map_batches(threshold, batch_format="pyarrow").materialize()
+
+
+def _dup_window_sets(
+    partials: Dataset, min_docs: int, cap: int
+) -> "tuple[np.ndarray | None, Dataset | None]":
+    """→ (sorted broadcast array, None) when the dup set fits ``cap``,
+    else (None, thresholded Dataset). Keeps merged_threshold_keys' split
+    policy — driver argsort while partial rows fit, groupby past that —
+    but in the groupby regime the thresholded set is only collected to
+    the driver AFTER its count proves it under the cap (a set that is
+    both past the driver-row bound and past the cap never leaves the
+    object store)."""
+    from .exchange import _DRIVER_AGG_MAX, collect_table
+
+    batches, n = [], 0
+    for b in partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        batches.append(b)
+        n += len(b)
+        if n > _DRIVER_AGG_MAX:
+            break
+    if n <= _DRIVER_AGG_MAX:
+        if not batches:
+            return np.empty(0, np.int64), None
+        tbl = pa.concat_tables(batches)
+        keys = tbl.column("wh").to_numpy(zero_copy_only=False)
+        cnts = tbl.column("pd").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        ks, cs = keys[order], cnts[order]
+        starts = np.concatenate([[0], np.flatnonzero(ks[1:] != ks[:-1]) + 1])
+        uk = ks[starts]
+        dup = uk[np.add.reduceat(cs, starts) >= min_docs]  # sorted
+        if len(dup) <= cap:
+            return dup, None
+        # already driver-resident but too big to SHIP to every worker
+        # (the cap bounds per-worker broadcast memory, not driver memory)
+        import ray.data as rd
+
+        return None, rd.from_arrow(pa.table({"wh": pa.array(dup, pa.int64())}))
+    dupd = _dup_window_table(partials, min_docs)
+    if dupd.count() <= cap:
+        arr = collect_table(dupd).column("wh").to_numpy(zero_copy_only=False)
+        return np.sort(arr), None
+    return None, dupd
 
 
 def strip_dup_spans(
@@ -195,61 +276,196 @@ def strip_dup_spans(
             dup = np.zeros(len(h), dtype=bool)
         if keep is not None:
             dup &= keep
-        docw = doc_of_win[dup]
-        starts = start_in_doc[dup]  # sorted within each doc by construction
-
-        dup_windows = np.bincount(docw, minlength=nd).astype(np.int64)
-        if len(starts):
-            new_span = np.ones(len(starts), dtype=bool)
-            gap = starts[1:] - starts[:-1]
-            new_span[1:] = (docw[1:] != docw[:-1]) | (gap > k)
-            dup_spans = np.bincount(docw[new_span], minlength=nd).astype(np.int64)
-            contrib = np.where(new_span, k, 0).astype(np.int64)
-            cont = ~new_span
-            contrib[cont] = np.minimum(gap[cont[1:]], k)
-            # bincount-with-weights beats np.add.at's scatter by ~10×
-            # on millions of dup windows; k ≤ 2^20 keeps the float64
-            # accumulation exact far past any real batch
-            dup_tokens = np.bincount(
-                docw, weights=contrib, minlength=nd
-            ).astype(np.int64)
-        else:
-            dup_spans = np.zeros(nd, np.int64)
-            dup_tokens = np.zeros(nd, np.int64)
-
-        # coverage overlay on the flat token array
-        total_toks = int(counts.sum())
-        base = np.cumsum(counts) - counts
-        covered = np.zeros(total_toks, dtype=bool)
-        if len(starts):
-            g = base[docw] + starts
-            delta = np.bincount(g, minlength=total_toks + 1).astype(np.int64)
-            # starts <= count-k, so g+k <= doc end
-            delta -= np.bincount(g + k, minlength=total_toks + 1)
-            covered = np.cumsum(delta[:-1]) > 0
-        keep_tok = ~covered
-        doc_of_tok = np.repeat(np.arange(nd, dtype=np.int64), counts)
-        kept_per_doc = (
-            np.bincount(doc_of_tok[keep_tok], minlength=nd).astype(np.int64)
-            if total_toks
-            else np.zeros(nd, np.int64)
-        )
-        kept_flat = flat.filter(pa.array(keep_tok)) if total_toks else flat
-        offs = np.concatenate([[0], np.cumsum(kept_per_doc)])
-        lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), kept_flat)
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "n_tokens": pa.array(counts, pa.int64()),
-                "dup_windows": pa.array(dup_windows, pa.int64()),
-                "dup_spans": pa.array(dup_spans, pa.int64()),
-                "dup_tokens": pa.array(dup_tokens, pa.int64()),
-                "kept_tokens": pa.array(kept_per_doc, pa.int64()),
-                "kept_text": pc.binary_join(lists, " "),
-            }
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return _strip_kernel(
+            ids, flat, counts, doc_of_win[dup], start_in_doc[dup], k, id_col
         )
 
     return docs.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _strip_kernel(
+    ids: pa.Array,
+    flat: pa.Array,
+    counts: np.ndarray,
+    docw: np.ndarray,
+    starts: np.ndarray,
+    k: int,
+    id_col: str,
+) -> pa.Table:
+    """Span merge + coverage strip, shared by the broadcast and join
+    paths. ``docw``/``starts`` are the duplicated window rows, sorted by
+    (doc index, start) — the broadcast path gets that order for free
+    from the flat window scan; the join path sorts per bucket."""
+    nd = len(counts)
+    dup_windows = np.bincount(docw, minlength=nd).astype(np.int64)
+    if len(starts):
+        new_span = np.ones(len(starts), dtype=bool)
+        gap = starts[1:] - starts[:-1]
+        new_span[1:] = (docw[1:] != docw[:-1]) | (gap > k)
+        dup_spans = np.bincount(docw[new_span], minlength=nd).astype(np.int64)
+        contrib = np.where(new_span, k, 0).astype(np.int64)
+        cont = ~new_span
+        contrib[cont] = np.minimum(gap[cont[1:]], k)
+        # bincount-with-weights beats np.add.at's scatter by ~10×
+        # on millions of dup windows; k ≤ 2^20 keeps the float64
+        # accumulation exact far past any real batch
+        dup_tokens = np.bincount(
+            docw, weights=contrib, minlength=nd
+        ).astype(np.int64)
+    else:
+        dup_spans = np.zeros(nd, np.int64)
+        dup_tokens = np.zeros(nd, np.int64)
+
+    # coverage overlay on the flat token array
+    total_toks = int(counts.sum())
+    base = np.cumsum(counts) - counts
+    covered = np.zeros(total_toks, dtype=bool)
+    if len(starts):
+        g = base[docw] + starts
+        delta = np.bincount(g, minlength=total_toks + 1).astype(np.int64)
+        # starts <= count-k, so g+k <= doc end
+        delta -= np.bincount(g + k, minlength=total_toks + 1)
+        covered = np.cumsum(delta[:-1]) > 0
+    keep_tok = ~covered
+    doc_of_tok = np.repeat(np.arange(nd, dtype=np.int64), counts)
+    kept_per_doc = (
+        np.bincount(doc_of_tok[keep_tok], minlength=nd).astype(np.int64)
+        if total_toks
+        else np.zeros(nd, np.int64)
+    )
+    kept_flat = flat.filter(pa.array(keep_tok)) if total_toks else flat
+    offs = np.concatenate([[0], np.cumsum(kept_per_doc)])
+    lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), kept_flat)
+    return pa.table(
+        {
+            id_col: ids,
+            "n_tokens": pa.array(counts, pa.int64()),
+            "dup_windows": pa.array(dup_windows, pa.int64()),
+            "dup_spans": pa.array(dup_spans, pa.int64()),
+            "dup_tokens": pa.array(dup_tokens, pa.int64()),
+            "kept_tokens": pa.array(kept_per_doc, pa.int64()),
+            "kept_text": pc.binary_join(lists, " "),
+        }
+    )
+
+
+def _strip_dup_spans_join(
+    docs: Dataset,
+    dupd: Dataset,
+    k: int,
+    sample_mod: int,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 64,
+) -> Dataset:
+    """Dup-set-too-big-to-broadcast path (module docstring). Three
+    narrow exchanges, none of which ships the corpus text more than
+    once:
+
+    1. explode every (sampled) window into a 24 B (wh, doc id, start)
+       row and INNER-join it against the dup-set Dataset per hash
+       bucket — only the duplicated starts survive, so the join output
+       is bounded by duplicated content, not corpus size;
+    2. route docs and their surviving dup starts to the same doc-hash
+       bucket (docs ship their text exactly once);
+    3. per bucket: sort rows by (doc, start), align starts to their
+       doc, re-tokenize, and run the SAME ``_strip_kernel`` as the
+       broadcast path.
+    """
+    from .exchange import bucketed_join
+    from .hashing import xxh64_arrow
+    from .textstats import _tokenize
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        _, _, wh, n_win, keep = _win_layout(batch, k, sample_mod, text_col)
+        doc_of = np.repeat(np.arange(len(n_win), dtype=np.int64), n_win)
+        start = np.arange(len(wh), dtype=np.int64) - np.repeat(
+            np.cumsum(n_win) - n_win, n_win
+        )
+        if keep is not None:
+            wh, doc_of, start = wh[keep], doc_of[keep], start[keep]
+        return pa.table(
+            {
+                "wh": pa.array(wh.view(np.int64), pa.int64()),
+                "__did": ids.take(pa.array(doc_of, pa.int64())),
+                "__wstart": pa.array(start, pa.int64()),
+            }
+        )
+
+    wins = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    dupt = dupd.map_batches(
+        lambda t: t.rename_columns(["__dwh"]), batch_format="pyarrow"
+    )
+    hits = bucketed_join(wins, dupt, "wh", "__dwh", n_buckets=n_buckets, how="inner")
+
+    id_type = docs.schema().base_schema.field(id_col).type
+
+    def _doc_bucket(ids: pa.Array) -> np.ndarray:
+        if pa.types.is_integer(ids.type):
+            h = fmix64(ids.to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:
+            h = xxh64_arrow(ids)
+        return (h % np.uint64(n_buckets)).astype(np.int32)
+
+    def tag_hits(batch: pa.Table) -> pa.Table:
+        did = batch.column("__did")
+        if isinstance(did, pa.ChunkedArray):
+            did = did.combine_chunks()
+        return pa.table(
+            {
+                "__did": did,
+                "__txt": pa.nulls(len(batch), pa.string()),
+                "__wstart": batch.column("__wstart"),
+                "__bucket": pa.array(_doc_bucket(did), pa.int32()),
+            }
+        )
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                "__did": ids,
+                "__txt": pc.fill_null(batch.column(text_col), ""),
+                # doc rows sort before any real start (starts are >= 0)
+                "__wstart": pa.array(np.full(len(batch), -1, np.int64)),
+                "__bucket": pa.array(_doc_bucket(ids), pa.int32()),
+            }
+        )
+
+    both = docs.map_batches(
+        tag_docs, batch_format="pyarrow", zero_copy_batch=True
+    ).union(hits.map_batches(tag_hits, batch_format="pyarrow"))
+
+    def strip_group(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("__did", "ascending"), ("__wstart", "ascending")])
+        did = t.column("__did")
+        if isinstance(did, pa.ChunkedArray):
+            did = did.combine_chunks()
+        wstart = t.column("__wstart").to_numpy(zero_copy_only=False)
+        is_doc = wstart < 0
+        codes = pc.dictionary_encode(did).indices.to_numpy(zero_copy_only=False)
+        doc_codes = codes[is_doc]
+        ids = did.filter(pa.array(is_doc)).cast(id_type)
+        txt = t.column("__txt").filter(pa.array(is_doc))
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, counts = _tokenize(txt)
+        # hits → index of their doc among this bucket's doc rows; every
+        # hit's doc routes to the same bucket, so the lookup always hits
+        hit_codes = codes[~is_doc]
+        docw = np.searchsorted(doc_codes, hit_codes)
+        starts = wstart[~is_doc]
+        return _strip_kernel(ids, flat, counts, docw, starts, k, id_col)
+
+    return both.groupby("__bucket").map_groups(strip_group, batch_format="pyarrow")
 
 
 def exact_substr_dedup(
@@ -259,11 +475,27 @@ def exact_substr_dedup(
     sample_mod: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_broadcast_rows: int | None = None,
 ) -> Dataset:
-    """Full two-pass corpus-level substring dedup (stats + stripped text)."""
-    dup = dup_window_hashes(
-        docs, k=k, min_docs=min_docs, sample_mod=sample_mod, text_col=text_col
-    )
+    """Full two-pass corpus-level substring dedup (stats + stripped text).
+
+    Size-guarded (module docstring): a duplicated-window set above
+    ``max_broadcast_rows`` (default ``exchange.BROADCAST_MAX_ROWS``)
+    switches the strip pass to the join + co-locate path instead of
+    broadcasting."""
+    from .exchange import BROADCAST_MAX_ROWS
+
+    cap = BROADCAST_MAX_ROWS if max_broadcast_rows is None else max_broadcast_rows
+    partials = _dup_partials(docs, k, sample_mod, text_col)
+    dup, dupd = _dup_window_sets(partials, min_docs, cap)
+    if dupd is not None:
+        n_dup = dupd.count()
+        # ~500k dup hashes per reassembly bucket, same scaling rule as
+        # lines.py's join path
+        n_buckets = max(64, min(4096, n_dup // 500_000))
+        return _strip_dup_spans_join(
+            docs, dupd, k, sample_mod, id_col, text_col, n_buckets=n_buckets
+        )
     return strip_dup_spans(
         docs, dup, k=k, sample_mod=sample_mod, id_col=id_col, text_col=text_col
     )

@@ -155,3 +155,57 @@ def test_no_duplicates_is_identity_modulo_token_join():
     )
     assert (out.dup_windows == 0).all()
     assert out.kept_text.tolist() == [t.lower() for t in texts]
+
+
+def test_join_path_matches_broadcast_path():
+    """max_broadcast_rows=0 forces the dup-set join + co-locate strip
+    path; its output must equal the broadcast path row-for-row
+    (size-guard branch pin, same contract as lines.py's)."""
+    rng = np.random.default_rng(42)
+    vocab = [f"tok{i}" for i in range(300)]
+    boiler = " ".join(rng.choice(vocab, 12))
+    texts = []
+    for i in range(60):
+        body = " ".join(rng.choice(vocab, int(rng.integers(8, 40))))
+        if i % 3 == 0:
+            texts.append(f"{body} {boiler}")
+        elif i % 7 == 0:
+            texts.append(f"{boiler} {body} {boiler}")
+        else:
+            texts.append(body)
+    ds = _docs(texts).repartition(7)
+    k = 5
+    bc = (
+        exact_substr_dedup(ds, k=k, min_docs=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    jn = (
+        exact_substr_dedup(ds, k=k, min_docs=2, max_broadcast_rows=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(bc, jn)
+    assert (bc["dup_windows"] > 0).any()  # the branch actually stripped
+
+
+def test_join_path_with_sampling_matches_broadcast_sampling():
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(200)]
+    boiler = " ".join(rng.choice(vocab, 20))
+    texts = [
+        (f"{boiler} " if i % 2 == 0 else "") + " ".join(rng.choice(vocab, 25))
+        for i in range(40)
+    ]
+    ds = _docs(texts).repartition(5)
+    bc = (
+        exact_substr_dedup(ds, k=4, min_docs=2, sample_mod=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    jn = (
+        exact_substr_dedup(ds, k=4, min_docs=2, sample_mod=3, max_broadcast_rows=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(bc, jn)
