@@ -26,9 +26,14 @@ from .hashing import U64
 _B = np.uint64(1000003)  # odd polynomial base (mod 2^64 wraparound)
 
 
-def _prefix_hash(data: bytes) -> np.ndarray:
-    """H[i] = hash of data[:i] under the rolling polynomial (uint64)."""
-    b = np.frombuffer(data, dtype=np.uint8).astype(U64)
+def _prefix_hash(data: "bytes | np.ndarray") -> np.ndarray:
+    """H[i] = hash of data[:i] under the rolling polynomial (uint64).
+
+    Accepts a raw uint8 ndarray too (zero-copy callers)."""
+    if isinstance(data, np.ndarray):
+        b = data.astype(U64)
+    else:
+        b = np.frombuffer(data, dtype=np.uint8).astype(U64)
     H = np.empty(len(b) + 1, dtype=U64)
     H[0] = 0
     with np.errstate(over="ignore"):
@@ -47,21 +52,14 @@ def _prefix_hash(data: bytes) -> np.ndarray:
             scaled = b * pw[::-1]  # b[j] * B^(n-1-j)
             S = np.concatenate([[U64(0)], np.cumsum(scaled, dtype=U64)])
             inv = _pow_inv(_B, n)  # inv[i] = B^-(i) — precomputed powers of B^-1
-            H = S * inv[n - np.arange(n + 1)]
+            H = S * inv[::-1]  # inv[n-i] for i=0..n is just the reversal
     return H
-
-
-_INV_CACHE: dict[int, np.ndarray] = {}
 
 
 def _pow_inv(base: np.uint64, n: int) -> np.ndarray:
     """[B^0, B^-1, …, B^-n] mod 2^64 (odd base ⇒ invertible)."""
-    key = int(n)
-    cached = _INV_CACHE.get(-1)
     # modular inverse of odd base via Newton iteration over 2^64
-    inv = np.uint64(1)
     with np.errstate(over="ignore"):
-        x = base
         invb = np.uint64(1)
         # Newton: inv_{k+1} = inv_k * (2 - b*inv_k)
         for _ in range(6):
@@ -81,28 +79,88 @@ def _gram_hashes(H: np.ndarray, powL: np.uint64, L: int) -> np.ndarray:
 
 def lcs_length(a: bytes, b: bytes) -> int:
     """Longest common substring length (byte-level) via hash binsearch."""
-    if not a or not b:
-        return 0
-    Ha, Hb = _prefix_hash(a), _prefix_hash(b)
-    lo, hi = 0, min(len(a), len(b))
+    ta = pa.array([a], pa.binary())
+    tb = pa.array([b], pa.binary())
+    return int(lcs_lengths(ta, tb)[0])
+
+
+def _flat_bytes(col) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow string column → (flat uint8 buffer, int64 offsets) zero-copy."""
+    import pyarrow.compute as pc
+
+    arr = pc.fill_null(col, b"" if pa.types.is_binary(col.type) else "")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    odt = (
+        np.int64
+        if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+        else np.int32
+    )
+    offs = np.frombuffer(arr.buffers()[1], dtype=odt)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] else np.empty(0, np.uint8)
+    return data, offs
+
+
+def lcs_lengths(ta, tb) -> np.ndarray:
+    """LCS byte-length of each (ta[i], tb[i]) pair, batched.
+
+    Text bytes come straight from the Arrow string buffers (zero-copy,
+    no ``to_pylist``), and the polynomial power + inverse-power tables
+    are built ONCE for the whole batch — the two ``multiply.accumulate``
+    scans the old per-pair ``_prefix_hash`` re-ran for every text, now
+    sliced per pair. The binary search itself stays per PAIR (candidate
+    pairs, already pruned — not corpus rows) with cache-resident arrays:
+    measured faster than both a batch-global sort-based round (random
+    probes into a batch-wide array miss cache) and per-pair
+    sort+searchsorted (``intersect1d``'s merge wins at gram counts of a
+    few thousand)."""
+    fa, oa = _flat_bytes(ta)
+    fb, ob = _flat_bytes(tb)
+    la, lb = np.diff(oa), np.diff(ob)
+    n = len(la)
+    out = np.zeros(n, np.int64)
+    cap = np.minimum(la, lb).astype(np.int64)
+    if n == 0 or cap.max(initial=0) == 0:
+        return out
+    maxn = int(max(la.max(initial=0), lb.max(initial=0)))
     with np.errstate(over="ignore"):
-        while lo < hi:
-            L = (lo + hi + 1) // 2
-            powL = np.uint64(1)
-            e = L
-            base = _B
-            while e:
-                if e & 1:
-                    powL = powL * base
-                base = base * base
-                e >>= 1
-            ga = _gram_hashes(Ha, powL, L)
-            gb = _gram_hashes(Hb, powL, L)
-            if len(np.intersect1d(ga, gb, assume_unique=False)):
-                lo = L
-            else:
-                hi = L - 1
-    return lo
+        pw = np.empty(maxn + 1, dtype=U64)
+        pw[0] = 1
+        np.multiply.accumulate(np.full(maxn, _B, dtype=U64), out=pw[1:])
+        inv = _pow_inv(_B, maxn)  # inv[i] = B^-i
+
+        def phash(flat: np.ndarray, s: int, e: int) -> np.ndarray:
+            """Prefix hashes of flat[s:e] via the shared tables: 3 short
+            vector passes, no accumulate (H[i] = S[i] * B^-(m-i) where
+            S[i] = Σ_{j<i} b[j]·B^(m-1-j), m = e-s)."""
+            m = e - s
+            b = flat[s:e].astype(U64)
+            scaled = b * pw[m - 1 :: -1]
+            S = np.empty(m + 1, dtype=U64)
+            S[0] = 0
+            np.cumsum(scaled, dtype=U64, out=S[1:])
+            return S * inv[m::-1]
+
+        for p in range(n):
+            lo, hi = 0, int(cap[p])
+            if hi == 0:
+                continue
+            Ha = phash(fa, int(oa[p]), int(oa[p + 1]))
+            Hb = phash(fb, int(ob[p]), int(ob[p + 1]))
+            while lo < hi:
+                L = (lo + hi + 1) // 2
+                powL = pw[L]
+                ga = Ha[L:] - Ha[:-L] * powL
+                gb = Hb[L:] - Hb[:-L] * powL
+                if len(np.intersect1d(ga, gb)):
+                    lo = L
+                else:
+                    hi = L - 1
+            out[p] = lo
+    return out
 
 
 class SpanFinder:
@@ -112,15 +170,10 @@ class SpanFinder:
         self.min_span = min_span
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ta = batch.column("text_a").to_pylist()
-        tb = batch.column("text_b").to_pylist()
-        # per-pair loop is over PAIRS (already heavily pruned), not rows
-        # of the corpus; inner work is vectorized numpy
-        spans = np.fromiter(
-            (lcs_length((x or "").encode(), (y or "").encode()) for x, y in zip(ta, tb)),
-            dtype=np.int64,
-            count=len(ta),
-        )
+        # batched entry: bytes read zero-copy from the Arrow buffers,
+        # hash tables shared across the batch (no to_pylist, no Python
+        # string materialization; see lcs_lengths)
+        spans = lcs_lengths(batch.column("text_a"), batch.column("text_b"))
         out = pa.table(
             {
                 "a": batch.column("a"),
