@@ -207,7 +207,7 @@ def _dup_window_sets(
     the driver AFTER its count proves it under the cap (a set that is
     both past the driver-row bound and past the cap never leaves the
     object store)."""
-    from .exchange import _DRIVER_AGG_MAX, collect_table
+    from .exchange import _DRIVER_AGG_MAX, collect_table, driver_merge_threshold
 
     batches, n = [], 0
     for b in partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
@@ -218,14 +218,9 @@ def _dup_window_sets(
     if n <= _DRIVER_AGG_MAX:
         if not batches:
             return np.empty(0, np.int64), None
-        tbl = pa.concat_tables(batches)
-        keys = tbl.column("wh").to_numpy(zero_copy_only=False)
-        cnts = tbl.column("pd").to_numpy(zero_copy_only=False)
-        order = np.argsort(keys, kind="stable")
-        ks, cs = keys[order], cnts[order]
-        starts = np.concatenate([[0], np.flatnonzero(ks[1:] != ks[:-1]) + 1])
-        uk = ks[starts]
-        dup = uk[np.add.reduceat(cs, starts) >= min_docs]  # sorted
+        dup, _ = driver_merge_threshold(
+            pa.concat_tables(batches), "wh", "pd", min_docs
+        )
         if len(dup) <= cap:
             return dup, None
         # already driver-resident but too big to SHIP to every worker
