@@ -206,7 +206,8 @@ def main(argv=None) -> int:
         from .substr import exact_substr_dedup
 
         stripped = exact_substr_dedup(
-            pages.select_columns(["url", "text"]), id_col="url"
+            pages.select_columns(["url", "text"]), id_col="url",
+            max_broadcast_rows=cfg.broadcast_max_rows,
         ).materialize()
         out_dir = os.path.join(args.output, "substr")
         os.makedirs(args.output, exist_ok=True)
