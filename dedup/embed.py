@@ -332,6 +332,64 @@ def cosine_near_dup_pairs(
     return pa.concat_tables(parts) if parts else _PAIRS_EMPTY
 
 
+def _bottomk_sample(
+    embeddings: Dataset, sample: int, id_col: str, emb_col: str
+) -> pa.Table:
+    """Deterministic uniform sample of ``sample`` rows: global bottom-k
+    by ``fmix64(id)`` — hash-random (immune to corpus ordering, unlike a
+    prefix sample, which over-represents whatever shard happens to come
+    first), reproducible with no wall clock, and scale-safe: pass 1
+    moves only per-batch bottom-k (id, hash) 16 B rows to the driver;
+    pass 2 fetches just the ≤ ``sample`` chosen embedding rows."""
+    from .hashing import fmix64, xxh64_arrow
+
+    def local(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if pa.types.is_integer(ids.type):
+            with np.errstate(over="ignore"):
+                h = fmix64(ids.to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:
+            h = xxh64_arrow(ids)
+        keep = np.argsort(h)[:sample]
+        return pa.table(
+            {
+                "__id": ids.take(pa.array(np.sort(keep), pa.int64())),
+                "__h": pa.array(h[np.sort(keep)].view(np.int64), pa.int64()),
+            }
+        )
+
+    part_batches = list(
+        embeddings.select_columns([id_col])
+        .map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    if not part_batches:
+        return pa.table({})  # empty corpus → empty sample (len 0)
+    parts = pa.concat_tables(part_batches)
+    if len(parts) == 0:
+        return parts
+    hs = parts.column("__h").to_numpy(zero_copy_only=False).view(np.uint64)
+    chosen = parts.column("__id").take(
+        pa.array(np.argsort(hs)[:sample], pa.int64())
+    )
+    if isinstance(chosen, pa.ChunkedArray):
+        chosen = chosen.combine_chunks()
+    # ≤ `sample` ids — tiny; shipped once inside the filter closure
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch.column(id_col), value_set=chosen))
+
+    got_batches = list(
+        embeddings.map_batches(pick, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+    )
+    return pa.concat_tables(got_batches) if got_batches else pa.table({})
+
+
 def ivf_build(
     embeddings: Dataset,
     n_centroids: int = 16,
@@ -339,18 +397,18 @@ def ivf_build(
     sample: int = 4096,
     seed: int = 42,
     emb_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
-    """Deterministic coarse quantizer: seeded k-means on a prefix sample.
+    """Deterministic coarse quantizer: seeded k-means on a hash-uniform
+    bottom-k sample (``_bottomk_sample`` — order-independent, unlike the
+    earlier prefix sample, which was biased toward the first shard).
 
-    Returns (n_centroids, d) float64 centroid matrix (normalized). The
-    sample is the first ``sample`` rows — deterministic, no wall clock.
+    Returns (n_centroids, d) float64 centroid matrix (normalized).
     """
-    first = embeddings.limit(sample)
-    batches = list(first.iter_batches(batch_size=sample, batch_format="pyarrow"))
-    if not batches:
+    tbl = _bottomk_sample(embeddings, sample, id_col, emb_col)
+    if len(tbl) == 0:
         # empty corpus: one dummy unit centroid (dimension unknowable, use 1)
         return np.ones((1, 1), dtype=np.float64)
-    tbl = pa.concat_tables(batches)
     X = _normalize(_emb_matrix(tbl, emb_col))
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
@@ -379,7 +437,7 @@ def ivf_search(
 
     → DataFrame(query_id, neighbor_id, rank), same shape as knn_cosine.
     """
-    C = ivf_build(embeddings, n_centroids=n_centroids, emb_col=emb_col)
+    C = ivf_build(embeddings, n_centroids=n_centroids, emb_col=emb_col, id_col=id_col)
     cref = ray.put(C)
 
     # query vectors + their probe cells

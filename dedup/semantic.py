@@ -86,7 +86,7 @@ def semantic_dedup(
     exact mode partitions the corpus by identical embedding — the
     SQL-expressible contract `semantic_dedup_exact_mode` pins.
     """
-    C = ivf_build(embeddings, n_centroids=n_cells, emb_col=emb_col)
+    C = ivf_build(embeddings, n_centroids=n_cells, emb_col=emb_col, id_col=id_col)
     cref = ray.put(C)
 
     def assign(batch: pa.Table) -> pa.Table:

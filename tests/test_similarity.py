@@ -334,3 +334,31 @@ def test_indexer_paths_agree_with_nan_entries():
         assert sims[-2] == -np.inf and sims[-1] == -np.inf
         assert not any(np.isnan(sims))    # NaN never escapes
         assert sims[: m - 2] == sorted(sims[: m - 2], reverse=True)
+
+
+def test_ivf_sample_is_order_independent():
+    """The coarse-quantizer sample is bottom-k by id hash, so shuffling
+    or repartitioning the corpus must yield the SAME sampled rows (the
+    old prefix sample depended on block order — VERDICT r4)."""
+    import ray.data as rd
+
+    from dedup.embed import _bottomk_sample
+
+    rng = np.random.default_rng(5)
+    n, d = 500, 8
+    M = rng.standard_normal((n, d)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([r.tolist() for r in M], pa.list_(pa.float32(), d)),
+    })
+    ds1 = rd.from_arrow(tbl)
+    # reversed row order, different partitioning
+    rev = tbl.take(pa.array(ids[::-1], pa.int64()))
+    ds2 = rd.from_arrow(rev).repartition(7)
+    s1 = _bottomk_sample(ds1, 64, "vec_id", "embedding")
+    s2 = _bottomk_sample(ds2, 64, "vec_id", "embedding")
+    assert len(s1) == 64 and len(s2) == 64
+    a = sorted(s1.column("vec_id").to_pylist())
+    b = sorted(s2.column("vec_id").to_pylist())
+    assert a == b
