@@ -138,3 +138,48 @@ def test_small_join_rejects_duplicate_right_keys():
     with pytest.raises(ValueError, match="duplicate"):
         broadcast_map_i64(ds, "k", np.array([1, 1], np.int64),
                           np.array([5, 6], np.int64), "out")
+
+
+def test_bucketed_sum_by_key_matches_numpy_reference():
+    """The bucketed-exchange merge (the over-driver-cap regime of every
+    combiner merge, and key_counts/n_distinct's engine) must reproduce a
+    plain numpy groupby-sum exactly, with and without a threshold."""
+    from dedup.exchange import bucketed_sum_by_key, key_counts, n_distinct
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(-(2**62), 2**62, size=3000)
+    keys[:900] = keys[900:1800]  # plant duplicates
+    cnts = rng.integers(1, 5, size=3000)
+    ds = rd.from_arrow(
+        pa.table({"wh": pa.array(keys, pa.int64()),
+                  "pd": pa.array(cnts, pa.int64())})
+    )
+    # numpy reference
+    order = np.argsort(keys, kind="stable")
+    k, c = keys[order], cnts[order]
+    starts = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
+    uk, uc = k[starts], np.add.reduceat(c, starts)
+
+    for min_count in (1, 3):
+        got = (
+            bucketed_sum_by_key(ds, "wh", "pd", min_count=min_count, n_buckets=7)
+            .to_pandas()
+            .sort_values("wh")
+            .reset_index(drop=True)
+        )
+        m = uc >= min_count
+        assert np.array_equal(got["wh"].to_numpy(), uk[m])
+        assert np.array_equal(got["__n"].to_numpy(), uc[m])
+
+    # key_counts: one row per ORIGINAL key occurrence count
+    kc = (
+        key_counts(ds.select_columns(["wh"]), "wh", n_buckets=5)
+        .to_pandas()
+        .sort_values("wh")
+        .reset_index(drop=True)
+    )
+    ref_k, ref_c = np.unique(keys, return_counts=True)
+    assert np.array_equal(kc["wh"].to_numpy(), ref_k)
+    assert np.array_equal(kc["cnt"].to_numpy(), ref_c.astype(np.int64))
+
+    assert n_distinct(ds, "wh") == len(ref_k)
