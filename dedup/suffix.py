@@ -230,10 +230,11 @@ def long_span_pairs(
         list(sub.iter_batches(batch_size=1 << 18, batch_format="pyarrow"))
     )
     skeys = st.column("doc_hash").to_numpy(zero_copy_only=False)
-    stexts = st.column("text").to_pylist()
     o = np.argsort(skeys)
     skeys = skeys[o]
-    stexts = [stexts[i] for i in o]
+    # texts stay Arrow end-to-end: sort + gather via take (no to_pylist,
+    # no Python string materialization for the dup-bounded attach)
+    stexts = st.column("text").take(pa.array(o))
     a = edges.column("a").to_numpy(zero_copy_only=False)
     b = edges.column("b").to_numpy(zero_copy_only=False)
     ia = np.searchsorted(skeys, a)
@@ -242,8 +243,8 @@ def long_span_pairs(
         {
             "a": pa.array(a, pa.int64()),
             "b": pa.array(b, pa.int64()),
-            "text_a": pa.array([stexts[i] for i in ia], pa.string()),
-            "text_b": pa.array([stexts[i] for i in ib], pa.string()),
+            "text_a": stexts.take(pa.array(ia)),
+            "text_b": stexts.take(pa.array(ib)),
         }
     )
     return rd.from_arrow(pair_tbl).map_batches(
