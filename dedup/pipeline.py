@@ -474,38 +474,100 @@ def _near_dup_distributed(
         )
     tick("label_propagation")
 
-    narrow = ing.select_columns(["url", "doc_hash", "size_bytes"])
-    joined = bucketed_join(
-        narrow, labels, "doc_hash", "node", n_buckets=cfg.join_buckets, how="left"
+    # ---- fused assignment: the earlier design left-joined labels onto
+    # the corpus, materialized that corpus-wide table, ran a corpus-wide
+    # count over it and joined the counts back — two corpus joins + one
+    # corpus-wide exchange. Cluster sizes are computable from DUP-BOUNDED
+    # state alone (the actors path's driver trick, restated as Datasets):
+    # url-count(node) = 1 unless the hash is exact-duplicated, and
+    # cluster_size(label) = Σ url-counts of member nodes. So everything
+    # below except the single final join is bounded by duplicate-involved
+    # rows, and the corpus shuffles exactly once.
+    import pyarrow.compute as pc
+
+    from .exchange import bucketed_sum_by_key
+
+    labels = labels.materialize()  # dup-bounded; consumed three times
+    _MAP_SCHEMA = pa.schema(
+        [("__node", pa.int64()), ("cluster_id", pa.int64()),
+         ("cluster_size", pa.int64())]
     )
 
-    def coalesce(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    # url count per exact-duplicated hash (narrow combiner over the
+    # already-materialized ingest; only the doc_hash column is touched).
+    # ensure_schema: a corpus with no exact dups leaves this empty, and
+    # empty groupby/filter outputs report schema None, breaking the joins.
+    urlcnt_dup = ensure_schema(
+        key_counts(ing.select_columns(["doc_hash"]), "doc_hash").filter(
+            expr="cnt > 1"
+        ),
+        pa.schema([("doc_hash", pa.int64()), ("cnt", pa.int64())]),
+    ).materialize()  # dup-bounded; consumed twice
 
-        cid = pc.coalesce(batch.column("label"), batch.column("doc_hash"))
+    # member url-counts onto component labels (absent → 1)
+    lab_cnt = bucketed_join(
+        labels, urlcnt_dup, "node", "doc_hash",
+        n_buckets=cfg.join_buckets, how="left",
+    )
+
+    def member_cnt(batch: pa.Table) -> pa.Table:
+        c = pc.fill_null(batch.column("cnt"), 1)
         return pa.table(
-            {
-                "url": batch.column("url"),
-                "doc_hash": batch.column("doc_hash"),
-                "cluster_id": cid.cast(pa.int64()) if cid.type != pa.int64() else cid,
-                "size_bytes": batch.column("size_bytes"),
-            }
+            {"label": batch.column("label"),
+             "ucnt": c.cast(pa.int64()) if c.type != pa.int64() else c}
         )
 
-    # pinned: scanned twice (count pass + final join)
-    assigned = joined.map_batches(coalesce, batch_format="pyarrow").materialize()
-    cnts = (
-        key_counts(assigned.select_columns(["cluster_id"]), "cluster_id")
-        .filter(expr="cnt > 1")
-        .map_batches(
+    sizes = ensure_schema(
+        bucketed_sum_by_key(
+            lab_cnt.map_batches(member_cnt, batch_format="pyarrow"),
+            "label", "ucnt", cnt_name="cluster_size",
+            n_buckets=cfg.join_buckets,
+        ),
+        pa.schema([("label", pa.int64()), ("cluster_size", pa.int64())]),
+    )
+
+    # node → (cluster_id, cluster_size) for component members
+    lab_sz = ensure_schema(
+        bucketed_join(
+            labels, sizes, "label", "label", n_buckets=cfg.join_buckets
+        ).map_batches(
             lambda t: pa.table(
-                {"__cid": t.column("cluster_id"), "cluster_size": t.column("cnt")}
+                {"__node": t.column("node"), "cluster_id": t.column("label"),
+                 "cluster_size": t.column("cluster_size")}
             ),
             batch_format="pyarrow",
-        )
+        ),
+        _MAP_SCHEMA,
     )
+
+    # exact-duplicated hashes with no near-dup component: identity clusters
+    def only_missing(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_null(batch.column("__n2")))
+        return pa.table(
+            {"__node": t.column("doc_hash"), "cluster_id": t.column("doc_hash"),
+             "cluster_size": t.column("cnt")}
+        )
+
+    exact_only = ensure_schema(
+        bucketed_join(
+            urlcnt_dup,
+            ensure_schema(
+                labels.map_batches(
+                    lambda t: pa.table({"__n2": t.column("node")}),
+                    batch_format="pyarrow",
+                ),
+                pa.schema([("__n2", pa.int64())]),
+            ),
+            "doc_hash", "__n2", n_buckets=cfg.join_buckets, how="left",
+        ).map_batches(only_missing, batch_format="pyarrow"),
+        _MAP_SCHEMA,
+    )
+
+    # the single corpus-wide exchange: inner join IS the singleton filter
+    narrow = ing.select_columns(["url", "doc_hash", "size_bytes"])
     clusters = bucketed_join(
-        assigned, cnts, "cluster_id", "__cid", n_buckets=cfg.join_buckets
+        narrow, lab_sz.union(exact_only), "doc_hash", "__node",
+        n_buckets=cfg.join_buckets,
     ).map_batches(
         lambda t: t.select(
             ["url", "doc_hash", "cluster_id", "cluster_size", "size_bytes"]
