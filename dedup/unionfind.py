@@ -10,12 +10,12 @@ Two implementations:
   (process_matches.rs:395-401); right tool up to ~10^8 edges.
 
 - ``label_propagation``: distributed min-label propagation over Ray Data
-  for the 10^12-doc scale path. Each round: labels join onto edges (two
-  bucketed hash joins on narrow 16-byte rows), every node takes the min
-  label among itself and its neighbors, repeat to fixpoint. Round count is
-  O(component diameter); star-shaped LSH edges keep diameters small. A
-  BTS-style balanced union-find actor fleet (PAPERS.md) is the next
-  refinement if rounds ever dominate.
+  for the 10^12-doc scale path. One fused bucketed exchange per round over
+  17-byte (k, v, kind) rows; static edges live in per-bucket plasma
+  blocks (never re-shuffled), only label CHANGES are broadcast to
+  neighbors (delta propagation), and pointer-jump request/reply rows keep
+  the round count O(log component-diameter). Star-shaped LSH edge sets
+  converge in a handful of rounds.
 
 Cluster ids are the uint64-min member of each component in both paths, so
 they agree bit-for-bit (asserted in tests/test_unionfind.py).
@@ -250,33 +250,112 @@ def _lp_exchange(ds: Dataset, step, n_buckets: int) -> Dataset:
     )
 
 
+def _edge_store(
+    pairs: Dataset, n_buckets: int
+) -> tuple["object", list, dict[int, list[tuple[int, int, int]]]]:
+    """Bucket the undirected pairs ONCE into per-bucket directed-edge
+    blocks: → (pinned MaterializedDataset, block refs, layout) where
+    ``layout[bucket] = [(block_idx, start, len), ...]`` names the row
+    slices holding that bucket's edges (sorted by src within a bucket).
+
+    The edge bytes flow task → plasma block; only this slice metadata
+    (O(blocks × buckets-per-block)) ever reaches the driver. Per-round
+    steps then ``ray.get`` their bucket's blocks (node-cached plasma
+    reads) and slice, instead of re-shuffling 2E 17-byte edge rows
+    through every exchange — on a multi-round propagation that re-sort
+    was the dominant per-round byte cost. The returned dataset handle
+    must stay referenced for the blocks' lifetime."""
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        with np.errstate(over="ignore"):
+            bk = (fmix64(src.view(np.uint64)) % np.uint64(n_buckets)).astype(
+                np.int32
+            )
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "__bucket": pa.array(bk, pa.int32()),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        src = g.column("src").to_numpy(zero_copy_only=False)
+        o = np.argsort(src, kind="stable")
+        return g.take(pa.array(o, pa.int64()))
+
+    bucketed = (
+        pairs.map_batches(to_edges, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+    try:  # Ray >= 2.10 bundle API; fall back to the legacy accessor
+        refs = [
+            r
+            for bd in bucketed.iter_internal_ref_bundles()
+            for r in bd.block_refs
+        ]
+    except AttributeError:  # pragma: no cover - older Ray
+        refs = bucketed.get_internal_block_refs()
+
+    @ray.remote(num_cpus=0)
+    def _block_layout(block: pa.Table):
+        empty = np.empty(0, np.int64)
+        # zero-row upstreams pass through as empty blocks that still carry
+        # the INPUT schema (no __bucket column) — no edges, no layout
+        if len(block) == 0 or "__bucket" not in block.column_names:
+            return empty, empty, empty
+        bk = block.column("__bucket").to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.flatnonzero(bk[1:] != bk[:-1]) + 1])
+        lens = np.diff(np.append(starts, len(bk)))
+        return bk[starts], starts, lens
+
+    layout: dict[int, list[tuple[int, int, int]]] = {}
+    for bi, (bks, sts, lns) in enumerate(
+        ray.get([_block_layout.remote(r) for r in refs])
+    ):
+        for b, s, ln in zip(bks.tolist(), sts.tolist(), lns.tolist()):
+            layout.setdefault(int(b), []).append((bi, int(s), int(ln)))
+    return bucketed, refs, layout
+
+
 def label_propagation(
-    pairs: Dataset, n_buckets: int = 32, max_iter: int = 30,
+    pairs: Dataset, n_buckets: int = 32, max_iter: int = 60,
     stats: dict | None = None,
 ) -> Dataset:
     """Distributed connected components → Dataset(node, label) where label
     is the uint64-min member of the node's component (int64 bit-pattern).
 
-    Min-label propagation WITH pointer jumping, two narrow bucketed
-    exchanges per round (the round-3 design paid two full bucketed hash
-    joins + a min_by_key groupby + a repartition per round):
+    Min-label propagation with pointer jumping, ONE fused bucketed
+    exchange per round (the previous design paid two — an *answer*
+    exchange that also re-shuffled every static edge row each round, and
+    a *reduce* exchange):
 
-    - exchange A (*answer*), grouped by node: label rows meet the static
-      directed edge rows and the previous round's jump REQUESTS; emits
-      neighbor messages ``(dst, label(src))`` and jump replies
-      ``(requester, label(target))``, labels passing through.
-    - exchange B (*reduce*), grouped by node: labels + messages reduce to
-      ``new = min(own, neighbors' labels, label(label))`` — classic
-      pointer doubling on previous-round labels — and each re-labeled
-      node issues the next round's request ``(label, node)``.
+    - static edges never enter the exchange: they are bucketed ONCE into
+      plasma blocks (``_edge_store``) and each step slices its bucket's
+      edges out of node-cached blocks;
+    - the per-bucket step reduces labels+messages to
+      ``new = min(own, neighbors', label(label))``, then — *delta
+      propagation* — only nodes whose label CHANGED this step emit
+      neighbor messages ``(dst, new_label)``; answers to the previous
+      round's jump requests and the next round's requests
+      ``(label, node)`` are generated in the same step from the
+      post-reduce labels.
 
-    Round count is O(log component-diameter) instead of O(diameter): a
-    64-node path converges in ≤ log2(n)+2 rounds (pytest-pinned);
-    star-shaped LSH components still finish in 2. Only 17-byte
-    (k, v, kind) rows ever shuffle, and per-round state (labels +
-    requests, ~2V rows) is the only materialization. Raises RuntimeError
-    if ``max_iter`` rounds pass without convergence — a silent
-    un-converged exit would under-merge clusters."""
+    Per-round shuffle bytes are labels + in-flight messages/requests
+    (V-bounded + delta-bounded), not 2E + V as before. Convergence is a
+    full-state checksum over ALL row kinds: label rows alone would be
+    unsound here because replies generated this round are consumed next
+    round (a quiet round can precede a reply-driven change). Round count
+    stays O(log component-diameter); each fused round is half the old
+    round's exchanges, so the count roughly doubles while total exchange
+    work drops. Raises RuntimeError if ``max_iter`` rounds pass without
+    convergence — a silent un-converged exit would under-merge clusters."""
 
     def init_rows(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy(zero_copy_only=False)
@@ -285,18 +364,13 @@ def label_propagation(
         nodes = np.concatenate([a, b])
         return pa.concat_tables(
             [
-                # identity labels (deduped by the init reduce)
+                # identity labels (deduped by the first fused reduce)
                 _lp_rows(nodes, _enc_np(nodes), _LP_LAB),
-                # seed messages: each endpoint hears the edge's min
+                # seed messages: each endpoint hears the edge's min —
+                # the kick-start the delta regime needs (afterwards only
+                # label CHANGES are broadcast)
                 _lp_rows(nodes, np.concatenate([lo, lo]), _LP_MSG),
             ]
-        )
-
-    def edge_rows(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy(zero_copy_only=False)
-        b = batch.column("b").to_numpy(zero_copy_only=False)
-        return _lp_rows(
-            np.concatenate([a, b]), np.concatenate([b, a]), _LP_EDGE
         )
 
     def _min_per_key(k: np.ndarray, v: np.ndarray):
@@ -307,82 +381,112 @@ def label_propagation(
             first[1:] = ks[1:] != ks[:-1]
         return ks[first], vs[first]  # v sorted within key → first is min
 
-    def reduce_step(group: pa.Table) -> pa.Table:
-        """labels + messages → new labels + next jump requests."""
-        kind = group.column("kind").to_numpy(zero_copy_only=False)
-        k = group.column("k").to_numpy(zero_copy_only=False)
-        v = group.column("v").to_numpy(zero_copy_only=False)
-        m = kind != _LP_REQ  # B's input is labels+messages only
-        nodes, lab = _min_per_key(k[m], v[m])
-        out = [_lp_rows(nodes, lab, _LP_LAB)]
-        # request label-of-label next round for every non-root node
-        nonroot = lab != _enc_np(nodes)
-        if nonroot.any():
-            out.append(
-                _lp_rows(_dec_np(lab[nonroot]), nodes[nonroot], _LP_REQ)
-            )
-        return pa.concat_tables(out)
+    # built before the closure so fused_step captures refs + layout only
+    store_ds, store_refs, store_layout = _edge_store(pairs, n_buckets)
 
-    def answer_step(group: pa.Table) -> pa.Table:
-        """edges + requests meet labels → messages; labels pass through."""
+    def fused_step(group: pa.Table) -> pa.Table:
+        """One propagation step for one node bucket: reduce incoming
+        labels+messages, emit delta neighbor messages from this bucket's
+        static edge slice, answer jump requests, issue next requests."""
         kind = group.column("kind").to_numpy(zero_copy_only=False)
         k = group.column("k").to_numpy(zero_copy_only=False)
         v = group.column("v").to_numpy(zero_copy_only=False)
         labm = kind == _LP_LAB
-        ln, lv = k[labm], v[labm]
-        o = np.argsort(ln)
-        ln_s, lv_s = ln[o], lv[o]
+        msgm = kind == _LP_MSG
+        reqm = kind == _LP_REQ
 
-        def lab_of(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-            if not len(ln_s):
-                return np.zeros(len(keys), np.int64), np.zeros(len(keys), bool)
-            i = np.minimum(np.searchsorted(ln_s, keys), len(ln_s) - 1)
-            return lv_s[i], ln_s[i] == keys
+        nodes, newlab = _min_per_key(
+            np.concatenate([k[labm], k[msgm]]),
+            np.concatenate([v[labm], v[msgm]]),
+        )
+        onodes, oldlab = _min_per_key(k[labm], v[labm])
+        if not np.array_equal(nodes, onodes):
+            # every message targets an edge endpoint and every endpoint
+            # is seeded with a label row in its own bucket — a mismatch
+            # means rows were mis-routed; merging would corrupt labels
+            raise RuntimeError("label_propagation: message to unlabeled node")
+        changed = newlab < oldlab
 
-        out = [_lp_rows(ln, lv, _LP_LAB)]
-        md, ml = [], []
-        em = kind == _LP_EDGE
-        if em.any():
-            lab, ok = lab_of(k[em])
-            dst = v[em][ok]
-            lab = lab[ok]
-            # telling dst its own id is a no-op (labels only decrease)
-            useful = lab != _enc_np(dst)
-            md.append(dst[useful])
-            ml.append(lab[useful])
-        rm = kind == _LP_REQ
-        if rm.any():
-            lab, ok = lab_of(k[rm])
-            req = v[rm][ok]
-            lab = lab[ok]
+        out = [_lp_rows(nodes, newlab, _LP_LAB)]
+
+        # delta edge messages: only changed nodes notify their neighbors
+        if changed.any():
+            with np.errstate(over="ignore"):
+                bk = int(
+                    fmix64(k[:1].view(np.uint64))[0] % np.uint64(n_buckets)
+                )
+            pieces = store_layout.get(bk)
+            if pieces:
+                parts = [
+                    ray.get(store_refs[bi]).slice(s, ln)
+                    for bi, s, ln in pieces
+                ]
+                et = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+                src = et.column("src").to_numpy(zero_copy_only=False)
+                dstc = et.column("dst").to_numpy(zero_copy_only=False)
+                cn, cl = nodes[changed], newlab[changed]
+                lo = np.searchsorted(src, cn, "left")
+                hi = np.searchsorted(src, cn, "right")
+                lens = hi - lo
+                total = int(lens.sum())
+                if total:
+                    base = np.repeat(lo, lens)
+                    off = np.arange(total) - np.repeat(
+                        np.cumsum(lens) - lens, lens
+                    )
+                    dst = dstc[base + off]
+                    lab = np.repeat(cl, lens)
+                    # telling dst its own id is a no-op (labels only
+                    # decrease); dedupe identical (dst, label) messages
+                    useful = lab != _enc_np(dst)
+                    dst, lab = dst[useful], lab[useful]
+                    if len(dst):
+                        order = np.lexsort((lab, dst))
+                        dst, lab = dst[order], lab[order]
+                        first = np.ones(len(dst), dtype=bool)
+                        if len(dst) > 1:
+                            first[1:] = (dst[1:] != dst[:-1]) | (
+                                lab[1:] != lab[:-1]
+                            )
+                        out.append(_lp_rows(dst[first], lab[first], _LP_MSG))
+
+        # answer the previous round's jump requests from POST-reduce labels
+        if reqm.any():
+            tgt = k[reqm]
+            i = np.minimum(np.searchsorted(nodes, tgt), len(nodes) - 1)
+            ok = nodes[i] == tgt
+            req = v[reqm][ok]
+            lab = newlab[i][ok]
             useful = lab != _enc_np(req)
-            md.append(req[useful])
-            ml.append(lab[useful])
-        if md:
-            dst = np.concatenate(md)
-            lab = np.concatenate(ml)
-            # dedupe identical (dst, label) messages before they enter the
-            # reduce exchange — dense components repeat the hub's label
-            order = np.lexsort((lab, dst))
-            dst, lab = dst[order], lab[order]
-            first = np.ones(len(dst), dtype=bool)
-            if len(dst) > 1:
-                first[1:] = (dst[1:] != dst[:-1]) | (lab[1:] != lab[:-1])
-            out.append(_lp_rows(dst[first], lab[first], _LP_MSG))
+            if useful.any():
+                out.append(_lp_rows(req[useful], lab[useful], _LP_MSG))
+
+        # next round's requests: every non-root asks for label(label)
+        nonroot = newlab != _enc_np(nodes)
+        if nonroot.any():
+            out.append(
+                _lp_rows(_dec_np(newlab[nonroot]), nodes[nonroot], _LP_REQ)
+            )
         return pa.concat_tables(out)
 
     def checksum(state: Dataset) -> int:
-        """Order-insensitive fixpoint detector over LABEL rows: XOR of
-        mixed (node, label). Runs inside map_batches — one 8-byte partial
-        per batch reaches the driver, never the rows."""
+        """Order-insensitive FULL-state fixpoint detector: XOR of mixed
+        (k, v, kind) over every row kind. Label rows alone are not
+        enough — replies emitted this round land next round, so a state
+        with identical labels but different in-flight messages is not a
+        fixpoint. One 8-byte partial per batch reaches the driver."""
 
         def part(b: pa.Table) -> pa.Table:
-            kind = b.column("kind").to_numpy(zero_copy_only=False)
-            m = kind == _LP_LAB
-            n = b.column("k").to_numpy(zero_copy_only=False)[m].view(np.uint64)
-            l = b.column("v").to_numpy(zero_copy_only=False)[m].view(np.uint64)
+            n = b.column("k").to_numpy(zero_copy_only=False).view(np.uint64)
+            l = b.column("v").to_numpy(zero_copy_only=False).view(np.uint64)
+            kd = b.column("kind").to_numpy(zero_copy_only=False).astype(np.uint64)
             with np.errstate(over="ignore"):
-                x = int(np.bitwise_xor.reduce(fmix64(n ^ l), initial=np.uint64(0)))
+                x = int(
+                    np.bitwise_xor.reduce(
+                        fmix64(fmix64(n ^ (kd * np.uint64(0x9E3779B97F4A7C15))) ^ l),
+                        initial=np.uint64(0),
+                    )
+                )
             return pa.table({"x": pa.array([x - (1 << 63)], pa.int64())})
 
         tot = 0
@@ -402,35 +506,19 @@ def label_propagation(
 
     from .exchange import ensure_schema
 
-    # ``pairs`` is consumed twice below (static edges + round-0 seed):
-    # one execution guarantees both derivations see the SAME rows even
-    # for a lazy upstream (a divergent re-execution could leave a node
-    # in the edge set with no seed label, and answer_step would then
-    # silently drop its messages), and avoids re-running the lineage.
-    pairs = pairs.materialize()
-
-    # static directed edges, partitioned once into n_buckets blocks (the
-    # per-round exchange re-buckets rows anyway; the repartition bounds
-    # per-round driver scheduling when edges arrive as hundreds of tiny
-    # checkpoint-parquet blocks)
-    edges_dir = (
-        ensure_schema(
-            pairs.map_batches(edge_rows, batch_format="pyarrow"), _LP_SCHEMA
-        )
-        .repartition(n_buckets)
-        .materialize()
-    )
-    # round 0: reduce the seed rows → initial labels (+ first requests)
+    # round 0: the fused step over the seed rows — dedupes identity
+    # labels, applies seed messages, emits the first delta messages and
+    # jump requests
     state = _lp_exchange(
         ensure_schema(
             pairs.map_batches(init_rows, batch_format="pyarrow"), _LP_SCHEMA
         ),
-        reduce_step,
+        fused_step,
         n_buckets,
     ).materialize()
     prev = checksum(state)
     converged = False
-    rounds = 0
+    rounds = 1
     for _it in range(max_iter):
         rounds += 1
         if _timing:
@@ -440,8 +528,7 @@ def label_propagation(
                 file=_sys.stderr,
                 flush=True,
             )
-        answered = _lp_exchange(state.union(edges_dir), answer_step, n_buckets)
-        state = _lp_exchange(answered, reduce_step, n_buckets).materialize()
+        state = _lp_exchange(state, fused_step, n_buckets).materialize()
         cur = checksum(state)
         if cur == prev:
             converged = True
@@ -452,8 +539,9 @@ def label_propagation(
     if not converged:
         raise RuntimeError(
             f"label_propagation did not converge in {max_iter} rounds; "
-            "with pointer jumping this needs ~log2(component size) rounds — "
-            "raise max_iter or inspect the edge set for anomalies"
+            "with pointer jumping this needs ~2·log2(component size) "
+            "fused rounds — raise max_iter or inspect the edge set for "
+            "anomalies"
         )
 
     def dec(batch: pa.Table) -> pa.Table:

@@ -257,9 +257,11 @@ def test_near_dup_corpus_keeps_one_rep_per_cluster():
 
 def test_label_propagation_pointer_jumping_logarithmic_rounds():
     """A 64-node PATH graph (worst case for plain min-label propagation:
-    O(diameter)=63 rounds) must converge in ≤ log2(n)+2 rounds thanks to
-    the pointer-jumping request/reply step — and still produce the exact
-    uint64-min component labels."""
+    O(diameter)=63 rounds) must converge in ≤ 2·log2(n)+4 fused rounds —
+    a jump request issued at round t is answered at t+1 and applied at
+    t+2, so the fused single-exchange design pays two (half-cost) rounds
+    per pointer doubling — and still produce the exact uint64-min
+    component labels."""
     import math
 
     import ray.data as rd
@@ -275,7 +277,7 @@ def test_label_propagation_pointer_jumping_logarithmic_rounds():
     )
     stats: dict = {}
     out = label_propagation(ds, n_buckets=4, stats=stats).to_pandas()
-    assert stats["rounds"] <= int(math.log2(n)) + 2, stats
+    assert stats["rounds"] <= 2 * int(math.log2(n)) + 4, stats
     assert sorted(out["node"]) == ids.tolist()
     assert set(out["label"]) == {100}
 
