@@ -34,6 +34,49 @@ from .minhash import sign
 from .verify import verify_auto
 
 
+def _dup_rep_rows(
+    narrow: Dataset,
+    dups: np.ndarray,
+    n_buckets: int = 32,
+    max_broadcast_rows: int | None = None,
+) -> Dataset:
+    """One (doc_hash, text) row per DUPLICATED hash — the small branch of
+    ``distinct_reps``, factored out so the fused signing path can union
+    it with its own uniq branch."""
+
+    def local_first(batch: pa.Table) -> pa.Table:
+        # per-batch combiner: first occurrence per hash within the batch
+        dh = batch.column("doc_hash").to_numpy(zero_copy_only=False)
+        _, first_idx = np.unique(dh, return_index=True)
+        return batch.take(pa.array(np.sort(first_idx)))
+
+    def bucket_first(g: pa.Table) -> pa.Table:
+        # Arrow-native first-per-hash: stable sort on the int64 key +
+        # boundary take — the text column never becomes Python objects
+        # (a pandas drop_duplicates here would objectify every string)
+        dh = g.column("doc_hash").to_numpy(zero_copy_only=False)
+        order = np.argsort(dh, kind="stable")
+        first = np.ones(len(dh), dtype=bool)
+        first[1:] = dh[order][1:] != dh[order][:-1]
+        keep = np.sort(order[first])  # preserve original row order
+        return g.select(["doc_hash", "text"]).take(pa.array(keep, pa.int64()))
+
+    from .exchange import _add_bucket
+
+    return (
+        _add_bucket(
+            semi_filter(
+                narrow, "doc_hash", dups,
+                max_broadcast_rows=max_broadcast_rows, n_buckets=n_buckets,
+            ).map_batches(local_first, batch_format="pyarrow"),
+            "doc_hash",
+            n_buckets,
+        )
+        .groupby("__bucket")
+        .map_groups(bucket_first, batch_format="pyarrow")
+    )
+
+
 def distinct_reps(
     ingested: Dataset,
     dups: np.ndarray | None = None,
@@ -66,39 +109,65 @@ def distinct_reps(
     )
     if len(dups) == 0:
         return uniq
-
-    def local_first(batch: pa.Table) -> pa.Table:
-        # per-batch combiner: first occurrence per hash within the batch
-        dh = batch.column("doc_hash").to_numpy(zero_copy_only=False)
-        _, first_idx = np.unique(dh, return_index=True)
-        return batch.take(pa.array(np.sort(first_idx)))
-
-    def bucket_first(g: pa.Table) -> pa.Table:
-        # Arrow-native first-per-hash: stable sort on the int64 key +
-        # boundary take — the text column never becomes Python objects
-        # (a pandas drop_duplicates here would objectify every string)
-        dh = g.column("doc_hash").to_numpy(zero_copy_only=False)
-        order = np.argsort(dh, kind="stable")
-        first = np.ones(len(dh), dtype=bool)
-        first[1:] = dh[order][1:] != dh[order][:-1]
-        keep = np.sort(order[first])  # preserve original row order
-        return g.select(["doc_hash", "text"]).take(pa.array(keep, pa.int64()))
-
-    from .exchange import _add_bucket
-
-    rep_dups = (
-        _add_bucket(
-            semi_filter(
-                narrow, "doc_hash", dups,
-                max_broadcast_rows=max_broadcast_rows, n_buckets=n_buckets,
-            ).map_batches(local_first, batch_format="pyarrow"),
-            "doc_hash",
-            n_buckets,
+    return uniq.union(
+        _dup_rep_rows(
+            narrow, dups, n_buckets=n_buckets,
+            max_broadcast_rows=max_broadcast_rows,
         )
-        .groupby("__bucket")
-        .map_groups(bucket_first, batch_format="pyarrow")
     )
-    return uniq.union(rep_dups)
+
+
+def _sign_distinct_fused(
+    ing: Dataset, dups: np.ndarray, cfg: DedupConfig
+) -> Dataset:
+    """Distinct-rep selection FUSED into the signing task — the uniq
+    branch (the overwhelming majority of rows) filters and signs inside
+    ONE ``map_batches`` over the pinned ingest blocks, so its text never
+    takes the intermediate object-store round-trip that
+    ``sign(distinct_reps(...))`` pays (the union node there blocks Ray
+    Data's operator fusion; measured ~105 MB — one full text pass — per
+    200k docs in tools/plasma_audit.py). The duplicated-hash branch is
+    dup-bounded and keeps the bucketed first-per-hash exchange.
+
+    Falls back to the unfused path when the dup set exceeds
+    ``cfg.broadcast_max_rows`` (the same guard ``semi_filter`` applies);
+    output ≡ ``sign(distinct_reps(ing, dups), cfg)`` up to row order of
+    the two branches — MinHashSigner is row-wise deterministic."""
+    from .minhash import MinHashSigner, sign as _sign
+
+    if len(dups) > cfg.broadcast_max_rows:
+        return _sign(
+            distinct_reps(
+                ing, dups=dups, n_buckets=cfg.join_buckets,
+                max_broadcast_rows=cfg.broadcast_max_rows,
+            ),
+            cfg,
+        )
+    import ray
+
+    signer = MinHashSigner(cfg)
+    ref = ray.put(np.sort(dups))
+
+    def filter_sign(batch: pa.Table) -> pa.Table:
+        t = batch.select(["doc_hash", "text"])
+        ks = ray.get(ref)
+        if len(ks):
+            col = t.column("doc_hash").to_numpy(zero_copy_only=False)
+            idx = np.minimum(np.searchsorted(ks, col), len(ks) - 1)
+            t = t.filter(pa.array(ks[idx] != col))
+        return signer(t)
+
+    uniq_sigs = ing.map_batches(
+        filter_sign, batch_format="pyarrow",
+        batch_size=cfg.batch_size, zero_copy_batch=True,
+    )
+    if len(dups) == 0:
+        return uniq_sigs
+    rep_dups = _dup_rep_rows(
+        ing.select_columns(["doc_hash", "text"]), dups,
+        n_buckets=cfg.join_buckets, max_broadcast_rows=cfg.broadcast_max_rows,
+    )
+    return uniq_sigs.union(_sign(rep_dups, cfg))
 
 
 def _filter_edges_by_set_hash(
@@ -192,16 +261,12 @@ def near_dup_pipeline(
     # sizing (url count per duplicated doc_hash)
     dup_hashes, dup_cnts = dup_key_counts(ing, "doc_hash")
     tick("dup_counts")
-    reps = distinct_reps(
-        ing, dups=dup_hashes, n_buckets=cfg.join_buckets,
-        max_broadcast_rows=cfg.broadcast_max_rows,
-    )
     if checkpoint is not None:
-        # the per-partition signing loop below scans reps P times — pin it.
-        # Without a checkpoint reps has exactly ONE consumer (sign), so the
-        # rep texts stream straight into the signer without an extra
-        # object-store round-trip (ingest→sign fusion).
-        reps = reps.materialize()
+        # the per-partition signing loop below scans reps P times — pin it
+        reps = distinct_reps(
+            ing, dups=dup_hashes, n_buckets=cfg.join_buckets,
+            max_broadcast_rows=cfg.broadcast_max_rows,
+        ).materialize()
     tick("reps")
     if checkpoint is not None:
         # per-PARTITION signing checkpoint: reps hash-partition on
@@ -225,7 +290,11 @@ def near_dup_pipeline(
             "p3_signatures", list(range(P)), sign_part
         )
     else:
-        sigs = stage("p3_signatures", lambda: sign(reps, cfg))
+        # no checkpoint: rep selection fuses into the signing task so the
+        # uniq-branch text never takes an extra object-store round-trip
+        sigs = stage(
+            "p3_signatures", lambda: _sign_distinct_fused(ing, dup_hashes, cfg)
+        )
     tick("sign")
     _EDGES_EMPTY = pa.table(
         {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
