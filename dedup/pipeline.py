@@ -118,56 +118,129 @@ def distinct_reps(
 
 
 def _sign_distinct_fused(
-    ing: Dataset, dups: np.ndarray, cfg: DedupConfig
+    pages: Dataset, dups: np.ndarray, cfg: DedupConfig
 ) -> Dataset:
-    """Distinct-rep selection FUSED into the signing task — the uniq
-    branch (the overwhelming majority of rows) filters and signs inside
-    ONE ``map_batches`` over the pinned ingest blocks, so its text never
-    takes the intermediate object-store round-trip that
-    ``sign(distinct_reps(...))`` pays (the union node there blocks Ray
-    Data's operator fusion; measured ~105 MB — one full text pass — per
-    200k docs in tools/plasma_audit.py). The duplicated-hash branch is
-    dup-bounded and keeps the bucketed first-per-hash exchange.
+    """Ingest → distinct-rep selection → signing FUSED into one
+    ``map_batches`` over the raw pages, so the corpus TEXT never enters
+    the object store at all: the unfused ``sign(distinct_reps(ingest))``
+    shape materialized the full ingested text once and re-read it once
+    (the union node in distinct_reps blocks Ray Data's operator fusion;
+    measured ~240 + ~105 MB per 200k docs in tools/plasma_audit.py).
+    At 10^12-doc scale the materialized text wouldn't fit the object
+    store and would spill — re-reading the column-pruned source parquet
+    (this pass + the narrow-ingest pass) is strictly cheaper than a
+    corpus-sized spill write + read.
+
+    Per batch: ingest (gates + hashes), drop exact-duplicated rows, sign
+    the unique-content rows, and CARRY one (doc_hash, text) candidate
+    row per duplicated hash seen in the batch (the per-batch combiner)
+    out through a unified schema — sig columns null on carried rows,
+    text null on signed rows. The carried rows (dup-bounded) then take
+    the bucketed first-per-hash exchange and a second (tiny) signing
+    pass; equal content hashes have equal text, so WHICH duplicate
+    representative signs is immaterial to the signature.
 
     Falls back to the unfused path when the dup set exceeds
     ``cfg.broadcast_max_rows`` (the same guard ``semi_filter`` applies);
-    output ≡ ``sign(distinct_reps(ing, dups), cfg)`` up to row order of
-    the two branches — MinHashSigner is row-wise deterministic."""
+    output ≡ ``sign(distinct_reps(ingest(pages), dups), cfg)`` up to row
+    order — MinHashSigner is row-wise deterministic."""
+    import pyarrow.compute as pc
+
     from .minhash import MinHashSigner, sign as _sign
 
     if len(dups) > cfg.broadcast_max_rows:
         return _sign(
             distinct_reps(
-                ing, dups=dups, n_buckets=cfg.join_buckets,
+                ingest(pages, cfg), dups=dups, n_buckets=cfg.join_buckets,
                 max_broadcast_rows=cfg.broadcast_max_rows,
             ),
             cfg,
-        )
+        ).materialize()
     import ray
 
+    from .ingest import Ingester
+
+    ing_fn = Ingester(cfg)
     signer = MinHashSigner(cfg)
     ref = ray.put(np.sort(dups))
 
-    def filter_sign(batch: pa.Table) -> pa.Table:
-        t = batch.select(["doc_hash", "text"])
+    def ingest_filter_sign(batch: pa.Table) -> pa.Table:
+        t = ing_fn(batch)
         ks = ray.get(ref)
+        dh = t.column("doc_hash").to_numpy(zero_copy_only=False)
         if len(ks):
-            col = t.column("doc_hash").to_numpy(zero_copy_only=False)
-            idx = np.minimum(np.searchsorted(ks, col), len(ks) - 1)
-            t = t.filter(pa.array(ks[idx] != col))
-        return signer(t)
+            idx = np.minimum(np.searchsorted(ks, dh), len(ks) - 1)
+            isdup = ks[idx] == dh
+        else:
+            isdup = np.zeros(len(dh), dtype=bool)
+        sig_tbl = signer(
+            t.filter(pa.array(~isdup)).select(["doc_hash", "text"])
+        )
+        sig_type = sig_tbl.schema.field("sig").type
+        out = sig_tbl.append_column(
+            "text", pa.nulls(len(sig_tbl), pa.string())
+        )
+        if isdup.any():
+            d = t.filter(pa.array(isdup)).select(["doc_hash", "text"])
+            # per-batch combiner: first occurrence per duplicated hash
+            ddh = d.column("doc_hash").to_numpy(zero_copy_only=False)
+            _, first_idx = np.unique(ddh, return_index=True)
+            d = d.take(pa.array(np.sort(first_idx)))
+            n = len(d)
+            carry = pa.table(
+                {
+                    "doc_hash": d.column("doc_hash"),
+                    "sig": pa.nulls(n, sig_type),
+                    "n_shingles": pa.nulls(n, pa.int64()),
+                    "set_hash": pa.nulls(n, pa.int64()),
+                    "text": d.column("text"),
+                }
+            )
+            out = pa.concat_tables([out, carry])
+        return out
 
-    uniq_sigs = ing.map_batches(
-        filter_sign, batch_format="pyarrow",
+    passb = pages.map_batches(
+        ingest_filter_sign, batch_format="pyarrow",
         batch_size=cfg.batch_size, zero_copy_batch=True,
-    )
+    ).materialize()
+
+    def only_sigs(batch: pa.Table) -> pa.Table:
+        m = pc.is_null(batch.column("text"))
+        return batch.filter(m).select(
+            ["doc_hash", "sig", "n_shingles", "set_hash"]
+        )
+
+    def only_texts(batch: pa.Table) -> pa.Table:
+        m = pc.is_valid(batch.column("text"))
+        return batch.filter(m).select(["doc_hash", "text"])
+
+    uniq_sigs = passb.map_batches(only_sigs, batch_format="pyarrow")
     if len(dups) == 0:
         return uniq_sigs
-    rep_dups = _dup_rep_rows(
-        ing.select_columns(["doc_hash", "text"]), dups,
-        n_buckets=cfg.join_buckets, max_broadcast_rows=cfg.broadcast_max_rows,
+
+    from .exchange import _add_bucket
+
+    def bucket_first(g: pa.Table) -> pa.Table:
+        dh = g.column("doc_hash").to_numpy(zero_copy_only=False)
+        order = np.argsort(dh, kind="stable")
+        first = np.ones(len(dh), dtype=bool)
+        first[1:] = dh[order][1:] != dh[order][:-1]
+        keep = np.sort(order[first])
+        return g.select(["doc_hash", "text"]).take(pa.array(keep, pa.int64()))
+
+    rep_texts = (
+        _add_bucket(
+            passb.map_batches(only_texts, batch_format="pyarrow"),
+            "doc_hash",
+            cfg.join_buckets,
+        )
+        .groupby("__bucket")
+        .map_groups(bucket_first, batch_format="pyarrow")
     )
-    return uniq_sigs.union(_sign(rep_dups, cfg))
+    # tiny (dup-bounded) — pinned so the lazy union's re-consumers don't
+    # re-run the exchange
+    rep_sigs = _sign(rep_texts, cfg).materialize()
+    return uniq_sigs.union(rep_sigs)
 
 
 def _filter_edges_by_set_hash(
@@ -255,7 +328,20 @@ def near_dup_pipeline(
         # as the parquet checkpoint, minus the lineage manifest.
         return fn().materialize()
 
-    ing = stage("p1_ingested", lambda: ingest(pages, cfg))
+    if checkpoint is not None:
+        # resume contract: the P1 checkpoint keeps the text so the
+        # per-partition signing loop can re-scan it across sessions
+        ing = stage("p1_ingested", lambda: ingest(pages, cfg))
+    else:
+        # narrow pin: every post-signing consumer (dup counts, cluster
+        # assignment, near_dup_corpus) needs only these columns, and the
+        # signing pass below re-ingests the raw pages instead of reading
+        # a materialized text copy — the corpus text never enters the
+        # object store (at 10^12 docs it could not fit and would spill;
+        # re-reading column-pruned source parquet is strictly cheaper)
+        ing = ingest(pages, cfg).select_columns(
+            ["url", "lang", "size_bytes", "doc_hash", "short_hash"]
+        ).materialize()
     tick("ingest")
     # one narrow count pass serves exact-dup collapse AND final cluster
     # sizing (url count per duplicated doc_hash)
@@ -290,11 +376,10 @@ def near_dup_pipeline(
             "p3_signatures", list(range(P)), sign_part
         )
     else:
-        # no checkpoint: rep selection fuses into the signing task so the
-        # uniq-branch text never takes an extra object-store round-trip
-        sigs = stage(
-            "p3_signatures", lambda: _sign_distinct_fused(ing, dup_hashes, cfg)
-        )
+        # no checkpoint: ingest + rep selection fuse into the signing
+        # task over the raw pages (text never enters the object store);
+        # materialization happens inside (pass-B blocks + tiny rep sigs)
+        sigs = _sign_distinct_fused(pages, dup_hashes, cfg)
     tick("sign")
     _EDGES_EMPTY = pa.table(
         {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
