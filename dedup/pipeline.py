@@ -214,9 +214,13 @@ def _sign_distinct_fused(
         m = pc.is_valid(batch.column("text"))
         return batch.filter(m).select(["doc_hash", "text"])
 
+    # final pin: downstream consumes the signature table several times
+    # (banding, verification tiers); materializing the narrow projection
+    # lets the pass-B blocks (which still carry the dup-rep texts) be
+    # released instead of being re-filtered per consumer
     uniq_sigs = passb.map_batches(only_sigs, batch_format="pyarrow")
     if len(dups) == 0:
-        return uniq_sigs
+        return uniq_sigs.materialize()
 
     from .exchange import _add_bucket
 
@@ -237,10 +241,7 @@ def _sign_distinct_fused(
         .groupby("__bucket")
         .map_groups(bucket_first, batch_format="pyarrow")
     )
-    # tiny (dup-bounded) — pinned so the lazy union's re-consumers don't
-    # re-run the exchange
-    rep_sigs = _sign(rep_texts, cfg).materialize()
-    return uniq_sigs.union(rep_sigs)
+    return uniq_sigs.union(_sign(rep_texts, cfg)).materialize()
 
 
 def _filter_edges_by_set_hash(
