@@ -288,8 +288,10 @@ class NearDupResult:
     # transit the driver there)
     edges: "pa.Table | Dataset"
     # the pinned P1 ingest Dataset — downstream consumers (near_dup_corpus)
-    # reuse it instead of re-running ingest (one less full-text pass
-    # through the object store)
+    # reuse it instead of re-running ingest. NARROW on the no-checkpoint
+    # path (url, lang, size_bytes, doc_hash, short_hash — no text; the
+    # text never enters the object store there); text-bearing only when
+    # a checkpoint pins the resume copy.
     ingested: Dataset | None = None
     n_candidate_docs: int = 0
 
