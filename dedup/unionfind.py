@@ -216,7 +216,8 @@ def components_sharded(
 # row kinds flowing through the label-propagation exchanges
 _LP_LAB = 0  # (k=node, v=encoded label)
 _LP_MSG = 1  # (k=node, v=encoded label candidate)
-_LP_EDGE = 2  # (k=src, v=dst) — directed; each undirected pair appears twice
+# kind 2 was the in-exchange edge row of the two-exchange design; edges
+# now live in the static per-bucket plasma store and never shuffle
 _LP_REQ = 3  # (k=target node, v=requesting node) — pointer-jump request
 
 _LP_SCHEMA = pa.schema([("k", pa.int64()), ("v", pa.int64()), ("kind", pa.int8())])
