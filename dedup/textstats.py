@@ -44,8 +44,25 @@ QUALITY_STOP_NUM = 1  # quality requires n_stop_best * DEN >= n_tokens * NUM
 QUALITY_STOP_DEN = 20  # i.e. best-language stopword ratio >= 1/20
 
 
-def _tokenize(text: pa.Array) -> tuple[pa.Array, np.ndarray]:
-    """text column → (flat non-empty lowered tokens, tokens-per-doc)."""
+# byte classes for the fast tokenizer: a token byte is [A-Za-z0-9_]
+# (upper-case included so the class test runs BEFORE lowering — only the
+# ~85% kept token bytes then need the +32 lower-case fixup, not the whole
+# buffer), exactly the ASCII projection of TOKEN_SPLIT_RE's complement.
+_TOKEN_BYTE = np.zeros(256, dtype=bool)
+_TOKEN_BYTE[
+    np.frombuffer(
+        b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789_",
+        np.uint8,
+    )
+] = True
+
+
+def _tokenize_regex(text: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """Definitional tokenizer: lower + TOKEN_SPLIT_RE split, drop empties.
+
+    This is the form the DuckDB oracle SQL mirrors verbatim; the byte-scan
+    fast path below must (and is tested to) agree with it on every batch
+    it accepts."""
     lowered = pc.utf8_lower(pc.fill_null(text, ""))
     toks = pc.split_pattern_regex(lowered, TOKEN_SPLIT_RE)
     if isinstance(toks, pa.ChunkedArray):
@@ -58,6 +75,85 @@ def _tokenize(text: pa.Array) -> tuple[pa.Array, np.ndarray]:
     counts = cs[offsets[1:]] - cs[offsets[:-1]]
     flat_kept = flat.filter(pa.array(keep)) if not keep.all() else flat
     return flat_kept, counts
+
+
+def _fast_ascii_tokens(text: pa.Array) -> "tuple[pa.Array, np.ndarray] | None":
+    """Byte-scan tokenizer for pure-ASCII batches; ``None`` = caller must
+    fall back to its definitional regex path.
+
+    For pure-ASCII text, splitting lowered text on ``[^a-z0-9_]+`` —
+    and equally on ``\\W+``, whose ASCII projection is the same class —
+    is exactly a byte-class scan (every non-ASCII code point, and every
+    byte of its UTF-8 encoding, falls outside the class, so boundaries
+    coincide), done here as one LUT gather + transition masks, ~3× the
+    RE2 split's throughput. Any batch containing a byte >= 0x80 returns
+    None: Unicode case-folding (e.g. U+212A KELVIN SIGN → 'k') and
+    Unicode word chars are the caller's regex's business. Parity is
+    pinned in tests/test_textstats.py."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    if text.null_count:
+        text = pc.fill_null(text, "")
+    n_docs = len(text)
+    if n_docs == 0:
+        return pa.array([], pa.string()), np.zeros(0, np.int64)
+    if pa.types.is_large_string(text.type):
+        off_dtype = np.int64
+    elif pa.types.is_string(text.type):
+        off_dtype = np.int32
+    else:  # dictionary / view types: let the kernel pipeline handle them
+        return None
+    bufs = text.buffers()
+    if bufs[2] is None:  # all-empty values buffer may be absent
+        return pa.array([], pa.string()), np.zeros(n_docs, np.int64)
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+        text.offset : text.offset + n_docs + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0] : offs[-1]]
+    if len(data) and int(data.max()) >= 0x80:
+        return None
+    offs = offs - offs[0]
+    n = len(data)
+    if n == 0:
+        return pa.array([], pa.string()), np.zeros(n_docs, np.int64)
+    is_tok = _TOKEN_BYTE[data]
+    start_mask = is_tok.copy()
+    start_mask[1:] &= ~is_tok[:-1]
+    end_mask = is_tok.copy()
+    end_mask[:-1] &= ~is_tok[1:]
+    # a token never spans documents: force a break at every doc boundary
+    # whose both sides are token bytes
+    b = offs[1:-1]
+    b = b[(b > 0) & (b < n)]
+    inner = b[is_tok[b] & is_tok[b - 1]]
+    start_mask[inner] = True
+    end_mask[inner - 1] = True
+    starts = np.flatnonzero(start_mask)
+    tlen = (np.flatnonzero(end_mask) + 1) - starts
+    counts = np.searchsorted(starts, offs[1:]) - np.searchsorted(starts, offs[:-1])
+    kept = data[is_tok]
+    if len(kept) >= np.iinfo(np.int32).max:  # int32 output offsets
+        return None
+    # lower-case only the kept token bytes (A-Z +32); separators are gone
+    up = (kept >= 0x41) & (kept <= 0x5A)
+    if up.any():
+        kept = kept + np.where(up, np.uint8(0x20), np.uint8(0))
+    toffs = np.empty(len(tlen) + 1, np.int32)
+    toffs[0] = 0
+    np.cumsum(tlen, out=toffs[1:])
+    flat = pa.StringArray.from_buffers(
+        len(tlen), pa.py_buffer(toffs.tobytes()), pa.py_buffer(kept.tobytes())
+    )
+    return flat, counts
+
+
+def _tokenize(text: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """text column → (flat non-empty lowered tokens, tokens-per-doc).
+
+    Byte-scan fast path for pure-ASCII batches (``_fast_ascii_tokens``),
+    regex fallback otherwise — never a semantic change."""
+    fast = _fast_ascii_tokens(text)
+    return fast if fast is not None else _tokenize_regex(text)
 
 
 def _segment_sum(flags: np.ndarray, counts: np.ndarray) -> np.ndarray:

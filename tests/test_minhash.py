@@ -83,3 +83,32 @@ def test_disjoint_texts_low_estimate():
     s = _signer()
     sig, _ = s.signatures(pa.array([va, vb]))
     assert (sig[0] == sig[1]).mean() < 0.1
+
+
+def test_token_lists_fast_path_matches_regex():
+    """ASCII batches must produce bit-identical token hashes through the
+    byte-scan path and the definitional \\W+ regex path (signature
+    stability: the fast path must never change signatures)."""
+    import pyarrow.compute as pc
+
+    from dedup.minhash import _hash_tokens, _token_lists
+    from dedup.hashing import U64
+
+    docs = pa.array(
+        ["Hello, World! foo_bar", "", "  a  b ", "a_b9 X", "tail", "head"]
+    )
+    th_fast, c_fast = _token_lists(docs)
+    # force the regex path by the definitional computation
+    lowered = pc.utf8_lower(docs)
+    toks = pc.split_pattern_regex(lowered, r"\W+")
+    flat = toks.flatten()
+    lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(lens > 0))
+    th_re = _hash_tokens(flat, "polars-xxh64")
+    assert np.array_equal(th_fast, th_re)
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(lens > 0, dtype=np.int64)])
+    assert np.array_equal(c_fast, cs[offsets[1:]] - cs[offsets[:-1]])
+    # non-ASCII falls back to \W+: ü is a word char there, not a split
+    th_u, c_u = _token_lists(pa.array(["über maß", "ok"]))
+    assert c_u.tolist() == [2, 1] and len(th_u) == 3

@@ -209,3 +209,22 @@ def test_join_path_with_sampling_matches_broadcast_sampling():
     import pandas as pd
 
     pd.testing.assert_frame_equal(bc, jn)
+
+
+def test_member_table_prefilter_matches_searchsorted():
+    import numpy as np
+
+    from dedup.substr import _member_sorted, _member_table
+
+    rng = np.random.default_rng(3)
+    h = rng.integers(-(1 << 62), 1 << 62, 50_000).astype(np.int64)
+    d = np.sort(rng.choice(h, 700, replace=False))
+    tbl = _member_table(d)
+    got = _member_sorted(d, tbl, h)
+    idx = np.minimum(np.searchsorted(d, h), len(d) - 1)
+    want = d[idx] == h
+    assert np.array_equal(got, want)
+    # empty set: nothing is a member
+    assert not _member_sorted(
+        np.empty(0, np.int64), _member_table(np.empty(0, np.int64)), h
+    ).any()

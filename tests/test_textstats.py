@@ -66,3 +66,45 @@ def test_token_frequencies_topk():
     out = token_frequencies(ds, top_k=3).to_pandas()
     assert out["token"].tolist() == ["a", "b", "c"]  # counts 3,2,1 (c<d tie? no: c=1,d=1 → token asc)
     assert out["cnt"].tolist() == [3, 2, 1]
+
+
+def test_tokenize_fast_path_matches_regex():
+    """The byte-scan fast path must agree with the definitional regex
+    tokenizer (the DuckDB-mirrored form) on everything it accepts, and
+    non-ASCII batches must take the regex fallback (Unicode folding)."""
+    from dedup.textstats import _tokenize_regex
+
+    cases = [
+        pa.array(["abc def", "", None, "  x ", "a_b9", "!!!", "end", "start"]),
+        pa.array([], pa.string()),
+        pa.array([None, None], pa.string()),
+        pa.array(["aXbC", "ABC def_GHI", "1a2B3c"]),
+        pa.array(["tail", "head"]),  # abutting token bytes across docs
+        pa.array(["héllo wörld", "ascii part"]),  # fallback branch
+        pa.array(["Kelvin"]),  # KELVIN SIGN lowers to 'k' — regex only
+        pa.chunked_array([["a b"], ["c d", "e"]]),
+        pa.array(["one two", "three!four", "Ümlaut"]).slice(1, 2),
+        pa.array(["large offsets"] * 3).cast(pa.large_string()),
+    ]
+    for c in cases:
+        f1, c1 = _tokenize_regex(c)
+        f2, c2 = _tokenize(c)
+        assert np.array_equal(np.asarray(c1), np.asarray(c2)), c
+        assert f1.cast(pa.string()).equals(f2.cast(pa.string())), c
+
+
+def test_tokenize_fast_path_random_ascii():
+    import random
+
+    rng = random.Random(7)
+    alphabet = " \t\n.,;!?-_abcXYZ019#"
+    docs = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+        for _ in range(200)
+    ]
+    from dedup.textstats import _tokenize_regex
+
+    f1, c1 = _tokenize_regex(pa.array(docs))
+    f2, c2 = _tokenize(pa.array(docs))
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
+    assert f1.equals(f2)
