@@ -33,6 +33,27 @@ from .config import DedupConfig
 from .schema import SCHEMA_VERSION
 
 
+def _ensure_parquet_dir(tmp: str, ds: Dataset) -> None:
+    """``write_parquet`` on an empty dataset writes nothing at all (not
+    even the directory); the durable form of an empty stage is one
+    zero-row parquet file carrying the stage schema, so resume-time
+    ``read_parquet`` keeps working."""
+    os.makedirs(tmp, exist_ok=True)
+    if any(f.endswith(".parquet") for f in os.listdir(tmp)):
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        sch = ds.schema(fetch_if_missing=True)
+        arrow_schema = sch.base_schema if sch is not None else pa.schema([])
+    except Exception:
+        arrow_schema = pa.schema([])
+    pq.write_table(
+        arrow_schema.empty_table(), os.path.join(tmp, "empty.parquet")
+    )
+
+
 # Schema upgrade hooks (≅ reference migrate_db, file_db.rs:457-511): maps
 # (from_version → fn(stage_name, manifest, stage_dir) → manifest | None).
 # Returning an upgraded manifest keeps the checkpoint DATA in place (the
@@ -194,6 +215,7 @@ class CheckpointManager:
         ds = fn()
         tmp = data_dir + ".tmp"
         ds.write_parquet(tmp)
+        _ensure_parquet_dir(tmp, ds)
         os.rename(tmp, data_dir)
         out = rd.read_parquet(data_dir)
         manifest = {
@@ -244,6 +266,7 @@ class CheckpointManager:
             if os.path.exists(tmp):
                 shutil.rmtree(tmp)
             ds.write_parquet(tmp)
+            _ensure_parquet_dir(tmp, ds)
             if os.path.exists(pdir):
                 shutil.rmtree(pdir)
             os.rename(tmp, pdir)
@@ -274,6 +297,8 @@ class CheckpointManager:
             for f in sorted(os.listdir(os.path.join(data_dir, f"part-{pid}")))
             if f.endswith(".parquet")
         ]
+        if not files:  # every part empty
+            return rd.from_items([])
         return rd.read_parquet(files)
 
     def invalidate(self, name: str) -> None:

@@ -84,7 +84,7 @@ def main(argv=None) -> int:
         "--mode",
         choices=[
             "near", "exact", "simhash", "corpus", "substr",
-            "index-build", "index-dedup",
+            "consolidate", "index-build", "index-dedup",
         ],
         default="near",
         help="corpus = write the deduplicated pages (one representative "
@@ -221,6 +221,38 @@ def main(argv=None) -> int:
             "rows": stripped.count(),
             "total_tokens": int(agg["sum(n_tokens)"]),
             "dup_tokens_removed": int(agg["sum(dup_tokens)"]),
+            "wall_sec": round(time.monotonic() - t0, 3),
+            "config_fingerprint": cfg.fingerprint(),
+        }
+        with open(os.path.join(args.output, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        print(json.dumps(summary))
+        return 0
+
+    if args.mode == "consolidate":
+        # crash-safe consolidation executor (≅ the reference's destructive
+        # re-link run): plan + applied corpus live under --output, so an
+        # interrupted run re-invoked with the same args resumes from the
+        # finished url-hash partitions
+        from .consolidate import apply_consolidation
+
+        applied = apply_consolidation(pages, args.output, cfg).materialize()
+        import pyarrow.compute as _pc
+
+        links = applied.map_batches(
+            lambda t: t.filter(_pc.equal(t.column("action"), "link")).select(
+                ["size_bytes"]
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        linked = links.count()
+        reclaimed = int(links.sum("size_bytes") or 0) if linked else 0
+        summary = {
+            "mode": args.mode,
+            "input": args.input,
+            "rows": applied.count(),
+            "rows_linked": linked,
+            "reclaimed_bytes": reclaimed,
             "wall_sec": round(time.monotonic() - t0, 3),
             "config_fingerprint": cfg.fingerprint(),
         }

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 from .cascade import exact_survivors
@@ -104,3 +105,132 @@ def total_reclaimed(plan: Dataset) -> int:
     """Σ reclaimed_bytes (≅ the reference's end-of-run total,
     process_matches.rs:674-675)."""
     return int(plan.sum("reclaimed_bytes") or 0)
+
+
+def apply_consolidation(
+    pages: Dataset,
+    out_root: str,
+    cfg: DedupConfig | None = None,
+    policy: str = "min_url",
+    n_parts: int | None = None,
+) -> Dataset:
+    """Crash-safe consolidation EXECUTOR — the reference's destructive
+    re-link step (consolidation.rs:79-173: hardlink over the duplicate,
+    fsync, then record it) in the web data model.
+
+    The web analogue of a hardlink is a corpus row whose text lives only
+    at its target: output columns ``url, action, target_url, size_bytes,
+    text`` where 'keep' rows retain their text, 'link' rows carry
+    ``text = NULL`` and point at the keeper (their bytes leave the
+    corpus — the reclaim), and rows in no duplicate group pass through
+    as 'keep' targeting themselves.
+
+    Crash safety mirrors the reference's link→fsync→db ordering:
+
+    1. the plan is made durable FIRST (``c1_plan`` checkpoint stage) so
+       a resumed run applies the identical plan even if the policy or
+       corpus sampling would re-derive differently;
+    2. each url-hash partition of the applied corpus is written
+       atomically (tmp + rename) and recorded in the stage manifest only
+       after it durably exists (CheckpointManager.load_or_run_parts) — a
+       killed run resumes from the finished partitions, recomputing only
+       the rest (pytest-pinned in tests/test_spans_consolidate.py).
+
+    Scale: the plan is dup-bounded; while it fits
+    ``cfg.broadcast_max_rows`` it ships once via ``ray.put`` and each
+    batch left-joins locally, else both sides take the bucketed hash
+    join. The corpus streams once per unfinished partition, column-
+    pruned to (url, text).
+    """
+    import ray
+
+    from .checkpoint import CheckpointManager
+    from .exchange import bucketed_join, collect_table
+    from .hashing import xxh64_arrow
+
+    cfg = cfg or DedupConfig()
+    P = cfg.sign_partitions if n_parts is None else n_parts
+    ck = CheckpointManager(out_root, cfg)
+    plan = ck.load_or_run(
+        "c1_plan", lambda: consolidation_plan(pages, cfg, policy)
+    ).select_columns(["url", "action", "target_url"])
+    if any(e.startswith("write:c1_plan") for e in ck.events):
+        # lineage: a rebuilt plan invalidates every applied partition
+        ck.invalidate("c2_applied")
+    corpus = pages.select_columns(["url", "text"])
+
+    def _part_mask(urls: pa.Array, pid: int) -> np.ndarray:
+        return (xxh64_arrow(urls) % np.uint64(P)) == np.uint64(pid)
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        """Post-join projection shared by both join paths."""
+        url = batch.column("url")
+        text = batch.column("text")
+        action = pc.fill_null(batch.column("action"), "keep")
+        target = pc.coalesce(batch.column("target_url"), url)
+        linked = pc.equal(action, "link")
+        return pa.table(
+            {
+                "url": url,
+                "action": action,
+                "target_url": target,
+                "size_bytes": pc.cast(pc.binary_length(text), pa.int64()),
+                "text": pc.if_else(linked, pa.nulls(len(batch), pa.string()), text),
+            }
+        )
+
+    plan_schema = pa.schema(
+        [("url", pa.string()), ("action", pa.string()), ("target_url", pa.string())]
+    )
+
+    broadcast = plan.count() <= cfg.broadcast_max_rows
+    if broadcast:
+        # ship the plan pre-sliced by url-hash part: each batch joins
+        # against its part's dup-bounded slice, not the whole plan
+        ptbl = collect_table(plan)
+        if ptbl.num_rows == 0:
+            # an empty checkpointed plan round-trips without its schema
+            ptbl = plan_schema.empty_table()
+        purls = ptbl.column("url")
+        if isinstance(purls, pa.ChunkedArray):
+            purls = purls.combine_chunks()
+        ref = ray.put(
+            [ptbl.filter(pa.array(_part_mask(purls, pid))) for pid in range(P)]
+        )
+
+        def apply_part(pid: int) -> Dataset:
+            def fn(batch: pa.Table) -> pa.Table:
+                urls = batch.column("url")
+                if isinstance(urls, pa.ChunkedArray):
+                    urls = urls.combine_chunks()
+                part = batch.filter(pa.array(_part_mask(urls, pid)))
+                j = part.join(ray.get(ref)[pid], keys="url", join_type="left outer")
+                return _finish(j)
+
+            return corpus.map_batches(fn, batch_format="pyarrow")
+
+    else:
+
+        def apply_part(pid: int) -> Dataset:
+            def fl(batch: pa.Table) -> pa.Table:
+                urls = batch.column("url")
+                if isinstance(urls, pa.ChunkedArray):
+                    urls = urls.combine_chunks()
+                return batch.filter(pa.array(_part_mask(urls, pid)))
+
+            pp = corpus.map_batches(fl, batch_format="pyarrow")
+            pl = plan.map_batches(
+                lambda t: t.rename_columns(["__purl", "action", "target_url"]),
+                batch_format="pyarrow",
+            ).map_batches(
+                lambda t: t.filter(
+                    pa.array(_part_mask(t.column("__purl").combine_chunks(), pid))
+                ),
+                batch_format="pyarrow",
+            )
+            j = bucketed_join(
+                pp, pl, "url", "__purl", n_buckets=cfg.join_buckets, how="left"
+            )
+            return j.map_batches(_finish, batch_format="pyarrow")
+
+    return ck.load_or_run_parts("c2_applied", list(range(P)), apply_part)

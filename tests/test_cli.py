@@ -146,3 +146,21 @@ def test_cli_substr_mode(pages_file, tmp_path, capsys):
     assert set(t.column_names) >= {
         "url", "n_tokens", "dup_spans", "dup_tokens", "kept_text"
     }
+
+
+def test_cli_consolidate_mode(pages_file, tmp_path, capsys):
+    """--mode consolidate applies the plan crash-safely under --output
+    and reports reclaimed bytes; a rerun resumes from the checkpoints."""
+    out = str(tmp_path / "outk")
+    rc = main(["--input", pages_file, "--output", out, "--mode", "consolidate"])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_in = pq.read_metadata(pages_file).num_rows
+    assert s["mode"] == "consolidate" and s["rows"] == n_in
+    assert s["rows_linked"] > 0 and s["reclaimed_bytes"] > 0
+    # applied partitions live under the same root the resume reads
+    assert os.path.isdir(os.path.join(out, "c2_applied", "data"))
+    rc2 = main(["--input", pages_file, "--output", out, "--mode", "consolidate"])
+    assert rc2 == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["rows"] == s["rows"] and s2["reclaimed_bytes"] == s["reclaimed_bytes"]

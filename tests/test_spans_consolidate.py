@@ -277,3 +277,68 @@ def test_long_spans_planted_matches_formula(sf_dir):
         while n < min(len(a), len(b)) and a[n] == b[n]:
             n += 1
         assert out[out.url_a == f"a/{i}"].lcs_len.iloc[0] == n
+
+
+def test_apply_consolidation_output_and_resume(tmp_path):
+    """Executor semantics + the reference's crash-safe ordering
+    (consolidation.rs:79-173): keep rows carry text, link rows carry NULL
+    text + the keeper's url, non-duplicates pass through; a second run is
+    all checkpoint hits; a lost partition is recomputed alone; a rebuilt
+    plan invalidates every applied partition."""
+    import json
+    import os
+    import shutil
+
+    from dedup.checkpoint import CheckpointManager
+    from dedup.consolidate import apply_consolidation
+
+    pages_tbl, exp = make_pages(
+        n_exact_groups=4, n_near_groups=0, n_singletons=10,
+        n_negative_pairs=0, n_short_split_pairs=0,
+    )
+    pages = rd.from_arrow(pages_tbl)
+    cfg = DedupConfig()
+    root = str(tmp_path / "apply")
+
+    out = apply_consolidation(pages, root, cfg).to_pandas()
+    assert len(out) == len(pages_tbl)
+    by_url = out.set_index("url")
+    texts = {
+        u: t for u, t in zip(pages_tbl["url"].to_pylist(),
+                             pages_tbl["text"].to_pylist())
+    }
+    for g in exp.exact_groups:
+        rep = min(g)
+        assert by_url.loc[rep, "action"] == "keep"
+        assert by_url.loc[rep, "text"] == texts[rep]
+        for u in g:
+            assert by_url.loc[u, "target_url"] == rep
+            if u != rep:
+                assert by_url.loc[u, "action"] == "link"
+                assert by_url.loc[u, "text"] is None
+    for u in exp.singleton_urls:
+        assert by_url.loc[u, "action"] == "keep"
+        assert by_url.loc[u, "target_url"] == u
+        assert by_url.loc[u, "text"] == texts[u]
+
+    # warm resume: both stages hit, byte-identical content
+    ck = CheckpointManager(root, cfg)
+    out2 = apply_consolidation(pages, root, cfg)
+    assert out2.count() == len(out)
+
+    # partial resume: lose one partition → exactly that part recomputes
+    mpath = os.path.join(root, "c2_applied", "manifest.json")
+    m = json.load(open(mpath))
+    victim = next(k for k, v in m["parts"].items() if v["rows"] > 0)
+    shutil.rmtree(os.path.join(root, "c2_applied", "data", f"part-{victim}"))
+    out3 = apply_consolidation(pages, root, cfg)
+    assert out3.to_pandas().sort_values("url")["url"].tolist() == sorted(
+        out["url"].tolist()
+    )
+
+    # plan rebuild invalidates the applied stage
+    shutil.rmtree(os.path.join(root, "c1_plan"))
+    out4 = apply_consolidation(pages, root, cfg)
+    assert out4.count() == len(out)
+    m4 = json.load(open(mpath))
+    assert m4["completed"] and m4["rows"] == len(out)
