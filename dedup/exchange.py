@@ -115,7 +115,13 @@ def bucketed_sum_by_key(
     )
 
 
-_DRIVER_AGG_MAX = 30_000_000  # partial-count rows; 16 B each → ≤ ~500 MB
+# partial-count rows above which the merge leaves the driver for the
+# bucketed exchange. Measured crossover (32 cpus, 16 B rows): driver
+# argsort 0.02 s at 23k rows vs exchange's ~0.3 s fixed latency; equal
+# ~0.6 s at 2.5M; exchange 2× ahead at 13M (1.6 s vs 3.2 s) — and the
+# driver path's argsort is SERIAL driver work, the anti-scaling term,
+# so past the crossover the exchange also buys scaling efficiency.
+_DRIVER_AGG_MAX = 5_000_000  # 16 B each → ≤ ~80 MB on the driver
 
 
 def merged_threshold_keys(
