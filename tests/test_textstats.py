@@ -108,3 +108,29 @@ def test_tokenize_fast_path_random_ascii():
     f2, c2 = _tokenize(pa.array(docs))
     assert np.array_equal(np.asarray(c1), np.asarray(c2))
     assert f1.equals(f2)
+
+
+def test_tokenize_fast_path_property():
+    """Property: fast path ≡ regex path on arbitrary text batches —
+    mixed ASCII/Unicode, empties, nulls, any boundary shape."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dedup.textstats import _tokenize_regex
+
+    doc = st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FF),
+        max_size=40,
+    )
+    batch = st.lists(st.one_of(st.none(), doc), min_size=0, max_size=12)
+
+    @settings(max_examples=150, deadline=None)
+    @given(batch)
+    def check(docs):
+        arr = pa.array(docs, pa.string())
+        f1, c1 = _tokenize_regex(arr)
+        f2, c2 = _tokenize(arr)
+        assert np.array_equal(np.asarray(c1), np.asarray(c2))
+        assert f1.cast(pa.string()).equals(f2.cast(pa.string()))
+
+    check()
