@@ -102,14 +102,32 @@ def components_np(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]
     """
     if not len(a):
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    nodes = np.unique(np.concatenate([a, b]))  # sorted int64
+    # one argsort over all endpoints yields nodes AND both endpoint
+    # inverses. The old shape — np.unique + per-endpoint searchsorted —
+    # paid ~700 ns/lookup of cache-missing binary search on random
+    # probes (5.5 s at 5.7M edges, 4/5 of this function's cost);
+    # np.unique(return_inverse=True) is no better (7.4 s measured, its
+    # internal argsort + extras). This is 1.7 s on the same input.
+    cat = np.concatenate([a, b])
+    m = len(a)
+    order = np.argsort(cat, kind="stable")
+    s = cat[order]
+    newgrp = np.empty(len(s), dtype=bool)
+    newgrp[0] = True
+    newgrp[1:] = s[1:] != s[:-1]
+    nodes = s[newgrp]  # sorted int64
     n = len(nodes)
-    ia = np.searchsorted(nodes, a)
-    ib = np.searchsorted(nodes, b)
-    # ranks in uint64 order so "min rank" == "min uint64 member"
-    uorder = np.argsort(nodes.view(np.uint64), kind="stable")
-    rank = np.empty(n, np.int64)
-    rank[uorder] = np.arange(n, dtype=np.int64)
+    gid = np.cumsum(newgrp) - 1
+    inv = np.empty(len(s), np.int64)
+    inv[order] = gid
+    ia = inv[:m]
+    ib = inv[m:]
+    # ranks in uint64 order so "min rank" == "min uint64 member". nodes
+    # is sorted int64, so uint64-ascending order is just the rotation
+    # [non-negatives..., negatives...] — index arithmetic, no argsort.
+    k = int(np.searchsorted(nodes, 0))
+    idx = np.arange(n, dtype=np.int64)
+    rank = np.where(idx >= k, idx - k, idx + (n - k))
     ra, rb = rank[ia], rank[ib]
     lab = np.arange(n, dtype=np.int64)
     while True:
@@ -124,7 +142,7 @@ def components_np(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]
         if np.array_equal(nxt, lab):
             break
         lab = nxt
-    nodes_by_rank = nodes[uorder]
+    nodes_by_rank = np.concatenate([nodes[k:], nodes[:k]])
     return nodes, nodes_by_rank[lab[rank]]
 
 
