@@ -133,20 +133,18 @@ def line_dedup(
     drop = np.sort(
         collect_table(dropd).column("lh").to_numpy(zero_copy_only=False)
     )
-    ref = ray.put(drop)
+    from .exchange import member_probe, member_table
+
+    ref = ray.put((drop, member_table(drop)))
 
     def strip(batch: pa.Table) -> pa.Table:
-        d = ray.get(ref)
+        d, tbl = ray.get(ref)
         text = batch.column(text_col)
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         flat, counts, hashes = _split_lines(text)
         h = hashes.view(np.int64)
-        if len(d) and len(h):
-            idx = np.minimum(np.searchsorted(d, h), len(d) - 1)
-            keep = d[idx] != h
-        else:
-            keep = np.ones(len(h), dtype=bool)
+        keep = ~member_probe(d, tbl, h)
         doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
         kept_per_doc = (
             np.bincount(doc_of[keep], minlength=len(counts)).astype(np.int64)

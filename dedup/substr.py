@@ -235,32 +235,10 @@ def _dup_window_sets(
     return None, dupd
 
 
-def _member_table(d: np.ndarray) -> np.ndarray:
-    """Occupancy prefilter for membership tests against sorted ``d``: a
-    boolean table over ``fmix64(x) & (M-1)`` with load factor <= 1/8.
-    Built ONCE (driver side, shipped with the set) so per-batch lookups
-    pay one gather instead of a binary search per window — the search
-    then runs only on the ~load-factor fraction that hits the table."""
-    if len(d) == 0:
-        return np.zeros(1, dtype=bool)
-    m = 1 << max(13, int(len(d) * 8 - 1).bit_length())
-    m = min(m, 1 << 27)  # cap the per-worker table at 128 MB
-    tbl = np.zeros(m, dtype=bool)
-    tbl[(fmix64(d.view(U64)) & np.uint64(m - 1)).astype(np.int64)] = True
-    return tbl
-
-
-def _member_sorted(d: np.ndarray, tbl: np.ndarray, h: np.ndarray) -> np.ndarray:
-    """``h in d`` elementwise (both int64), via the prefilter table."""
-    m = np.uint64(len(tbl) - 1)
-    cand = tbl[(fmix64(h.view(U64)) & m).astype(np.int64)]
-    ci = np.flatnonzero(cand)
-    out = np.zeros(len(h), dtype=bool)
-    if len(ci):
-        hc = h[ci]
-        idx = np.minimum(np.searchsorted(d, hc), len(d) - 1)
-        out[ci] = d[idx] == hc
-    return out
+# canonical membership-prefilter helpers live in exchange.py (shared
+# with semi_filter and lines.py); re-bound here for this module's tests
+from .exchange import member_probe as _member_sorted  # noqa: E402
+from .exchange import member_table as _member_table  # noqa: E402
 
 
 def strip_dup_spans(
