@@ -38,19 +38,24 @@ def worker(dur, out):
     while time.monotonic() - t0 < dur:
         s(b)
         n += 1
-    out.put(n)
+    # report the worker's OWN compute-window rate: the parent's wall
+    # clock includes ~4 s of per-process setup (imports + make_batch +
+    # warm call), which used to dilute the reading by ~35% at dur=6 and
+    # made the probe track allocation/first-touch cost instead of the
+    # kernel. Each worker's n/elapsed is a pure measure of the kernel
+    # under whatever CPU steal the host is applying in the window.
+    out.put(n / (time.monotonic() - t0))
 
 
 def run(procs, dur=12.0):
     q = mp.Queue()
     ps = [mp.Process(target=worker, args=(dur, q)) for _ in range(procs)]
-    t0 = time.monotonic()
     for p in ps:
         p.start()
     total = sum(q.get() for _ in ps)
     for p in ps:
         p.join()
-    return total / (time.monotonic() - t0)
+    return total
 
 
 if __name__ == "__main__":
@@ -63,9 +68,12 @@ if __name__ == "__main__":
         # stream probe. The hunter's first campaign proved the stream
         # probe necessary but NOT sufficient: three stream-validated
         # windows still ran this kernel 1.5-2x below its healthy
-        # ~1.1 batches/s (a CPU-side host degradation bandwidth can't
-        # see), so windows are now accepted only when BOTH probes read
-        # healthy. See BASELINE.md "Window-hunter campaign".
+        # speed (a CPU-side host degradation bandwidth can't see), so
+        # windows are now accepted only when BOTH probes read healthy.
+        # Healthy plateau for the compute-only reading with the round-5
+        # kernel: ~1.7 batches/s (0.59 s/call measured in-process; the
+        # old setup-inclusive reading saturated at ~1.1 by construction
+        # — see BASELINE.md "round-5 probe recalibration").
         print(json.dumps({"kernel_bps_1proc": round(run(1, dur=6.0), 3)}))
         sys.exit(0)
 
