@@ -22,7 +22,13 @@ Env:
   BENCH_CORPUS_DIR   pre-written parquet corpus reused across legs
   BENCH_EXPAND       expansion factor when no corpus dir (default 400)
   HUNT_MIN_GBPS / HUNT_MIN_KBPS   gate thresholds
-  HUNT_CPUS          "lo,hi" pair for bench.py --scaling (default 2,8)
+  HUNT_CPUS          one or more "lo,hi" pairs, ";"-separated (default
+                     "2,8"); multiple pairs rotate across fired
+                     attempts — e.g. "2,8;1,4" alternates the pair
+                     that saturates the host memory controller at the
+                     high leg with the pair that keeps BOTH legs under
+                     it (the engine-isolating regime, BASELINE.md
+                     round-4 "1-vs-4" note)
 """
 import argparse
 import json
@@ -68,7 +74,7 @@ def main() -> None:
 
     min_gbps = float(os.environ.get("HUNT_MIN_GBPS", "7"))
     min_kbps = float(os.environ.get("HUNT_MIN_KBPS", "0.9"))
-    cpus = os.environ.get("HUNT_CPUS", "2,8")
+    cpu_pairs = os.environ.get("HUNT_CPUS", "2,8").split(";")
     deadline = time.time() + args.hours * 3600
 
     def log(rec: dict) -> None:
@@ -88,8 +94,9 @@ def main() -> None:
             flavor = "strong" if n_fired % 2 == 0 else "weak"
         else:
             flavor = args.mode
+        cpus = cpu_pairs[n_fired % len(cpu_pairs)]
         n_fired += 1
-        log({"event": "fire", "flavor": flavor, **pre})
+        log({"event": "fire", "flavor": flavor, "cpus": cpus, **pre})
         env = dict(os.environ)
         env.setdefault("BENCH_EXPAND", "400")
         env["BENCH_SCALING_REPEATS"] = "1"
