@@ -44,15 +44,31 @@ def _host_probe() -> dict:
     the window state in the bench JSON lets a reader normalize the
     wall-clock numbers instead of guessing which window they ran in.
     Healthy ≈ 8-10 GB/s; degraded windows read < 1 GB/s."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    out: dict = {}
     try:
         r = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                          "tools", "host_wall.py"), "--quick"],
+            [sys.executable, os.path.join(here, "tools", "host_wall.py"),
+             "--quick"],
             capture_output=True, text=True, timeout=60,
         )
-        return json.loads(r.stdout.strip().splitlines()[-1])
+        out.update(json.loads(r.stdout.strip().splitlines()[-1]))
     except Exception:
-        return {}
+        pass
+    # CPU dimension: the engine's own signer kernel, compute-window rate
+    # (tools/sign_probe.py; healthy plateau 1.82-1.90 batches/s). The
+    # host degrades on this axis independently of stream bandwidth, so a
+    # bench JSON is only interpretable with BOTH readings embedded.
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "sign_probe.py"),
+             "--quick"],
+            capture_output=True, text=True, timeout=120,
+        )
+        out.update(json.loads(r.stdout.strip().splitlines()[-1]))
+    except Exception:
+        pass
+    return out
 
 
 def _wait_for_window() -> dict:
