@@ -354,6 +354,27 @@ def _strip_kernel(
     )
 
 
+def _row_keys(ids: pa.Array, txt: pa.Array) -> np.ndarray:
+    """Content row key (uint64): hash(id) mixed with hash(text).
+
+    The join path routes window hits back to their document ROW; the id
+    column alone cannot address a row when ids repeat (a url revisited
+    within one corpus), and row positions are not stable across the two
+    corpus passes — so the key is content-defined, computed identically
+    in both passes. It collapses ONLY rows that are bit-identical in
+    (id, text), for which the hit assignment is row-interchangeable
+    (each copy receives the shared start set; see strip_group)."""
+    from .hashing import xxh64_arrow
+
+    if pa.types.is_integer(ids.type):
+        ih = fmix64(ids.to_numpy(zero_copy_only=False).astype(U64))
+    else:
+        ih = xxh64_arrow(ids)
+    th = xxh64_arrow(pc.fill_null(txt, ""))
+    with np.errstate(over="ignore"):
+        return fmix64(ih * np.uint64(0x9E3779B97F4A7C15) + th)
+
+
 def _strip_dup_spans_join(
     docs: Dataset,
     dupd: Dataset,
@@ -378,13 +399,16 @@ def _strip_dup_spans_join(
        broadcast path.
     """
     from .exchange import bucketed_join
-    from .hashing import xxh64_arrow
     from .textstats import _tokenize
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
+        txt = batch.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        rk = _row_keys(ids, txt)
         _, _, wh, n_win, keep = _win_layout(batch, k, sample_mod, text_col)
         doc_of = np.repeat(np.arange(len(n_win), dtype=np.int64), n_win)
         start = np.arange(len(wh), dtype=np.int64) - np.repeat(
@@ -395,7 +419,7 @@ def _strip_dup_spans_join(
         return pa.table(
             {
                 "wh": pa.array(wh.view(np.int64), pa.int64()),
-                "__did": ids.take(pa.array(doc_of, pa.int64())),
+                "__rk": pa.array(rk.view(np.int64)[doc_of], pa.int64()),
                 "__wstart": pa.array(start, pa.int64()),
             }
         )
@@ -408,23 +432,21 @@ def _strip_dup_spans_join(
 
     id_type = docs.schema().base_schema.field(id_col).type
 
-    def _doc_bucket(ids: pa.Array) -> np.ndarray:
-        if pa.types.is_integer(ids.type):
-            h = fmix64(ids.to_numpy(zero_copy_only=False).astype(np.uint64))
-        else:
-            h = xxh64_arrow(ids)
-        return (h % np.uint64(n_buckets)).astype(np.int32)
+    def _bucket_of(rk: np.ndarray) -> pa.Array:
+        # rk is already a mixed hash; low bits are uniform
+        return pa.array(
+            (rk.view(U64) % np.uint64(n_buckets)).astype(np.int32), pa.int32()
+        )
 
     def tag_hits(batch: pa.Table) -> pa.Table:
-        did = batch.column("__did")
-        if isinstance(did, pa.ChunkedArray):
-            did = did.combine_chunks()
+        rk = batch.column("__rk").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "__did": did,
+                "__rk": batch.column("__rk"),
+                "__did": pa.nulls(len(batch), id_type),
                 "__txt": pa.nulls(len(batch), pa.string()),
                 "__wstart": batch.column("__wstart"),
-                "__bucket": pa.array(_doc_bucket(did), pa.int32()),
+                "__bucket": _bucket_of(rk),
             }
         )
 
@@ -432,13 +454,18 @@ def _strip_dup_spans_join(
         ids = batch.column(id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
+        txt = batch.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        rk = _row_keys(ids, txt)
         return pa.table(
             {
+                "__rk": pa.array(rk.view(np.int64), pa.int64()),
                 "__did": ids,
-                "__txt": pc.fill_null(batch.column(text_col), ""),
+                "__txt": pc.fill_null(txt, ""),
                 # doc rows sort before any real start (starts are >= 0)
                 "__wstart": pa.array(np.full(len(batch), -1, np.int64)),
-                "__bucket": pa.array(_doc_bucket(ids), pa.int32()),
+                "__bucket": _bucket_of(rk),
             }
         )
 
@@ -447,25 +474,54 @@ def _strip_dup_spans_join(
     ).union(hits.map_batches(tag_hits, batch_format="pyarrow"))
 
     def strip_group(g: pa.Table) -> pa.Table:
-        t = g.sort_by([("__did", "ascending"), ("__wstart", "ascending")])
+        t = g.sort_by([("__rk", "ascending"), ("__wstart", "ascending")])
+        rk = t.column("__rk").to_numpy(zero_copy_only=False)
+        wstart = t.column("__wstart").to_numpy(zero_copy_only=False)
+        is_doc = wstart < 0
+        # factorize the sorted keys (run-length codes)
+        new = np.ones(len(rk), dtype=bool)
+        new[1:] = rk[1:] != rk[:-1]
+        codes = np.cumsum(new) - 1
+        doc_codes = codes[is_doc]  # non-decreasing; repeated for
+        # bit-identical (id, text) rows, each of which gets the hits
         did = t.column("__did")
         if isinstance(did, pa.ChunkedArray):
             did = did.combine_chunks()
-        wstart = t.column("__wstart").to_numpy(zero_copy_only=False)
-        is_doc = wstart < 0
-        codes = pc.dictionary_encode(did).indices.to_numpy(zero_copy_only=False)
-        doc_codes = codes[is_doc]
         ids = did.filter(pa.array(is_doc)).cast(id_type)
         txt = t.column("__txt").filter(pa.array(is_doc))
         if isinstance(txt, pa.ChunkedArray):
             txt = txt.combine_chunks()
         flat, counts = _tokenize(txt)
-        # hits → index of their doc among this bucket's doc rows; every
-        # hit's doc routes to the same bucket, so the lookup always hits
         hit_codes = codes[~is_doc]
-        docw = np.searchsorted(doc_codes, hit_codes)
         starts = wstart[~is_doc]
-        return _strip_kernel(ids, flat, counts, docw, starts, k, id_col)
+        if len(starts):
+            # distinct (row key, start): every doc row sharing the key
+            # emitted the same window, so the join delivers one copy per
+            # emitting row — deduplicate, then fan each start out to ALL
+            # rows with that key (sorted input ⇒ run-length dedup)
+            uniq = np.ones(len(starts), dtype=bool)
+            uniq[1:] = (hit_codes[1:] != hit_codes[:-1]) | (
+                starts[1:] != starts[:-1]
+            )
+            hc, st = hit_codes[uniq], starts[uniq]
+            lo = np.searchsorted(doc_codes, hc, side="left")
+            hi = np.searchsorted(doc_codes, hc, side="right")
+            reps = hi - lo
+            total = int(reps.sum())
+            off = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(reps) - reps, reps
+            )
+            docw = np.repeat(lo, reps) + off
+            starts_exp = np.repeat(st, reps)
+            if len(reps) and reps.max() > 1:
+                # expansion order is (key, start, row); the strip kernel
+                # needs (row, start)
+                o = np.lexsort((starts_exp, docw))
+                docw, starts_exp = docw[o], starts_exp[o]
+        else:
+            docw = np.empty(0, np.int64)
+            starts_exp = np.empty(0, np.int64)
+        return _strip_kernel(ids, flat, counts, docw, starts_exp, k, id_col)
 
     return both.groupby("__bucket").map_groups(strip_group, batch_format="pyarrow")
 

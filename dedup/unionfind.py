@@ -377,18 +377,30 @@ def label_propagation(
     convergence — a silent un-converged exit would under-merge clusters."""
 
     def init_rows(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy(zero_copy_only=False)
-        b = batch.column("b").to_numpy(zero_copy_only=False)
-        lo = _enc_np(np.minimum(a.view(np.uint64), b.view(np.uint64)).view(np.int64))
-        nodes = np.concatenate([a, b])
+        # Reads the DIRECTED edge-store rows (src, dst) — each undirected
+        # pair appears once per direction, so one label + one seed
+        # message per row reproduces the per-endpoint seeding. Seeding
+        # from the materialized store (not a second execution of the
+        # caller's pairs lineage) makes store/seed divergence impossible
+        # by construction: a lazy, nondeterministically re-executed
+        # pairs Dataset could otherwise leave an edge in the store with
+        # no seed label (RuntimeError mid-run) or a seeded node with no
+        # edge (silent under-merge).
+        if len(batch) == 0 or "src" not in batch.column_names:
+            return _LP_SCHEMA.empty_table()
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)
+        lo = _enc_np(
+            np.minimum(src.view(np.uint64), dst.view(np.uint64)).view(np.int64)
+        )
         return pa.concat_tables(
             [
                 # identity labels (deduped by the first fused reduce)
-                _lp_rows(nodes, _enc_np(nodes), _LP_LAB),
+                _lp_rows(src, _enc_np(src), _LP_LAB),
                 # seed messages: each endpoint hears the edge's min —
                 # the kick-start the delta regime needs (afterwards only
                 # label CHANGES are broadcast)
-                _lp_rows(nodes, np.concatenate([lo, lo]), _LP_MSG),
+                _lp_rows(src, lo, _LP_MSG),
             ]
         )
 
@@ -430,10 +442,12 @@ def label_propagation(
 
         # delta edge messages: only changed nodes notify their neighbors
         if changed.any():
-            with np.errstate(over="ignore"):
-                bk = int(
-                    fmix64(k[:1].view(np.uint64))[0] % np.uint64(n_buckets)
-                )
+            # the group carries its bucket id (appended by _lp_exchange
+            # before the groupby); reading it — instead of re-hashing a
+            # key — cannot desynchronize from the exchange's routing if
+            # the bucket formula ever changes (_edge_store uses the same
+            # fmix(src) % n_buckets, asserted by the store lookup below)
+            bk = int(group.column("__bucket")[0].as_py())
             pieces = store_layout.get(bk)
             if pieces:
                 parts = [
@@ -530,7 +544,7 @@ def label_propagation(
     # jump requests
     state = _lp_exchange(
         ensure_schema(
-            pairs.map_batches(init_rows, batch_format="pyarrow"), _LP_SCHEMA
+            store_ds.map_batches(init_rows, batch_format="pyarrow"), _LP_SCHEMA
         ),
         fused_step,
         n_buckets,

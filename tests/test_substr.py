@@ -228,3 +228,50 @@ def test_member_table_prefilter_matches_searchsorted():
     assert not _member_sorted(
         np.empty(0, np.int64), _member_table(np.empty(0, np.int64)), h
     ).any()
+
+
+def test_join_path_duplicate_doc_ids_match_broadcast():
+    """Rows sharing a doc id (a url revisited within one corpus) — the
+    join path must give each ROW its own strip, exactly like the
+    row-independent broadcast path. Covers both repeated (id, text)
+    pairs (bit-identical rows, routed by one content key and fanned
+    back out) and same id with DIFFERENT text (distinct content keys).
+    Regression: the pre-row-key join path collapsed all hits for a
+    repeated id onto its first row ([12, 0] instead of [6, 6])."""
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(120)]
+    boiler = " ".join(rng.choice(vocab, 10))
+    ids, texts = [], []
+    for i in range(24):
+        body = " ".join(rng.choice(vocab, int(rng.integers(8, 24))))
+        ids.append(i)
+        texts.append(f"{body} {boiler}" if i % 2 == 0 else body)
+    # id 100: two bit-identical rows carrying the boilerplate
+    same = f"{' '.join(rng.choice(vocab, 9))} {boiler}"
+    ids += [100, 100]
+    texts += [same, same]
+    # id 200: same id, different texts (one with boilerplate, one without)
+    ids += [200, 200]
+    texts += [f"{boiler} {' '.join(rng.choice(vocab, 12))}",
+              " ".join(rng.choice(vocab, 12))]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    ).repartition(5)
+    sort_cols = ["doc_id", "kept_text"]
+    bc = (
+        exact_substr_dedup(ds, k=5, min_docs=2)
+        .to_pandas().sort_values(sort_cols).reset_index(drop=True)
+    )
+    jn = (
+        exact_substr_dedup(ds, k=5, min_docs=2, max_broadcast_rows=0)
+        .to_pandas().sort_values(sort_cols).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bc, jn)
+    # both copies of the identical pair were stripped, not just the first
+    both = jn[jn["doc_id"] == 100]["dup_windows"].to_numpy()
+    assert len(both) == 2 and (both > 0).all() and both[0] == both[1]
+    # the different-text pair: one stripped, one untouched
+    d200 = jn[jn["doc_id"] == 200]["dup_windows"].to_numpy()
+    assert (d200 > 0).sum() == 1

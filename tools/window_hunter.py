@@ -10,7 +10,9 @@ therefore accepted only when
 
   - the 2-proc stream probe reads >= HUNT_MIN_GBPS (default 7), AND
   - the 1-proc MinHash-kernel probe reads >= HUNT_MIN_KBPS batches/s
-    (default 0.9; healthy ~1.1)
+    (default 1.55 = 0.85 x the observed healthy plateau of 1.82-1.90
+    on the round-5 compute-only probe scale; the pre-recalibration
+    scale read healthy ~1.1)
 
 both BEFORE and AFTER the measurement. Every attempt (validated or
 not) is appended to the JSONL log with its four probe readings, so the
@@ -73,7 +75,7 @@ def main() -> None:
     args = ap.parse_args()
 
     min_gbps = float(os.environ.get("HUNT_MIN_GBPS", "7"))
-    min_kbps = float(os.environ.get("HUNT_MIN_KBPS", "0.9"))
+    min_kbps = float(os.environ.get("HUNT_MIN_KBPS", "1.55"))
     cpu_pairs = os.environ.get("HUNT_CPUS", "2,8").split(";")
     deadline = time.time() + args.hours * 3600
 
