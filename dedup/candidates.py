@@ -115,17 +115,45 @@ def _tagged_sig_rows(
         return None, (None if dataset_labels else np.empty(0, np.int64)), 0
 
     sig_cols = sigs.select_columns(cols)
-    if not dataset_labels:
-        st = collect_table(stars_d, limit_rows=cfg.broadcast_max_rows + 1)
-        if len(st) <= cfg.broadcast_max_rows:
-            from .unionfind import components_np
+    # gate the driver tier on the ALREADY-known exact edge count before
+    # collecting anything: an over-cap star set previously streamed
+    # cap+1 rows (~80 MB) to the driver just to fail the size test
+    if not dataset_labels and n_stars <= cfg.broadcast_max_rows:
+        st = collect_table(stars_d)
+        from .unionfind import components_np
 
-            keys, cids = components_np(
-                st.column("a").to_numpy(zero_copy_only=False),
-                st.column("b").to_numpy(zero_copy_only=False),
+        keys, cids = components_np(
+            st.column("a").to_numpy(zero_copy_only=False),
+            st.column("b").to_numpy(zero_copy_only=False),
+        )
+        if len(keys) <= cfg.broadcast_max_rows:
+            # ONE broadcast carrying (keys, cids, occupancy prefilter);
+            # membership filter + component tag in a single probe per
+            # batch (the two-step semi_filter + broadcast_map shipped
+            # the key set twice and probed every batch twice)
+            import ray
+
+            from .exchange import member_probe, member_table
+
+            ref = ray.put((keys, cids, member_table(keys)))
+
+            def filter_tag(batch: pa.Table) -> pa.Table:
+                ks, cs, tbl = ray.get(ref)
+                dh = batch.column("doc_hash").to_numpy(zero_copy_only=False)
+                hit = member_probe(ks, tbl, dh)
+                t = batch.filter(pa.array(hit))
+                # hit rows are members, so searchsorted is exact
+                comp = cs[np.searchsorted(ks, dh[hit])]
+                return t.append_column(
+                    "__comp", pa.array(comp, pa.int64())
+                )
+
+            tagged = sig_cols.map_batches(
+                filter_tag, batch_format="pyarrow", zero_copy_batch=True
             )
-            # driver tier: keys (sorted) are the candidate set; membership
-            # + component tag both ride size-guarded broadcasts
+        else:
+            # candidate NODES outgrew the cap even though edges fit:
+            # the guarded two-step (join fallbacks inside) still applies
             sub = semi_filter_auto(
                 sig_cols, "doc_hash", keys,
                 max_broadcast_rows=cfg.broadcast_max_rows,
@@ -136,7 +164,7 @@ def _tagged_sig_rows(
                 max_broadcast_rows=cfg.broadcast_max_rows,
                 n_buckets=cfg.join_buckets,
             )
-            return tagged, keys, n_stars
+        return tagged, keys, n_stars
 
     # Dataset tier: component labels never leave the cluster; the inner
     # join is simultaneously the candidate-membership filter

@@ -84,29 +84,17 @@ def bucketed_sum_by_key(
     """
 
     def merge(g: pa.Table) -> pa.Table:
-        t = g.select([key_col, cnt_col])
-        try:
-            import polars as pl
-
-            out = (
-                pl.from_arrow(t)
-                .group_by(key_col)
-                .agg(pl.col(cnt_col).sum().alias(cnt_name))
-            )
-            if min_count > 1:
-                out = out.filter(pl.col(cnt_name) >= min_count)
-            return out.to_arrow()
-        except ImportError:
-            pass
-        keys = t.column(key_col).to_numpy(zero_copy_only=False)
-        cnts = t.column(cnt_col).to_numpy(zero_copy_only=False)
-        order = np.argsort(keys, kind="stable")
-        k, c = keys[order], cnts[order]
-        starts = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
-        uk = k[starts]
-        uc = np.add.reduceat(c, starts).astype(np.int64)
-        m = uc >= min_count
-        return pa.table({key_col: uk[m], cnt_name: uc[m]})
+        # ONE sum-threshold kernel for the driver and distributed tiers
+        # (driver_merge_threshold): the two copies this replaces had
+        # already drifted cosmetically, and a semantic change applied to
+        # one would silently leave the tiers disagreeing
+        uk, uc = driver_merge_threshold(
+            g.select([key_col, cnt_col]), key_col, cnt_col, min_count
+        )
+        return pa.table(
+            {key_col: pa.array(uk, pa.int64()),
+             cnt_name: pa.array(uc, pa.int64())}
+        )
 
     return (
         _add_bucket(partials, key_col, n_buckets)
@@ -340,7 +328,9 @@ def broadcast_map_i64(ds: Dataset, key_col: str, mapping_keys: np.ndarray,
     per duplicate) — rejected loudly so the branches cannot silently
     diverge as the mapping grows past the cap.
     """
-    mk_sorted = np.sort(mapping_keys) if len(mapping_keys) > 1 else mapping_keys
+    order = np.argsort(mapping_keys)  # one sort serves the duplicate
+    # check AND the broadcast branch's sorted lookup arrays
+    mk_sorted = mapping_keys[order]
     if len(mk_sorted) > 1 and np.any(mk_sorted[1:] == mk_sorted[:-1]):
         raise ValueError(
             "broadcast_map_i64: mapping_keys has duplicates — the broadcast "
@@ -348,7 +338,6 @@ def broadcast_map_i64(ds: Dataset, key_col: str, mapping_keys: np.ndarray,
         )
     cap = BROADCAST_MAX_ROWS if max_broadcast_rows is None else max_broadcast_rows
     if len(mapping_keys) > cap:
-        import pyarrow.compute as pc
         import ray.data as rd
 
         mt = rd.from_arrow(
@@ -372,8 +361,7 @@ def broadcast_map_i64(ds: Dataset, key_col: str, mapping_keys: np.ndarray,
 
         return j.map_batches(fin, batch_format="pyarrow")
 
-    order = np.argsort(mapping_keys)
-    ref = ray.put((mapping_keys[order], mapping_vals[order]))
+    ref = ray.put((mk_sorted, mapping_vals[order]))
 
     def fn(batch: pa.Table) -> pa.Table:
         mk, mv = ray.get(ref)
@@ -407,14 +395,18 @@ def bucketed_join(
     n_buckets: int = 32,
     how: str = "inner",
 ) -> Dataset:
-    """Partitioned hash join: both sides hash-bucketed on the key, unioned
-    with a side tag, grouped by bucket, merged per bucket with pandas.
+    """Partitioned hash join (``how``: "inner" or "left"): both sides
+    hash-bucketed on the key, unioned with a side tag, grouped by
+    bucket, merged per bucket on (key, row-index) with payloads
+    re-attached via Arrow take.
 
     Both sides shuffle once on narrow bucketed blocks; no broadcast. Skewed
     keys: the bucket count spreads distinct keys; a single pathological key
     still lands in one bucket (callers pre-aggregate such keys — see
     lsh.candidate_pairs salting).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"bucketed_join supports inner/left, got {how!r}")
     lb = _add_bucket(left, left_on, n_buckets)
     rb = _add_bucket(right, right_on, n_buckets)
 
@@ -430,7 +422,7 @@ def bucketed_join(
     # other side's), plus __bucket and a side tag.
     fields = list(lschema) + [f for f in rschema if f.name not in lcols]
 
-    def tag(side: str):
+    def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
             n = len(batch)
             cols = {}
@@ -440,13 +432,15 @@ def bucketed_join(
                 else:
                     cols[f.name] = pa.nulls(n, f.type)
             cols["__bucket"] = batch.column("__bucket")
-            cols["__side"] = pa.array([side] * n)
+            # int8 flag, not a per-row Python string: this column rides
+            # the repo's widest shuffle
+            cols["__side"] = pa.array(np.full(n, side, np.int8), pa.int8())
             return pa.table(cols)
 
         return fn
 
-    both = lb.map_batches(tag("l"), batch_format="pyarrow").union(
-        rb.map_batches(tag("r"), batch_format="pyarrow")
+    both = lb.map_batches(tag(1), batch_format="pyarrow").union(
+        rb.map_batches(tag(0), batch_format="pyarrow")
     )
 
     # group arrives as Arrow; each side's own columns are null-free, so the
@@ -455,59 +449,41 @@ def bucketed_join(
     # corrupt 64-bit keys)
     def merge(group: pa.Table) -> pa.Table:
         side = group.column("__side").to_numpy(zero_copy_only=False)
-        lmask = pa.array(side == "l")
+        lmask = pa.array(side == 1)
         ltab = group.filter(lmask).select(lcols)
         rtab = group.filter(pc.invert(lmask)).select(rcols)
-        if how in ("inner", "left"):
-            # join on (key, row-index) only; payloads re-attached with
-            # Arrow take. Row order/multiplicity are exactly what a full
-            # pandas merge would produce (merge order doesn't depend on
-            # payload columns), but wide payloads (e.g. 1 KB packed
-            # signature blobs) never materialize as Python objects and
-            # Arrow types — fixed_size_binary, timestamps, large_* —
-            # survive the join unchanged.
-            li = pd.DataFrame(
-                {
-                    "__k": ltab.column(left_on).to_numpy(zero_copy_only=False),
-                    "__li": np.arange(len(ltab), dtype=np.int64),
-                }
-            )
-            ri = pd.DataFrame(
-                {
-                    "__k": rtab.column(right_on).to_numpy(zero_copy_only=False),
-                    "__ri": np.arange(len(rtab), dtype=np.int64),
-                }
-            )
-            m = li.merge(ri, on="__k", how=how)
-            lind = pa.array(m["__li"].to_numpy(np.int64), pa.int64())
-            ri_ser = m["__ri"]
-            if ri_ser.isna().any():  # left join: null index → null row
-                rind = pa.Array.from_pandas(ri_ser.astype("Int64"))
-            else:
-                rind = pa.array(ri_ser.to_numpy(np.int64), pa.int64())
-            cols = {c: ltab.column(c).take(lind) for c in lcols}
-            for c in rcols:
-                if c == left_on and right_on == left_on:
-                    continue  # same-name key appears once (pandas semantics)
-                cols[c] = rtab.column(c).take(rind)
-            return pa.table(cols)
-        l = ltab.to_pandas()
-        r = rtab.to_pandas()
-        if how != "inner":
-            # outer merges null-pad the other side's columns; plain pandas
-            # upcasts int64 → float64 there and corrupts 64-bit hash keys.
-            # The nullable Int64 extension dtype round-trips through Arrow
-            # as int64-with-nulls exactly.
-            targets = [r] if how == "left" else ([l] if how == "right" else [l, r])
-            for df in targets:
-                for c in df.columns:
-                    if df[c].dtype == np.int64:
-                        df[c] = df[c].astype("Int64")
-        out = l.merge(r, left_on=left_on, right_on=right_on, how=how)
-        # drop the pandas round-trip metadata: an Int64 extension column
-        # would otherwise resurface as pandas Int64 on later to_pandas
-        # calls while the broadcast path yields plain int64/float64
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        # join on (key, row-index) only; payloads re-attached with
+        # Arrow take. Row order/multiplicity are exactly what a full
+        # pandas merge would produce (merge order doesn't depend on
+        # payload columns), but wide payloads (e.g. 1 KB packed
+        # signature blobs) never materialize as Python objects and
+        # Arrow types — fixed_size_binary, timestamps, large_* —
+        # survive the join unchanged.
+        li = pd.DataFrame(
+            {
+                "__k": ltab.column(left_on).to_numpy(zero_copy_only=False),
+                "__li": np.arange(len(ltab), dtype=np.int64),
+            }
+        )
+        ri = pd.DataFrame(
+            {
+                "__k": rtab.column(right_on).to_numpy(zero_copy_only=False),
+                "__ri": np.arange(len(rtab), dtype=np.int64),
+            }
+        )
+        m = li.merge(ri, on="__k", how=how)
+        lind = pa.array(m["__li"].to_numpy(np.int64), pa.int64())
+        ri_ser = m["__ri"]
+        if ri_ser.isna().any():  # left join: null index → null row
+            rind = pa.Array.from_pandas(ri_ser.astype("Int64"))
+        else:
+            rind = pa.array(ri_ser.to_numpy(np.int64), pa.int64())
+        cols = {c: ltab.column(c).take(lind) for c in lcols}
+        for c in rcols:
+            if c == left_on and right_on == left_on:
+                continue  # same-name key appears once (pandas semantics)
+            cols[c] = rtab.column(c).take(rind)
+        return pa.table(cols)
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
 
@@ -522,27 +498,11 @@ def min_by_key(ds: Dataset, key_col: str, val_col: str, n_buckets: int = 32) -> 
     pandas reduction per bucket. Only (key, val) rows shuffle.
     """
 
-    def partial(batch: pa.Table) -> pa.Table:
-        k = batch.column(key_col).to_numpy(zero_copy_only=False)
-        v = batch.column(val_col).to_numpy(zero_copy_only=False)
-        order = np.argsort(k, kind="stable")
-        k, v = k[order], v[order]
-        if len(k) == 0:
-            return pa.table({key_col: pa.array([], pa.int64()), val_col: pa.array([], pa.int64())})
-        starts = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
-        return pa.table(
-            {
-                key_col: pa.array(k[starts], pa.int64()),
-                val_col: pa.array(np.minimum.reduceat(v, starts), pa.int64()),
-            }
-        )
-
-    part = ds.map_batches(partial, batch_format="pyarrow")
-    bucketed = _add_bucket(part, key_col, n_buckets)
-
-    def reduce_bucket(g: pa.Table) -> pa.Table:
-        k = g.column(key_col).to_numpy(zero_copy_only=False)
-        v = g.column(val_col).to_numpy(zero_copy_only=False)
+    def min_reduce(t: pa.Table) -> pa.Table:
+        # one reducer serves both levels (per-batch partial AND
+        # per-bucket merge): min is associative/idempotent per key
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        v = t.column(val_col).to_numpy(zero_copy_only=False)
         if len(k) == 0:
             return pa.table(
                 {key_col: pa.array([], pa.int64()), val_col: pa.array([], pa.int64())}
@@ -557,8 +517,11 @@ def min_by_key(ds: Dataset, key_col: str, val_col: str, n_buckets: int = 32) -> 
             }
         )
 
+    part = ds.map_batches(min_reduce, batch_format="pyarrow")
+    bucketed = _add_bucket(part, key_col, n_buckets)
     return bucketed.groupby("__bucket").map_groups(
-        reduce_bucket, batch_format="pyarrow"
+        lambda g: min_reduce(g.select([key_col, val_col])),
+        batch_format="pyarrow",
     )
 
 
@@ -668,6 +631,14 @@ def semi_filter_auto(
     test becomes a bucketed left join + null check (semi / anti join).
     Identical row set either way. (``semi_filter`` is an alias.)"""
     cap = BROADCAST_MAX_ROWS if max_broadcast_rows is None else max_broadcast_rows
+    if len(keys_sorted) > 1:
+        # membership is a SET test: drop duplicate keys so the join
+        # branch cannot replicate matching rows where the broadcast
+        # branch would not (the branches must stay row-identical)
+        first = np.ones(len(keys_sorted), dtype=bool)
+        first[1:] = keys_sorted[1:] != keys_sorted[:-1]
+        if not first.all():
+            keys_sorted = keys_sorted[first]
     if len(keys_sorted) <= cap:
         return _semi_filter_broadcast(ds, key_col, keys_sorted, keep)
     import ray.data as rd
@@ -707,7 +678,6 @@ def collect_table(ds: Dataset, limit_rows: int | None = None) -> pa.Table:
         if limit_rows is not None and n >= limit_rows:
             break
     if not batches:
-        empty = pa.schema([])  # caller handles empties via schema of ds
         try:
             return pa.Table.from_batches([], schema=pa.schema(ds.schema().base_schema))
         except Exception:

@@ -124,7 +124,7 @@ def _segment_emit(
     return np.concatenate(parts_a), np.concatenate(parts_b), rep_u
 
 
-def _emit_star(batch: pa.Table, allpairs_max: int = 64) -> pa.Table:
+def _emit_star(batch: pa.Table, allpairs_max: int) -> pa.Table:
     """One sorted batch → candidate edges + boundary records.
 
     Buckets with ≤ ``allpairs_max`` members emit ALL member–member pairs:
