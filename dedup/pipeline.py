@@ -34,6 +34,28 @@ from .minhash import sign
 from .verify import verify_auto
 
 
+def _local_first_idx(dh: np.ndarray) -> np.ndarray:
+    """Row indices of the FIRST occurrence per hash, in original row
+    order — the per-batch combiner every first-per-doc_hash site shares
+    (one kernel: the fused and unfused signing paths are asserted
+    output-identical, so their combiners must be the same code)."""
+    _, first_idx = np.unique(dh, return_index=True)
+    return np.sort(first_idx)
+
+
+def _bucket_first(g: pa.Table) -> pa.Table:
+    """Arrow-native first-per-hash over one co-located bucket group →
+    (doc_hash, text): stable sort on the int64 key + boundary take —
+    the text column never becomes Python objects (a pandas
+    drop_duplicates here would objectify every string)."""
+    dh = g.column("doc_hash").to_numpy(zero_copy_only=False)
+    order = np.argsort(dh, kind="stable")
+    first = np.ones(len(dh), dtype=bool)
+    first[1:] = dh[order][1:] != dh[order][:-1]
+    keep = np.sort(order[first])  # preserve original row order
+    return g.select(["doc_hash", "text"]).take(pa.array(keep, pa.int64()))
+
+
 def _dup_rep_rows(
     narrow: Dataset,
     dups: np.ndarray,
@@ -45,21 +67,8 @@ def _dup_rep_rows(
     it with its own uniq branch."""
 
     def local_first(batch: pa.Table) -> pa.Table:
-        # per-batch combiner: first occurrence per hash within the batch
         dh = batch.column("doc_hash").to_numpy(zero_copy_only=False)
-        _, first_idx = np.unique(dh, return_index=True)
-        return batch.take(pa.array(np.sort(first_idx)))
-
-    def bucket_first(g: pa.Table) -> pa.Table:
-        # Arrow-native first-per-hash: stable sort on the int64 key +
-        # boundary take — the text column never becomes Python objects
-        # (a pandas drop_duplicates here would objectify every string)
-        dh = g.column("doc_hash").to_numpy(zero_copy_only=False)
-        order = np.argsort(dh, kind="stable")
-        first = np.ones(len(dh), dtype=bool)
-        first[1:] = dh[order][1:] != dh[order][:-1]
-        keep = np.sort(order[first])  # preserve original row order
-        return g.select(["doc_hash", "text"]).take(pa.array(keep, pa.int64()))
+        return batch.take(pa.array(_local_first_idx(dh)))
 
     from .exchange import _add_bucket
 
@@ -73,7 +82,7 @@ def _dup_rep_rows(
             n_buckets,
         )
         .groupby("__bucket")
-        .map_groups(bucket_first, batch_format="pyarrow")
+        .map_groups(_bucket_first, batch_format="pyarrow")
     )
 
 
@@ -188,8 +197,7 @@ def _sign_distinct_fused(
             d = t.filter(pa.array(isdup)).select(["doc_hash", "text"])
             # per-batch combiner: first occurrence per duplicated hash
             ddh = d.column("doc_hash").to_numpy(zero_copy_only=False)
-            _, first_idx = np.unique(ddh, return_index=True)
-            d = d.take(pa.array(np.sort(first_idx)))
+            d = d.take(pa.array(_local_first_idx(ddh)))
             n = len(d)
             carry = pa.table(
                 {
@@ -228,14 +236,6 @@ def _sign_distinct_fused(
 
     from .exchange import _add_bucket
 
-    def bucket_first(g: pa.Table) -> pa.Table:
-        dh = g.column("doc_hash").to_numpy(zero_copy_only=False)
-        order = np.argsort(dh, kind="stable")
-        first = np.ones(len(dh), dtype=bool)
-        first[1:] = dh[order][1:] != dh[order][:-1]
-        keep = np.sort(order[first])
-        return g.select(["doc_hash", "text"]).take(pa.array(keep, pa.int64()))
-
     rep_texts = (
         _add_bucket(
             passb.map_batches(only_texts, batch_format="pyarrow"),
@@ -243,7 +243,7 @@ def _sign_distinct_fused(
             cfg.join_buckets,
         )
         .groupby("__bucket")
-        .map_groups(bucket_first, batch_format="pyarrow")
+        .map_groups(_bucket_first, batch_format="pyarrow")
     )
     return uniq_sigs.union(_sign(rep_texts, cfg)).materialize()
 
@@ -664,13 +664,11 @@ def _near_dup_distributed(
     # full-corpus doc_hash combiner scan + bucketed exchange here.
     # ensure_schema: a corpus with no exact dups leaves this empty, and
     # empty groupby/filter outputs report schema None, breaking the joins.
-    if dup_hashes is not None:
+    if dup_hashes is not None and dup_cnts is not None:
         urlcnt_dup = rd.from_arrow(
             pa.table(
                 {"doc_hash": pa.array(dup_hashes, pa.int64()),
-                 "cnt": pa.array(
-                     dup_cnts if dup_cnts is not None else
-                     np.empty(0, np.int64), pa.int64())}
+                 "cnt": pa.array(dup_cnts, pa.int64())}
             )
         ).materialize()
     else:
@@ -768,55 +766,71 @@ def near_dup_corpus(
     semi-filter over the ingest stream, so the corpus itself never
     collects.
     """
-    from .hashing import xxh64_arrow
+    from .hashing import fmix64, xxh64_arrow
 
     cfg = cfg or DedupConfig()
     res = near_dup_pipeline(pages, cfg, checkpoint=checkpoint)
-    cl = res.clusters.select_columns(["url", "cluster_id"])
+
+    def _row_key(urls: pa.Array, dh: np.ndarray) -> np.ndarray:
+        # drop identity is (url, doc_hash), not url alone: urls can
+        # repeat with DIFFERENT content (a re-crawl), and a url-only
+        # drop set would silently remove the unrelated kept row too
+        with np.errstate(over="ignore"):
+            return (
+                fmix64(xxh64_arrow(urls) ^ fmix64(dh.view(np.uint64)))
+            ).view(np.int64)
+
+    cl = res.clusters.select_columns(["url", "doc_hash", "cluster_id"])
     t = pa.concat_tables(
         list(cl.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
         or [pa.table({"url": pa.array([], pa.string()),
+                      "doc_hash": pa.array([], pa.int64()),
                       "cluster_id": pa.array([], pa.int64())})]
     )
     # rep = lexicographic-min url per cluster, found with an Arrow C++
     # sort + boundary mask — the url strings never materialize as Python
-    # objects (the table is dup-bounded: only clusters of ≥2 urls)
+    # objects (the table is dup-bounded: only clusters of ≥2 urls).
+    # doc_hash tiebreak keeps the surviving version deterministic when
+    # the min url appears twice in one cluster with different content.
     if len(t):
         t = t.combine_chunks().sort_by(
-            [("cluster_id", "ascending"), ("url", "ascending")]
+            [("cluster_id", "ascending"), ("url", "ascending"),
+             ("doc_hash", "ascending")]
         )
         c_s = t.column("cluster_id").to_numpy(zero_copy_only=False)
         is_rep = np.ones(len(c_s), dtype=bool)
         is_rep[1:] = c_s[1:] != c_s[:-1]
-        drop_col = t.filter(pa.array(~is_rep)).column("url")
-        if isinstance(drop_col, pa.ChunkedArray):
-            drop_col = drop_col.combine_chunks()
-        n_drop = len(drop_col)
+        urls_col = t.column("url")
+        dh_col = t.column("doc_hash").to_numpy(zero_copy_only=False)
+        keys = _row_key(urls_col, dh_col)
+        # a (url, doc_hash) pair that is also some cluster's REP — a
+        # bit-identical duplicate row of the representative — must not
+        # poison the rep out of the corpus; identity collisions resolve
+        # toward keeping (the exact-dup pipeline owns identical rows)
+        drop_hashes = np.setdiff1d(keys[~is_rep], keys[is_rep])
     else:
-        drop_col, n_drop = None, 0
-    drop_hashes = (
-        np.sort(xxh64_arrow(drop_col).view(np.int64))
-        if n_drop
-        else np.empty(0, np.int64)
-    )
+        drop_hashes = np.empty(0, np.int64)
 
     # reuse the pipeline's pinned P1 ingest — re-running ingest here would
     # push the full corpus text through the object store a second time
     ing = res.ingested
 
-    def add_url_hash(batch: pa.Table) -> pa.Table:
-        h = xxh64_arrow(batch.column("url").combine_chunks()
-                        if isinstance(batch.column("url"), pa.ChunkedArray)
-                        else batch.column("url"))
-        return batch.append_column("url_hash", pa.array(h.view(np.int64), pa.int64()))
+    def add_row_key(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url")
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        dh = batch.column("doc_hash").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__rkey", pa.array(_row_key(urls, dh), pa.int64())
+        )
 
-    hashed = ing.select_columns(["url", "size_bytes"]).map_batches(
-        add_url_hash, batch_format="pyarrow"
+    hashed = ing.select_columns(["url", "doc_hash", "size_bytes"]).map_batches(
+        add_row_key, batch_format="pyarrow"
     )
     from .exchange import semi_filter_auto as _semi
 
     return _semi(
-        hashed, "url_hash", drop_hashes, keep=False,
+        hashed, "__rkey", drop_hashes, keep=False,
         max_broadcast_rows=cfg.broadcast_max_rows, n_buckets=cfg.join_buckets,
     ).select_columns(["url", "size_bytes"])
 

@@ -18,13 +18,15 @@ Two implementations:
   converge in a handful of rounds.
 
 Cluster ids are the uint64-min member of each component in both paths, so
-they agree bit-for-bit (asserted in tests/test_unionfind.py).
+they agree bit-for-bit (asserted in tests/test_pipeline.py's
+test_unionfind_* and backend-parity tests).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
@@ -269,6 +271,205 @@ def _lp_exchange(ds: Dataset, step, n_buckets: int) -> Dataset:
     )
 
 
+def _components_contraction(
+    edges: Dataset,
+    labels: Dataset,
+    n_buckets: int = 32,
+    max_rounds: int = 64,
+    stats: dict | None = None,
+) -> Dataset:
+    """Min-star label contraction → Dataset(node, label ENCODED).
+
+    The O(log n)-round finisher for graphs whose DIAMETER defeats
+    static-edge delta propagation: the fused engine moves a min one
+    edge hop per round, so a chain — fragment-rep chains from straddled
+    lsh buckets, incremental version chains — costs Θ(chain) rounds
+    there. Here the EDGE SET itself contracts:
+
+      1. self-compose ``L ← L(L)`` (collapses last round's root chains);
+      2. relabel edge endpoints by ``L`` and drop within-cluster
+         self-loops — the edge set shrinks monotonically;
+      3. min-star: each surviving (root x, root y) edge sends
+         ``min(x, y)`` to both roots; an exact ``min_by_key`` merge
+         gives each root its new root;
+      4. apply the root map to every label.
+
+    Adjacent roots merge every round, so surviving cross-edges shrink
+    geometrically (chain tests pin ≲ 2·log2 rounds where the delta
+    engine needs Θ(n)). All mins run on the ENCODED domain (signed
+    order == u64 order; ``min_by_key`` is int64-exact). ``labels`` may
+    be a partially-converged seed — label pointers only ever decrease,
+    so the label graph is acyclic and composition is safe.
+
+    Every round boundary pins through ``repartition(n_buckets)``:
+    an iterative groupby/join loop otherwise COMPOUNDS tiny output
+    blocks round over round (one task per block — measured 5 s → 30 s →
+    90 s per round on a 16-row graph before the repack; flat ~1 s
+    after), and the repartition also hard-truncates the plan so no
+    round re-executes its predecessors."""
+    from .exchange import bucketed_join, ensure_schema, min_by_key
+
+    LABS = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+    EDGS = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def _pin(ds: Dataset, schema: pa.Schema) -> Dataset:
+        return ensure_schema(ds, schema).repartition(n_buckets).materialize()
+
+    def dedup_local(batch: pa.Table) -> pa.Table:
+        """Canonical-orient + batch-local dedup (keeps rounds narrow)."""
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        ea, eb = _enc_np(a), _enc_np(b)
+        lo, hi = np.minimum(ea, eb), np.maximum(ea, eb)
+        keep = lo != hi
+        lo, hi = lo[keep], hi[keep]
+        if len(lo) > 1:
+            order = np.lexsort((hi, lo))
+            lo, hi = lo[order], hi[order]
+            first = np.ones(len(lo), dtype=bool)
+            first[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+            lo, hi = lo[first], hi[first]
+        return pa.table(
+            {"a": pa.array(_dec_np(lo), pa.int64()),
+             "b": pa.array(_dec_np(hi), pa.int64())}
+        )
+
+    def _with_ldec(t: pa.Table) -> pa.Table:
+        d = _dec_np(t.column("label").to_numpy(zero_copy_only=False))
+        return t.append_column("__ldec", pa.array(d, pa.int64()))
+
+    def _remap(lab: Dataset, right: Dataset, rk: str, rv: str) -> Dataset:
+        """label ← right[dec(label)] where present, else unchanged."""
+        j = bucketed_join(
+            lab.map_batches(_with_ldec, batch_format="pyarrow"),
+            right, "__ldec", rk, how="left", n_buckets=n_buckets,
+        )
+
+        def fin(t: pa.Table) -> pa.Table:
+            lab2 = pc.coalesce(t.column(rv), t.column("label"))
+            if lab2.type != pa.int64():
+                lab2 = lab2.cast(pa.int64())
+            return pa.table({"node": t.column("node"), "label": lab2})
+
+        return j.map_batches(fin, batch_format="pyarrow")
+
+    def compose(lab: Dataset) -> Dataset:
+        r = lab.map_batches(
+            lambda t: pa.table(
+                {"__n2": t.column("node"), "__l2": t.column("label")}
+            ),
+            batch_format="pyarrow",
+        )
+        return _remap(lab, r, "__n2", "__l2")
+
+    def lab_checksum(lab: Dataset) -> int:
+        tot = 0
+        for b in lab.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            n = b.column("node").to_numpy(zero_copy_only=False).view(np.uint64)
+            l = b.column("label").to_numpy(zero_copy_only=False).view(np.uint64)
+            with np.errstate(over="ignore"):
+                tot ^= int(
+                    np.bitwise_xor.reduce(
+                        fmix64(fmix64(n) ^ l), initial=np.uint64(0)
+                    )
+                )
+        return tot
+
+    labels = _pin(labels, LABS)
+    edges = _pin(edges.map_batches(dedup_local, batch_format="pyarrow"), EDGS)
+    rounds = 0
+    while edges.count() > 0:
+        if rounds >= max_rounds:
+            raise RuntimeError(
+                f"components_contraction did not converge in {max_rounds} "
+                "rounds — min-star contraction needs O(log n); inspect the "
+                "edge set for anomalies"
+            )
+        rounds += 1
+        labels = _pin(compose(labels), LABS)
+
+        l1 = labels.map_batches(
+            lambda t: pa.table(
+                {"__n1": t.column("node"), "__l1": t.column("label")}
+            ),
+            batch_format="pyarrow",
+        )
+        l2 = labels.map_batches(
+            lambda t: pa.table(
+                {"__n2": t.column("node"), "__l2": t.column("label")}
+            ),
+            batch_format="pyarrow",
+        )
+        j = bucketed_join(
+            bucketed_join(edges, l1, "a", "__n1", how="left",
+                          n_buckets=n_buckets),
+            l2, "b", "__n2", how="left", n_buckets=n_buckets,
+        )
+
+        def relab(t: pa.Table) -> pa.Table:
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            # seed labels cover every endpoint; coalesce is belt-and-
+            # braces for rows ensure_schema's empty union contributes
+            la = pc.coalesce(
+                t.column("__l1"), pa.array(_enc_np(a), pa.int64())
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            lb = pc.coalesce(
+                t.column("__l2"), pa.array(_enc_np(b), pa.int64())
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = la != lb
+            return pa.table(
+                {"a": pa.array(_dec_np(la[keep]), pa.int64()),
+                 "b": pa.array(_dec_np(lb[keep]), pa.int64())}
+            )
+
+        edges = _pin(
+            j.map_batches(relab, batch_format="pyarrow").map_batches(
+                dedup_local, batch_format="pyarrow"
+            ),
+            EDGS,
+        )
+        if edges.count() == 0:
+            break
+
+        def star(t: pa.Table) -> pa.Table:
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            ea, eb = _enc_np(a), _enc_np(b)
+            m = np.minimum(ea, eb)
+            return pa.table(
+                {
+                    "__root": pa.array(np.concatenate([a, b]), pa.int64()),
+                    "__cand": pa.array(np.concatenate([m, m]), pa.int64()),
+                }
+            )
+
+        # materialized BEFORE the join: bucketed_join resolves
+        # right.schema(), and lazy schema resolution through a
+        # union-over-groupby lineage stalls the streaming executor
+        # (the repo-wide ensure_schema→materialize→join pattern)
+        rootmap = _pin(
+            min_by_key(
+                edges.map_batches(star, batch_format="pyarrow"),
+                "__root", "__cand", n_buckets=n_buckets,
+            ),
+            pa.schema([("__root", pa.int64()), ("__cand", pa.int64())]),
+        )
+        labels = _pin(_remap(labels, rootmap, "__root", "__cand"), LABS)
+
+    # collapse residual label chains (depth halves per compose)
+    prev = lab_checksum(labels)
+    for _ in range(64):
+        labels = _pin(compose(labels), LABS)
+        cur = lab_checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    if stats is not None:
+        stats["contraction_rounds"] = rounds
+    return labels
+
+
 def _edge_store(
     pairs: Dataset, n_buckets: int
 ) -> tuple["object", list, dict[int, list[tuple[int, int, int]]]]:
@@ -370,11 +571,18 @@ def label_propagation(
     (V-bounded + delta-bounded), not 2E + V as before. Convergence is a
     full-state checksum over ALL row kinds: label rows alone would be
     unsound here because replies generated this round are consumed next
-    round (a quiet round can precede a reply-driven change). Round count
-    stays O(log component-diameter); each fused round is half the old
-    round's exchanges, so the count roughly doubles while total exchange
-    work drops. Raises RuntimeError if ``max_iter`` rounds pass without
-    convergence — a silent un-converged exit would under-merge clusters."""
+    round (a quiet round can precede a reply-driven change).
+
+    Round count is Θ(graph diameter) — a min crosses one edge per round
+    and pointer jumping only compresses the (shallow) label forest, not
+    the graph — which is 2-5 rounds on the dense components near-dup
+    graphs almost always produce, but linear on chains. The delta phase
+    therefore caps at 12 rounds; graphs still unconverged hand their
+    current labels + the static edge store to
+    ``_components_contraction`` (min-star contraction, O(log n) rounds,
+    higher per-round bytes), so chain-shaped components — fragment-rep
+    chains from straddled lsh buckets, incremental version chains —
+    converge instead of raising."""
 
     def init_rows(batch: pa.Table) -> pa.Table:
         # Reads the DIRECTED edge-store rows (src, dst) — each undirected
@@ -552,7 +760,15 @@ def label_propagation(
     prev = checksum(state)
     converged = False
     rounds = 1
-    for _it in range(max_iter):
+    # The delta engine moves a min ONE edge hop per round, so its round
+    # count is Θ(graph diameter) — optimal bytes for the dense, shallow
+    # components near-dup graphs almost always are, linear (and at
+    # max_iter a crash) on chain shapes (fragment-rep chains from
+    # straddled lsh buckets, incremental version chains). Cap the cheap
+    # delta phase and hand unconverged graphs to the min-star
+    # contraction finisher (O(log n) rounds) instead of failing.
+    delta_cap = min(max_iter, 12)
+    for _it in range(delta_cap):
         rounds += 1
         if _timing:
             print(
@@ -569,13 +785,6 @@ def label_propagation(
         prev = cur
     if stats is not None:
         stats["rounds"] = rounds
-    if not converged:
-        raise RuntimeError(
-            f"label_propagation did not converge in {max_iter} rounds; "
-            "with pointer jumping this needs ~2·log2(component size) "
-            "fused rounds — raise max_iter or inspect the edge set for "
-            "anomalies"
-        )
 
     def dec(batch: pa.Table) -> pa.Table:
         kind = batch.column("kind").to_numpy(zero_copy_only=False)
@@ -584,6 +793,57 @@ def label_propagation(
         lab = _dec_np(t.column("v").to_numpy(zero_copy_only=False))
         return pa.table(
             {"node": t.column("k"), "label": pa.array(lab, pa.int64())}
+        )
+
+    if not converged:
+        # contraction finisher: seed = the delta phase's current labels
+        # (encoded; label pointers only decrease, so the seed is a valid
+        # forest), edges = the already-materialized static store
+        lab_seed = state.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b.filter(
+                        pa.array(
+                            b.column("kind").to_numpy(zero_copy_only=False)
+                            == _LP_LAB
+                        )
+                    ).column("k"),
+                    "label": b.filter(
+                        pa.array(
+                            b.column("kind").to_numpy(zero_copy_only=False)
+                            == _LP_LAB
+                        )
+                    ).column("v"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def store_edges(b: pa.Table) -> pa.Table:
+            if len(b) == 0 or "src" not in b.column_names:
+                return pa.table(
+                    {"a": pa.array([], pa.int64()),
+                     "b": pa.array([], pa.int64())}
+                )
+            return pa.table({"a": b.column("src"), "b": b.column("dst")})
+
+        final = _components_contraction(
+            store_ds.map_batches(store_edges, batch_format="pyarrow"),
+            lab_seed, n_buckets=n_buckets, stats=stats,
+        )
+        return final.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "label": pa.array(
+                        _dec_np(
+                            t.column("label").to_numpy(zero_copy_only=False)
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
         )
 
     return state.map_batches(dec, batch_format="pyarrow")

@@ -282,8 +282,12 @@ def test_label_propagation_pointer_jumping_logarithmic_rounds():
     assert set(out["label"]) == {100}
 
 
-def test_label_propagation_raises_when_unconverged():
-    import pytest as _pytest
+def test_label_propagation_contraction_fallback_on_tiny_budget():
+    """max_iter caps only the cheap delta phase; a graph unconverged
+    there hands off to the min-star contraction finisher and still
+    yields exact labels (the old contract raised RuntimeError — which
+    made chain-shaped components a hard crash of the distributed
+    backend)."""
     import ray.data as rd
 
     from dedup.unionfind import label_propagation
@@ -294,8 +298,47 @@ def test_label_propagation_raises_when_unconverged():
             {"a": pa.array(ids[:-1], pa.int64()), "b": pa.array(ids[1:], pa.int64())}
         )
     )
-    with _pytest.raises(RuntimeError, match="did not converge"):
-        label_propagation(ds, n_buckets=2, max_iter=1)
+    stats: dict = {}
+    out = label_propagation(ds, n_buckets=2, max_iter=1, stats=stats).to_pandas()
+    out = out.drop_duplicates().sort_values("node").reset_index(drop=True)
+    assert stats.get("contraction_rounds", 0) >= 1  # the fallback ran
+    assert sorted(out["node"]) == ids.tolist()
+    assert set(out["label"]) == {1}
+
+
+def test_label_propagation_random_id_chain_converges():
+    """Regression: a PATH of RANDOM int64 ids (doc ids are hashes, so
+    this is the production shape — fragment-rep chains from straddled
+    lsh buckets). Pointer jumping compresses the label forest, not the
+    graph, so the delta engine alone is Θ(n) rounds here and the old
+    design crashed past ~150 nodes; the contraction fallback must
+    converge in ≲ 2·log2(n) extra rounds with exact uint64-min labels."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from dedup.unionfind import components_np, label_propagation
+
+    rng = np.random.default_rng(7)
+    n = 300
+    ids = np.unique(rng.integers(-(1 << 62), 1 << 62, size=3 * n, dtype=np.int64))[:n]
+    ids = ids[rng.permutation(n)]
+    a, b = ids[:-1], ids[1:]
+    ds = rd.from_arrow(
+        pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    )
+    stats: dict = {}
+    out = label_propagation(ds, n_buckets=4, stats=stats).to_pandas()
+    out = out.drop_duplicates().sort_values("node").reset_index(drop=True)
+    keys, cids = components_np(a, b)
+    ref = (
+        pd.DataFrame({"node": keys, "label": cids})
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, ref)
+    assert stats["contraction_rounds"] <= 2 * int(math.log2(n)) + 4, stats
 
 
 def test_distributed_backend_verify_tiers_bit_identical():
@@ -358,3 +401,39 @@ def test_sig_bytes_4_and_8_same_clusters():
         return {frozenset(v) for v in g.values()}
 
     assert parts(c4) == parts(c8)
+
+
+def test_near_dup_corpus_revisited_url_not_poisoned():
+    """Drop identity is (url, doc_hash), not url alone: a url that
+    appears once as a dropped cluster member (content A) and once with
+    unrelated unique content B (a re-crawl) must keep the B row.
+    Regression: the url-only drop set silently removed it."""
+    from dedup.pipeline import near_dup_corpus
+
+    text_a = " ".join(f"tok{i}" for i in range(60))
+    text_b = " ".join(f"other{i}" for i in range(60))
+    singles = [" ".join(f"s{j}w{i}" for i in range(40)) for j in range(3)]
+    urls = ["https://x/b", "https://x/c", "https://x/c"] + [
+        f"https://x/s{j}" for j in range(3)
+    ]
+    texts = [text_a, text_a, text_b] + singles
+    table = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([1000 + i for i in range(len(urls))], pa.int64()),
+            "html": pa.array(
+                [b"<html>" + t.encode() for t in texts], pa.binary()
+            ),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(urls), pa.string()),
+        }
+    )
+    corpus = near_dup_corpus(
+        rd.from_arrow(table), DedupConfig(min_size=1)
+    ).to_pandas()
+    # cluster {b, c}(A): rep = b kept, (c, hash A) dropped;
+    # the re-crawled (c, hash B) row and the singletons pass through
+    assert sorted(corpus["url"]) == sorted(
+        ["https://x/b", "https://x/c"] + [f"https://x/s{j}" for j in range(3)]
+    )
+    assert (corpus["url"] == "https://x/c").sum() == 1
