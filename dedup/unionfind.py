@@ -256,16 +256,15 @@ def _lp_rows(k: np.ndarray, v: np.ndarray, kind: int) -> pa.Table:
 def _lp_exchange(ds: Dataset, step, n_buckets: int) -> Dataset:
     """Bucket rows by fmix(k) and run ``step`` per co-located bucket —
     the one shuffle primitive both halves of a propagation round use.
-    Rows are 17 bytes; nothing wider ever enters the exchange."""
+    Rows are 17 bytes; nothing wider ever enters the exchange.
 
-    def bucket(batch: pa.Table) -> pa.Table:
-        k = batch.column("k").to_numpy(zero_copy_only=False)
-        with np.errstate(over="ignore"):
-            b = (fmix64(k.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int32)
-        return batch.append_column("__bucket", pa.array(b, pa.int32()))
+    Routing is ``exchange._add_bucket`` — the SAME helper ``_edge_store``
+    uses, so ``fused_step``'s per-bucket edge-slice lookup can never
+    desynchronize from the node routing (the two formulas are one)."""
+    from .exchange import _add_bucket
 
     return (
-        ds.map_batches(bucket, batch_format="pyarrow")
+        _add_bucket(ds, "k", n_buckets)
         .groupby("__bucket")
         .map_groups(step, batch_format="pyarrow")
     )
@@ -491,15 +490,10 @@ def _edge_store(
         b = batch.column("b").to_numpy(zero_copy_only=False)
         src = np.concatenate([a, b])
         dst = np.concatenate([b, a])
-        with np.errstate(over="ignore"):
-            bk = (fmix64(src.view(np.uint64)) % np.uint64(n_buckets)).astype(
-                np.int32
-            )
         return pa.table(
             {
                 "src": pa.array(src, pa.int64()),
                 "dst": pa.array(dst, pa.int64()),
-                "__bucket": pa.array(bk, pa.int32()),
             }
         )
 
@@ -508,8 +502,15 @@ def _edge_store(
         o = np.argsort(src, kind="stable")
         return g.take(pa.array(o, pa.int64()))
 
+    from .exchange import _add_bucket
+
+    # routing shares exchange._add_bucket with _lp_exchange, so the
+    # store layout and the node exchange can never disagree on a bucket
     bucketed = (
-        pairs.map_batches(to_edges, batch_format="pyarrow")
+        _add_bucket(
+            pairs.map_batches(to_edges, batch_format="pyarrow"),
+            "src", n_buckets,
+        )
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
         .materialize()
