@@ -374,9 +374,22 @@ def _write_sidecar_obj(
     """Persist a filter object in its matching layout (atomic per file)."""
     import json
 
+    import shutil
+
     single = os.path.join(index_dir, "bloom.bin")
     shard_dir = os.path.join(index_dir, "bloom.d")
+    # Crash ordering rule: remove STALE layouts BEFORE writing the fresh
+    # one. A mid-write crash then leaves NO readable sidecar (readers
+    # fall back to the exact probe — safe), never a stale filter
+    # shadowing the fresh one: a Bloom filter missing keys produces
+    # FALSE NEGATIVES downstream, the one unacceptable failure here.
+    # Within the sharded layout, meta.json is the commit point (written
+    # last; a shard dir without meta is ignored by read_bloom_sidecar).
     if isinstance(bf, ShardedBloom) and bf.n_shards > 1:
+        if os.path.exists(single):
+            os.remove(single)
+        if os.path.isdir(shard_dir):
+            shutil.rmtree(shard_dir)  # stale shard count / stale keys
         os.makedirs(shard_dir, exist_ok=True)
         for i, s in enumerate(bf.shards):
             p = os.path.join(shard_dir, f"shard_{i:05d}.bin")
@@ -389,21 +402,13 @@ def _write_sidecar_obj(
                 {"n_shards": bf.n_shards, "m_bits": bf.m_bits, "k": bf.k}, fh
             )
         os.replace(meta + ".tmp", meta)
-        if os.path.exists(single):
-            os.remove(single)  # never leave two conflicting layouts
         return shard_dir
     f = bf.shards[0] if isinstance(bf, ShardedBloom) else bf
+    if os.path.isdir(shard_dir):
+        shutil.rmtree(shard_dir)
     with open(single + ".tmp", "wb") as fh:
         fh.write(f.to_bytes())
     os.replace(single + ".tmp", single)
-    if os.path.isdir(shard_dir):
-        # never leave two conflicting layouts in the other direction
-        # either: read_bloom_sidecar prefers bloom.d/, so a stale sharded
-        # filter would silently shadow this fresh one — and a Bloom
-        # filter missing keys produces FALSE NEGATIVES downstream
-        import shutil
-
-        shutil.rmtree(shard_dir)
     return single
 
 

@@ -55,7 +55,13 @@ import ray.data as rd
 from ray.data import Dataset
 
 from .config import DedupConfig
-from .exchange import collect_table, dup_keys, semi_filter, semi_filter_auto
+from .exchange import (
+    collect_table,
+    dup_keys,
+    member_probe,
+    semi_filter,
+    semi_filter_auto,
+)
 from .hashing import xxh64_arrow
 from .ingest import ingest
 from .lsh import band_rows, candidate_pairs
@@ -258,17 +264,24 @@ def incremental_dedup(
         probe_hashes = new_hashes[
             _bf.contains_many(new_hashes.view(np.uint64))
         ]
-    exact_old = np.unique(
-        collect_table(
-            semi_filter_auto(
-                old_docs, "doc_hash", probe_hashes,
-                max_broadcast_rows=cfg.broadcast_max_rows,
-                n_buckets=cfg.join_buckets,
+    if len(probe_hashes) == 0:
+        # Bloom has no false negatives: an empty maybe-set proves no
+        # batch key is in the corpus, so the corpus-sized index scan is
+        # skipped entirely — the all-new-content case the sidecar
+        # exists for pays zero corpus I/O
+        exact_old = np.empty(0, np.int64)
+    else:
+        exact_old = np.unique(
+            collect_table(
+                semi_filter_auto(
+                    old_docs, "doc_hash", probe_hashes,
+                    max_broadcast_rows=cfg.broadcast_max_rows,
+                    n_buckets=cfg.join_buckets,
+                )
             )
+            .column("doc_hash")
+            .to_numpy(zero_copy_only=False)
         )
-        .column("doc_hash")
-        .to_numpy(zero_copy_only=False)
-    )
 
     # ---- 2. near-dup candidates: batch bands ∪ (index bands that share a
     # band key with the batch). The exact drop removed old∩new hashes from
@@ -309,14 +322,11 @@ def incremental_dedup(
     def _touches_new(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy(zero_copy_only=False)
         b = batch.column("b").to_numpy(zero_copy_only=False)
-
-        def member(x: np.ndarray) -> np.ndarray:
-            if not len(nh_sorted):
-                return np.zeros(len(x), bool)
-            i = np.minimum(np.searchsorted(nh_sorted, x), len(nh_sorted) - 1)
-            return nh_sorted[i] == x
-
-        return batch.filter(pa.array(member(a) | member(b)))
+        return batch.filter(
+            pa.array(
+                member_probe(nh_sorted, None, a) | member_probe(nh_sorted, None, b)
+            )
+        )
 
     pairs = pairs.map_batches(_touches_new, batch_format="pyarrow")
 
@@ -355,11 +365,11 @@ def incremental_dedup(
     eb = edges.column("b").to_numpy(zero_copy_only=False)
     nodes, labels = components_np(ea, eb)
 
+    # the shared sorted-membership kernel (exchange.member_probe without
+    # a prefilter table) replaces two private copies of the clipped
+    # searchsorted that had to track its semantics by hand
     def _member(sorted_keys: np.ndarray, x: np.ndarray) -> np.ndarray:
-        if not len(sorted_keys):
-            return np.zeros(len(x), bool)
-        i = np.minimum(np.searchsorted(sorted_keys, x), len(sorted_keys) - 1)
-        return sorted_keys[i] == x
+        return member_probe(sorted_keys, None, x)
 
     # a node is NEW only if it's a batch hash that is NOT also in the index:
     # exact-dropped hashes were removed from the new side before banding,
@@ -491,14 +501,22 @@ def incremental_dedup(
 def update_index(index_dir: str, kept_sigs: Dataset, cfg: DedupConfig) -> dict:
     """Append the kept batch docs' signature rows to the index (new
     parquet files only — existing parts are never rewritten) and bump
-    the manifest. The Bloom sidecar is updated BEFORE the sig rows are
-    written: a crash between the two leaves a SUPERSET filter (extra
-    bits for rows that never landed), which is always safe — a false
-    "maybe" just triggers the exact probe, whereas the reverse order
-    would leave false NEGATIVES and silently keep true duplicates.
-    Crash between the sig write and the manifest bump leaves extra sig
-    rows with a stale count — harmless for membership (the rows are
-    genuine) and fixed by the next successful update."""
+    the manifest. Crash-ordering rule — every earlier artifact must be a
+    SUPERSET of what later artifacts imply, so a crash between any two
+    steps degrades toward extra work, never silent false negatives:
+
+    1. Bloom sidecar first: extra bits for rows that never landed are a
+       false "maybe" that just triggers the exact probe; the reverse
+       order would leave false NEGATIVES and silently keep duplicates.
+    2. Band rows BEFORE sig rows: orphaned band rows (bands written,
+       crash before sigs) only generate candidates whose signatures are
+       absent, so their pairs drop at verification, and the next batch
+       re-adds the docs wholesale — self-healing. The reverse order
+       left docs in sigs with no band rows: PERMANENTLY invisible to
+       near-dup candidate generation (no later update repairs them).
+    3. Crash between the sig write and the manifest bump leaves extra
+       sig rows with a stale count — harmless for membership (the rows
+       are genuine) and fixed by the next successful update."""
     mf = _check_manifest(index_dir, cfg)
     sigs_dir, bands_dir, _ = _paths(index_dir)
     n_add = kept_sigs.count()
@@ -519,8 +537,8 @@ def update_index(index_dir: str, kept_sigs: Dataset, cfg: DedupConfig) -> dict:
                     b.column("doc_hash").to_numpy(zero_copy_only=False)
                 )
             _write_sidecar_obj(index_dir, bf)
-        kept_sigs.write_parquet(sigs_dir)
         if os.path.isdir(bands_dir):
             band_rows(kept_sigs, cfg).write_parquet(bands_dir)
+        kept_sigs.write_parquet(sigs_dir)
     _write_manifest(index_dir, cfg, mf["n_docs"] + n_add)
     return _manifest(index_dir)  # type: ignore[return-value]

@@ -1072,12 +1072,9 @@ def q_ann_lsh_planted(sf_dir: str):
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
-    def shift(t: pa.Table) -> pa.Table:
-        vid = pa.compute.add(t.column("vec_id"), pa.scalar(PLANT_OFFSET, pa.int64()))
-        return t.set_column(t.schema.get_field_index("vec_id"), "vec_id", vid)
-
-    twins = emb.filter(expr="vec_id < 10").map_batches(shift, batch_format="pyarrow")
-    t = lsh_bucketed_pairs(emb.union(twins), threshold=0.999, n_planes=8, n_tables=8)
+    t = lsh_bucketed_pairs(
+        _with_planted_twins(emb), threshold=0.999, n_planes=8, n_tables=8
+    )
     return t.select(["a", "b"]).sort_by("a")
 
 
@@ -1127,6 +1124,21 @@ def q_ann_ivf(sf_dir: str):
 PLANT_OFFSET = 10_000_000
 
 
+def _with_planted_twins(emb):
+    """emb ∪ twin copies of the vec_id < 10 rows shifted by
+    ``PLANT_OFFSET`` — the shared planted-duplicate fixture of every
+    ``*_planted`` embedding oracle. One definition: a change to the
+    planting rule (offset, id range, column) moves every oracle that
+    asserts it together instead of silently diverging."""
+
+    def shift(t: pa.Table) -> pa.Table:
+        vid = pa.compute.add(t.column("vec_id"), pa.scalar(PLANT_OFFSET, pa.int64()))
+        return t.set_column(t.schema.get_field_index("vec_id"), "vec_id", vid)
+
+    twins = emb.filter(expr="vec_id < 10").map_batches(shift, batch_format="pyarrow")
+    return emb.union(twins)
+
+
 def q_ann_ivf_planted(sf_dir: str):
     """IVF ANN over the corpus augmented with exact twins of the query
     vectors (vec_id + PLANT_OFFSET). A twin is bit-identical to its query,
@@ -1139,13 +1151,9 @@ def q_ann_ivf_planted(sf_dir: str):
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
-    def shift(t: pa.Table) -> pa.Table:
-        vid = pa.compute.add(t.column("vec_id"), pa.scalar(PLANT_OFFSET, pa.int64()))
-        return t.set_column(t.schema.get_field_index("vec_id"), "vec_id", vid)
-
-    twins = emb.filter(expr="vec_id < 10").map_batches(shift, batch_format="pyarrow")
     res = ivf_search(
-        emb.union(twins), query_ids=list(range(10)), k=5, n_centroids=16, n_probe=4
+        _with_planted_twins(emb), query_ids=list(range(10)), k=5,
+        n_centroids=16, n_probe=4,
     )
     top1 = res[res["rank"] == 1][["query_id", "neighbor_id"]]
     return top1.reset_index(drop=True)
@@ -1244,13 +1252,8 @@ def q_semantic_dedup_exact_mode(sf_dir: str):
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
-    def shift(t: pa.Table) -> pa.Table:
-        vid = pa.compute.add(t.column("vec_id"), pa.scalar(PLANT_OFFSET, pa.int64()))
-        return t.set_column(t.schema.get_field_index("vec_id"), "vec_id", vid)
-
-    twins = emb.filter(expr="vec_id < 10").map_batches(shift, batch_format="pyarrow")
     t = semantic_dedup(
-        emb.union(twins), threshold=0.999, exact_verify=True, n_cells=16
+        _with_planted_twins(emb), threshold=0.999, exact_verify=True, n_cells=16
     )
     return t.select_columns(["vec_id", "rep_id", "kept"])
 
@@ -1286,9 +1289,12 @@ def q_bloom_new_docs(sf_dir: str):
 
         return fn
 
+    # materialized: consumed three times (count, the sharded Bloom
+    # build, the exact-confirmation probe) — lazy, each consumer would
+    # re-read and re-hash the full corpus text
     corpus = docs.map_batches(mod_filter(10, False), batch_format="pyarrow").map_batches(
         add_hash, batch_format="pyarrow"
-    )
+    ).materialize()
     # donor texts for the planted overlap: doc_id % 50 == 1 → the batch
     # doc (donor_id - 1) reuses this text. Tiny (n/50 rows), broadcast.
     def donor_filter(t: pa.Table) -> pa.Table:

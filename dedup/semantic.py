@@ -86,6 +86,10 @@ def semantic_dedup(
     exact mode partitions the corpus by identical embedding — the
     SQL-expressible contract `semantic_dedup_exact_mode` pins.
     """
+    if keep not in ("min_id", "centroid_far"):
+        # an unknown policy must not fall through to components_np's
+        # uint64-min labels (plausible-looking but undocumented reps)
+        raise ValueError(f"unknown keep policy {keep!r}")
     C = ivf_build(embeddings, n_centroids=n_cells, emb_col=emb_col, id_col=id_col)
     cref = ray.put(C)
 
@@ -133,6 +137,17 @@ def semantic_dedup(
                 gi, jj = gi[eq], jj[eq]
             ea.append(ids[gi])
             eb.append(ids[jj])
+        if exact_verify:
+            # all-zero embeddings are bit-identical yet score cosine 0
+            # (the normalize clamp), so the threshold gate alone would
+            # never pair them — chain them here so the documented
+            # "partitions by identical embedding" contract (and the
+            # exact-mode SQL oracle's PARTITION BY e) holds for
+            # zero/padding vectors too
+            zn = np.flatnonzero(~np.any(raw, axis=1))
+            if len(zn) > 1:
+                ea.append(ids[zn[:-1]])
+                eb.append(ids[zn[1:]])
         a = np.concatenate(ea) if ea else np.empty(0, np.int64)
         b = np.concatenate(eb) if eb else np.empty(0, np.int64)
         rep = ids.copy()  # default: every row its own representative

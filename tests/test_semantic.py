@@ -132,3 +132,29 @@ def test_empty_input_yields_typed_empty_dataset():
     t = semantic_dedup_table(empty, n_cells=2)
     assert t.num_rows == 0
     assert t.schema.names == ["vec_id", "cell", "rep_id", "kept"]
+
+
+def test_exact_mode_groups_zero_embeddings():
+    """All-zero embeddings are bit-identical but score cosine 0 after
+    the normalize clamp — exact mode must still group them (the
+    'partitions by identical embedding' contract / PARTITION BY e
+    oracle). Regression: the threshold gate alone never paired them."""
+    rng = np.random.default_rng(5)
+    M = rng.standard_normal((30, 8))
+    M[7] = 0.0
+    M[19] = 0.0
+    M[23] = 0.0
+    t = semantic_dedup_table(
+        _emb_ds(M), threshold=0.999, exact_verify=True, n_cells=4
+    )
+    rows = {r["vec_id"]: r for r in t.to_pylist()}
+    assert rows[7]["rep_id"] == rows[19]["rep_id"] == rows[23]["rep_id"] == 7
+    assert rows[7]["kept"] and not rows[19]["kept"] and not rows[23]["kept"]
+
+
+def test_unknown_keep_policy_raises():
+    import pytest as _pytest
+
+    rng = np.random.default_rng(6)
+    with _pytest.raises(ValueError, match="keep policy"):
+        semantic_dedup(_emb_ds(rng.standard_normal((4, 4))), keep="centroid-far")
