@@ -33,6 +33,32 @@ from .config import DedupConfig
 from .schema import SCHEMA_VERSION
 
 
+def _fsync_dir(path: str) -> None:
+    fd = os.open(path or ".", os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _fsync_tree(path: str) -> None:
+    """fsync every file's contents and every directory entry under
+    ``path`` BEFORE it is renamed into place. The module's whole claim
+    is manifest-after-durable (the reference's link→fsync→db ordering,
+    consolidation.rs:79-90); a bare rename on ext4 with delayed
+    allocation can survive a power cut while the just-written parquet
+    bytes do not — leaving a manifest that says completed=True over
+    zero-length part files."""
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            fd = os.open(os.path.join(root, f), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        _fsync_dir(root)
+
+
 def _ensure_parquet_dir(tmp: str, ds: Dataset) -> None:
     """``write_parquet`` on an empty dataset writes nothing at all (not
     even the directory); the durable form of an empty stage is one
@@ -167,7 +193,10 @@ class CheckpointManager:
         _, _, mpath = self._paths(name)
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f, indent=2)
+            f.flush()
+            os.fsync(f.fileno())
         os.rename(mpath + ".tmp", mpath)
+        _fsync_dir(os.path.dirname(mpath))
 
     def _maybe_migrate(self, name: str) -> dict | None:
         """Apply the registered upgrade chain in place; → current manifest
@@ -216,7 +245,9 @@ class CheckpointManager:
         tmp = data_dir + ".tmp"
         ds.write_parquet(tmp)
         _ensure_parquet_dir(tmp, ds)
+        _fsync_tree(tmp)
         os.rename(tmp, data_dir)
+        _fsync_dir(os.path.dirname(data_dir))
         out = rd.read_parquet(data_dir)
         manifest = {
             "stage": name,
@@ -267,9 +298,11 @@ class CheckpointManager:
                 shutil.rmtree(tmp)
             ds.write_parquet(tmp)
             _ensure_parquet_dir(tmp, ds)
+            _fsync_tree(tmp)
             if os.path.exists(pdir):
                 shutil.rmtree(pdir)
             os.rename(tmp, pdir)
+            _fsync_dir(os.path.dirname(pdir))
             parts[key] = {
                 "completed": True,
                 "rows": rd.read_parquet(pdir).count(),

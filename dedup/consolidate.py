@@ -151,12 +151,38 @@ def apply_consolidation(
     cfg = cfg or DedupConfig()
     P = cfg.sign_partitions if n_parts is None else n_parts
     ck = CheckpointManager(out_root, cfg)
+    # policy is part of the plan's identity: a deliberate policy change
+    # must recompute, not silently resume the previous policy's plan
+    plan_stage = f"c1_plan.{policy}"
     plan = ck.load_or_run(
-        "c1_plan", lambda: consolidation_plan(pages, cfg, policy)
+        plan_stage, lambda: consolidation_plan(pages, cfg, policy)
     ).select_columns(["url", "action", "target_url"])
-    if any(e.startswith("write:c1_plan") for e in ck.events):
-        # lineage: a rebuilt plan invalidates every applied partition
-        ck.invalidate("c2_applied")
+
+    # The applied-parts stage is keyed by EVERYTHING its rows depend on:
+    # the policy, the partition modulus P (parts filtered under a
+    # different modulus would silently drop/duplicate rows on resume),
+    # and a content hash of the durable plan itself — so stale parts
+    # from an older plan can never be resumed, even across the crash
+    # window between a plan rebuild and any explicit invalidation.
+    def _plan_content_hash() -> str:
+        h = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for b in plan.iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
+                cols = [
+                    xxh64_arrow(
+                        b.column(c).combine_chunks()
+                        if isinstance(b.column(c), pa.ChunkedArray)
+                        else b.column(c)
+                    )
+                    for c in ("url", "action", "target_url")
+                ]
+                row = cols[0] * np.uint64(0x9E3779B97F4A7C15) ^ cols[1]
+                row = row * np.uint64(0x9E3779B97F4A7C15) ^ cols[2]
+                # XOR-reduce: order-insensitive across blocks/batches
+                h ^= np.bitwise_xor.reduce(row, initial=np.uint64(0))
+        return f"{int(h):016x}"
+
+    apply_stage = f"c2_applied.{policy}.p{P}.{_plan_content_hash()}"
     corpus = pages.select_columns(["url", "text"])
 
     def _part_mask(urls: pa.Array, pid: int) -> np.ndarray:
@@ -194,17 +220,25 @@ def apply_consolidation(
         purls = ptbl.column("url")
         if isinstance(purls, pa.ChunkedArray):
             purls = purls.combine_chunks()
-        ref = ray.put(
-            [ptbl.filter(pa.array(_part_mask(purls, pid))) for pid in range(P)]
-        )
+        # ONE hash pass over the plan urls partitions it into P slices,
+        # and each slice is its own object-store entry — a worker
+        # processing part pid fetches only that part's dup-bounded
+        # slice, never the whole plan
+        ppart = xxh64_arrow(purls) % np.uint64(P)
+        refs = [
+            ray.put(ptbl.filter(pa.array(ppart == np.uint64(pid))))
+            for pid in range(P)
+        ]
 
         def apply_part(pid: int) -> Dataset:
+            pref = refs[pid]
+
             def fn(batch: pa.Table) -> pa.Table:
                 urls = batch.column("url")
                 if isinstance(urls, pa.ChunkedArray):
                     urls = urls.combine_chunks()
                 part = batch.filter(pa.array(_part_mask(urls, pid)))
-                j = part.join(ray.get(ref)[pid], keys="url", join_type="left outer")
+                j = part.join(ray.get(pref), keys="url", join_type="left outer")
                 return _finish(j)
 
             return corpus.map_batches(fn, batch_format="pyarrow")
@@ -233,4 +267,4 @@ def apply_consolidation(
             )
             return j.map_batches(_finish, batch_format="pyarrow")
 
-    return ck.load_or_run_parts("c2_applied", list(range(P)), apply_part)
+    return ck.load_or_run_parts(apply_stage, list(range(P)), apply_part)

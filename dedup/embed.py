@@ -41,6 +41,10 @@ def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     c = batch.column(col)
     if isinstance(c, pa.ChunkedArray):
         c = c.combine_chunks()
+    if len(batch) == 0:
+        # reshape(0, -1) cannot infer d; zero-row blocks are real input
+        # (checkpointed empty stages read back as a 0-row block)
+        return np.empty((0, 0), np.float64)
     flat = c.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(len(batch), -1)
 
@@ -80,6 +84,8 @@ def knn_cosine(
     ref = ray.put((q_ids, Q))
 
     def local_topk(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # zero-row blocks carry no inferable dim
+            return _QNS_EMPTY
         qids, Qm = ray.get(ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         X = _normalize(_emb_matrix(batch, emb_col))
@@ -164,6 +170,8 @@ class EmbeddingIndexer:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _QNS_EMPTY
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         X = _normalize(_emb_matrix(batch))
         sims = X @ self.M.T
@@ -206,6 +214,12 @@ class EmbeddingIndexer:
             }
         )
 
+
+_QNS_EMPTY = pa.table(
+    {"query_id": pa.array([], pa.int64()),
+     "neighbor_id": pa.array([], pa.int64()),
+     "sim": pa.array([], pa.float64())}
+)
 
 _PAIRS_EMPTY = pa.table(
     {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
@@ -255,6 +269,8 @@ def _prep_block(batch: pa.Table, id_col: str, emb_col: str) -> pa.Table:
 
 def _unpack_block(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    if len(ids) == 0:
+        return ids, np.empty((0, 0), np.float64)
     c = t.column("nemb")
     if isinstance(c, pa.ChunkedArray):
         c = c.combine_chunks()
@@ -457,6 +473,8 @@ def ivf_search(
     qref = ray.put((q_ids, Q, probes))
 
     def local(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _QNS_EMPTY
         Cm = ray.get(cref)
         qids, Qm, qprobes = ray.get(qref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -503,6 +521,7 @@ def lsh_bucketed_pairs(
     n_tables: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
+    cfg=None,
 ) -> pa.Table:
     """Approximate near-dup pairs via random-hyperplane LSH.
 
@@ -523,6 +542,11 @@ def lsh_bucketed_pairs(
     pref = ray.put(planes)
 
     def bucketize(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {"bkey": pa.array([], pa.int64()),
+                 "vid": pa.array([], pa.int64())}
+            )
         P = ray.get(pref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         X = _normalize(_emb_matrix(batch))
@@ -561,7 +585,9 @@ def lsh_bucketed_pairs(
     rows = embeddings.map_batches(bucketize, batch_format="pyarrow").map_batches(
         lambda t: t.rename_columns(["bkey", "doc_hash"]), batch_format="pyarrow"
     )
-    _cfg = _Cfg()
+    # honor the caller's tuning (join_buckets / allpairs_bucket_max);
+    # a hardcoded default silently dropped deployment settings
+    _cfg = cfg if cfg is not None else _Cfg()
     edges, chain = candidate_pairs(rows, _cfg)
     import ray.data as rd
 

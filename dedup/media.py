@@ -55,7 +55,9 @@ _MAGIC = [
 ]
 
 
-def sniff_type(payload: bytes) -> str:
+def sniff_type(payload: "bytes | None") -> str:
+    # null payloads are in-contract (sniff_types fill_nulls them too)
+    payload = payload or b""
     head = payload[:8].lower() if payload[:1] in (b"<",) else payload[:8]
     for magic, mime in _MAGIC:
         if head[: len(magic)] == magic:
@@ -261,7 +263,11 @@ class MediaFeaturizer:
         n = len(batch)
         # vectorized hash of the raw payload bytes (content identity)
         h = xxh64_arrow(payload)
-        sizes = pa.compute.binary_length(payload).to_numpy(zero_copy_only=False)
+        # fill_null BEFORE to_numpy: a null length otherwise becomes a
+        # float NaN whose int64 cast is INT64_MIN, not 0
+        sizes = pa.compute.fill_null(
+            pa.compute.binary_length(payload), 0
+        ).to_numpy(zero_copy_only=False)
         types = sniff_types(payload)
         # deterministic fake feature: hash → 8 lanes → projection
         lanes = np.empty((n, 8), dtype=np.float32)
@@ -312,7 +318,9 @@ def media_features(ds: Dataset, payload_col: str = "html", id_col: str = "url") 
         payload = batch.column(payload_col)
         if isinstance(payload, pa.ChunkedArray):
             payload = payload.combine_chunks()
-        sizes = pa.compute.binary_length(payload).to_numpy(zero_copy_only=False)
+        sizes = pa.compute.fill_null(
+            pa.compute.binary_length(payload), 0
+        ).to_numpy(zero_copy_only=False)
         types = sniff_types(payload)
         return pa.table(
             {

@@ -158,8 +158,13 @@ def test_cli_consolidate_mode(pages_file, tmp_path, capsys):
     n_in = pq.read_metadata(pages_file).num_rows
     assert s["mode"] == "consolidate" and s["rows"] == n_in
     assert s["rows_linked"] > 0 and s["reclaimed_bytes"] > 0
-    # applied partitions live under the same root the resume reads
-    assert os.path.isdir(os.path.join(out, "c2_applied", "data"))
+    # applied partitions live under the same root the resume reads; the
+    # stage name carries (policy, P, plan content hash) so stale parts
+    # from a different plan/policy/modulus can never be resumed
+    import glob
+
+    applied = glob.glob(os.path.join(out, "c2_applied.*", "data"))
+    assert len(applied) == 1 and os.path.isdir(applied[0])
     rc2 = main(["--input", pages_file, "--output", out, "--mode", "consolidate"])
     assert rc2 == 0
     s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])

@@ -326,19 +326,31 @@ def test_apply_consolidation_output_and_resume(tmp_path):
     out2 = apply_consolidation(pages, root, cfg)
     assert out2.count() == len(out)
 
-    # partial resume: lose one partition → exactly that part recomputes
-    mpath = os.path.join(root, "c2_applied", "manifest.json")
+    # partial resume: lose one partition → exactly that part recomputes.
+    # The applied stage's name carries (policy, P, plan content hash).
+    import glob
+
+    applied_dir = glob.glob(os.path.join(root, "c2_applied.*"))[0]
+    mpath = os.path.join(applied_dir, "manifest.json")
     m = json.load(open(mpath))
     victim = next(k for k, v in m["parts"].items() if v["rows"] > 0)
-    shutil.rmtree(os.path.join(root, "c2_applied", "data", f"part-{victim}"))
+    shutil.rmtree(os.path.join(applied_dir, "data", f"part-{victim}"))
     out3 = apply_consolidation(pages, root, cfg)
     assert out3.to_pandas().sort_values("url")["url"].tolist() == sorted(
         out["url"].tolist()
     )
 
-    # plan rebuild invalidates the applied stage
-    shutil.rmtree(os.path.join(root, "c1_plan"))
+    # plan rebuild: the rebuilt (identical-content) plan hashes the
+    # same, so the applied parts stay valid and resume
+    shutil.rmtree(glob.glob(os.path.join(root, "c1_plan.*"))[0])
     out4 = apply_consolidation(pages, root, cfg)
     assert out4.count() == len(out)
     m4 = json.load(open(mpath))
     assert m4["completed"] and m4["rows"] == len(out)
+
+    # a DIFFERENT plan (changed policy) must not resume the old parts:
+    # its stage name differs, so the old manifest is untouched and a
+    # fresh stage is built
+    out5 = apply_consolidation(pages, root, cfg, policy="max_size")
+    assert out5.count() == len(out)
+    assert len(glob.glob(os.path.join(root, "c2_applied.*"))) == 2
