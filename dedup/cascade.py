@@ -30,7 +30,9 @@ from .exchange import broadcast_map_i64, dup_key_counts, dup_keys, semi_filter
 from .ingest import ingest
 
 
-def _dup_fulls(ingested: Dataset) -> tuple[np.ndarray, np.ndarray]:
+def _dup_fulls(
+    ingested: Dataset, cfg: DedupConfig | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     """(sorted dup doc_hashes, counts) after the three-stage cascade,
     computed entirely on NARROW projections of the pinned ingest.
 
@@ -44,11 +46,16 @@ def _dup_fulls(ingested: Dataset) -> tuple[np.ndarray, np.ndarray]:
     stage-3 counts over narrow survivors equal counts over full-row
     survivors (pinned by the `cascade_stage_counts` oracle).
     """
+    # the documented convention (config.py): every exchange helper gets
+    # the caller's broadcast cap + bucket count, so tuning them actually
+    # takes effect on this path
+    cap = cfg.broadcast_max_rows if cfg is not None else None
+    nb = cfg.join_buckets if cfg is not None else 32
     narrow = ingested.select_columns(["size_bytes", "short_hash", "doc_hash"])
     sizes = dup_keys(narrow, "size_bytes")
-    n1 = semi_filter(narrow, "size_bytes", sizes)
+    n1 = semi_filter(narrow, "size_bytes", sizes, max_broadcast_rows=cap, n_buckets=nb)
     shorts = dup_keys(n1, "short_hash")
-    n2 = semi_filter(n1, "short_hash", shorts)
+    n2 = semi_filter(n1, "short_hash", shorts, max_broadcast_rows=cap, n_buckets=nb)
     return dup_key_counts(n2, "doc_hash")
 
 
@@ -62,8 +69,11 @@ def exact_survivors(ingested: Dataset, cfg: DedupConfig) -> Dataset:
     the text is filtered ONCE by the final key set.
     """
     ingested = ingested.materialize()
-    fulls, _ = _dup_fulls(ingested)
-    return semi_filter(ingested, "doc_hash", fulls)
+    fulls, _ = _dup_fulls(ingested, cfg)
+    return semi_filter(
+        ingested, "doc_hash", fulls,
+        max_broadcast_rows=cfg.broadcast_max_rows, n_buckets=cfg.join_buckets,
+    )
 
 
 def exact_clusters(pages: Dataset, cfg: DedupConfig | None = None) -> Dataset:
@@ -79,13 +89,14 @@ def exact_clusters(pages: Dataset, cfg: DedupConfig | None = None) -> Dataset:
     ing = ingest(pages, cfg).materialize()
     # cascade counts from ONE narrow pass chain; the emit below fuses the
     # survivor filter and the cluster columns into a single text pass
-    keys, cnts = _dup_fulls(ing)
+    keys, cnts = _dup_fulls(ing, cfg)
     # dup-bounded count map attaches through the size-guarded broadcast
     # helper (falls back to a bucketed join past the cap); misses get 0
     # and are dropped by the n>1 filter below.
     sized = broadcast_map_i64(
         ing.select_columns(["url", "doc_hash", "size_bytes"]),
         "doc_hash", keys, cnts, "cluster_size", default_identity=False,
+        max_broadcast_rows=cfg.broadcast_max_rows, n_buckets=cfg.join_buckets,
     )
 
     def emit(batch: pa.Table) -> pa.Table:
@@ -128,9 +139,10 @@ def dedup_corpus(pages: Dataset, cfg: DedupConfig) -> Dataset:
         .materialize()
     )
     dups = dup_keys(narrow, "doc_hash")
-    uniq = semi_filter(narrow, "doc_hash", dups, keep=False).select_columns(
-        ["url", "size_bytes"]
-    )
+    uniq = semi_filter(
+        narrow, "doc_hash", dups, keep=False,
+        max_broadcast_rows=cfg.broadcast_max_rows, n_buckets=cfg.join_buckets,
+    ).select_columns(["url", "size_bytes"])
     if len(dups) == 0:
         return uniq
 
@@ -143,7 +155,10 @@ def dedup_corpus(pages: Dataset, cfg: DedupConfig) -> Dataset:
         return t.take(pa.array(np.flatnonzero(first), pa.int64()))
 
     reps = (
-        semi_filter(narrow, "doc_hash", dups)
+        semi_filter(
+            narrow, "doc_hash", dups,
+            max_broadcast_rows=cfg.broadcast_max_rows, n_buckets=cfg.join_buckets,
+        )
         .map_batches(local_first, batch_format="pyarrow")
         .groupby("doc_hash")
         .aggregate(Min("url", alias_name="url"), Min("size_bytes", alias_name="size_bytes"))

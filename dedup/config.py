@@ -39,7 +39,11 @@ class DedupConfig:
     # candidate-pair verification: estimated Jaccard (fraction of agreeing
     # signature slots) must reach this; 0 disables verification.
     verify_threshold: float = 0.5
-    # skew guard: an LSH bucket larger than this is salted/capped
+    # DEPRECATED, UNUSED: bucket skew is governed by allpairs_bucket_max
+    # below (all member-member pairs up to the cap, linear star-edge
+    # fallback past it) — no code salts or caps on this knob. Kept only
+    # because v1 config fingerprints include the field; drop it at the
+    # next fingerprint-breaking schema bump.
     max_bucket: int = 2000
     # buckets up to this size emit all member-member candidate pairs
     # (complete under per-pair verification); larger buckets fall back to

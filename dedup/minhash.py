@@ -75,29 +75,18 @@ def _token_lists(
 ) -> tuple[np.ndarray, np.ndarray]:
     """text column → (flat token hashes, tokens-per-doc counts).
 
-    Pure-ASCII batches take the shared byte-scan tokenizer (on ASCII,
-    ``\\W+`` and textstats' ``[^a-z0-9_]+`` split identically — \\w's
-    ASCII projection IS that class — so signatures are bit-unchanged);
-    any batch with a non-ASCII byte keeps this signer's definitional
-    ``\\W+`` regex, which differs from textstats' on Unicode word chars."""
-    from .textstats import _fast_ascii_tokens
+    Tokenization IS ``textstats._tokenize`` — ONE definitional tokenizer
+    for the whole engine. The signer historically kept its own ``\\W+``
+    regex fallback under a claimed Unicode divergence, but none exists:
+    RE2's ``\\w`` is ASCII-only, and every non-ASCII code point
+    (including utf8_lower outputs) is a separator under both ``\\W+``
+    and textstats' ``[^a-z0-9_]+`` on lowered text — verified
+    empirically on Unicode inputs, so signatures are bit-unchanged and
+    the duplicate tokenizer body (which had already drifted on
+    fill_null) is gone."""
+    from .textstats import _tokenize
 
-    fast = _fast_ascii_tokens(text)
-    if fast is not None:
-        flat_kept, counts = fast
-    else:
-        lowered = pc.utf8_lower(text)
-        toks = pc.split_pattern_regex(lowered, r"\W+")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.flatten()  # may contain empty strings at split boundaries
-        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        # drop empties; recompute per-doc counts from the keep-mask prefix sum
-        lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
-        keep = lens > 0
-        cs = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
-        counts = cs[offsets[1:]] - cs[offsets[:-1]]
-        flat_kept = flat.filter(pa.array(keep)) if not keep.all() else flat
+    flat_kept, counts = _tokenize(text)
     th = _hash_tokens(flat_kept, token_hash) if len(flat_kept) else np.empty(0, U64)
     return th, counts
 

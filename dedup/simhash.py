@@ -2,15 +2,27 @@
 
 A 64-bit SimHash per distinct document (sign of the per-bit sum of ±1
 contributions from each distinct shingle hash), then candidate pairs via
-the 4×16-bit chunk trick (two fingerprints within Hamming distance ≤ 3
-must agree on at least one of 4 chunks — pigeonhole), verified by exact
-Hamming distance, clustered with union-find.
+block-combination bucketing (Manku et al., WWW'07): the 64 bits split
+into ``ham_max + choose`` near-equal blocks; ≤ ham_max differing bits
+dirty ≤ ham_max blocks, so SOME combination of ``choose`` clean blocks
+matches between any pair inside the Hamming ball — recall 1.0 by
+pigeonhole at every rung of the ladder. The rung is picked per corpus
+(``_block_scheme``): more blocks-per-key = wider keys = lower bucket
+occupancy, because what scale actually breaks is occupancy — a 16-bit
+key space (the classic 4×16 chunk trick, this module's previous
+default) collapses past ~4M docs: mean bucket size exceeds
+``allpairs_bucket_max``, buckets degrade to star edges, and
+member-pair recall silently dies. Verified by exact Hamming distance,
+clustered with union-find.
 
-Reuses the LSH machinery end-to-end: chunk keys feed
+Reuses the LSH machinery end-to-end: combination keys feed
 ``lsh.candidate_pairs`` (sort-based star emission with boundary
-chaining — the skew-proof pair generator), and verification mirrors
-``verify.verify_pairs`` (candidate-involved fingerprints are a small
-set, semi-filtered via broadcast and checked on the driver).
+chaining — the skew-proof pair generator). Verification is
+size-guarded: candidate pairs deduplicate in a narrow exchange; a
+driver-sized set (≤ cfg.driver_verify_max) collects and checks
+locally, a larger one takes two bucketed fingerprint joins and checks
+Hamming inside the exchange — the driver never holds a
+corpus-shaped pair stream.
 
 Complementary to MinHash: SimHash Hamming distance tracks cosine/token
 -frequency similarity rather than set Jaccard; 8 bytes per doc instead
@@ -101,8 +113,36 @@ def simhash_fingerprints(reps: Dataset, cfg: DedupConfig) -> Dataset:
     )
 
 
-def _chunk_rows(fps: Dataset, n_chunks: int = 4) -> Dataset:
-    """fingerprints → (doc_hash, bkey) rows, one per 16-bit chunk."""
+def _block_scheme(n_docs: int, ham_max: int, cap: int) -> tuple[int, int]:
+    """→ (n_blocks, choose): cheapest block-combination rung whose
+    EXPECTED bucket occupancy keeps the all-pairs guarantee effective.
+
+    Recall inside the Hamming-``ham_max`` ball is 1.0 at every rung
+    (pigeonhole, module docstring); the rungs trade band-row volume
+    (C(n_blocks, choose) rows/doc) against key width
+    (~choose·64/n_blocks bits). Mean occupancy n_docs/2^bits must stay
+    well under ``allpairs_bucket_max`` or buckets degrade to star edges
+    and member-pair recall collapses — the ladder picks the first rung
+    with occupancy ≤ cap/4 (ham_max=3: 4 rows/doc+16-bit keys to ~1M
+    docs, 10 rows+~24-bit to ~250M, 20 rows+~30-bit past that, good to
+    ~10^10 at the default cap)."""
+    for choose in (1, 2, 3):
+        n_blocks = ham_max + choose
+        bits = min(62, (64 // n_blocks) * choose)
+        if n_docs / float(1 << bits) <= cap / 4:
+            return n_blocks, choose
+    return ham_max + 3, 3
+
+
+def _chunk_rows(fps: Dataset, n_blocks: int = 4, choose: int = 1) -> Dataset:
+    """fingerprints → (doc_hash, bkey) rows, one per block combination
+    (``choose`` blocks of ``ham_max + choose`` concatenated per key)."""
+    from itertools import combinations
+
+    combos = list(combinations(range(n_blocks), choose))
+    base, extra = divmod(64, n_blocks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
+    offs = np.cumsum([0] + widths[:-1]).astype(np.uint64)
 
     def fn(batch: pa.Table) -> pa.Table:
         dh = batch.column("doc_hash").to_numpy(zero_copy_only=False)
@@ -110,15 +150,19 @@ def _chunk_rows(fps: Dataset, n_chunks: int = 4) -> Dataset:
         has = batch.column("n_shingles").to_numpy(zero_copy_only=False) > 0
         dh, sh = dh[has], sh[has]
         keys = []
-        width = np.uint64(64 // n_chunks)
-        mask = (np.uint64(1) << width) - np.uint64(1)
         with np.errstate(over="ignore"):
-            for c in range(n_chunks):
-                chunk = (sh >> (width * np.uint64(c))) & mask
-                keys.append(fmix64(chunk ^ ((U64(c) + U64(1)) * _CHUNKC)))
+            blocks = [
+                (sh >> offs[i]) & ((np.uint64(1) << np.uint64(widths[i])) - np.uint64(1))
+                for i in range(n_blocks)
+            ]
+            for ci, combo in enumerate(combos):
+                acc = np.zeros(len(sh), dtype=U64)
+                for i in combo:
+                    acc = acc * _CHUNKC + blocks[i]
+                keys.append(fmix64(acc ^ ((U64(ci) + U64(1)) * _CHUNKC)))
         return pa.table(
             {
-                "doc_hash": pa.array(np.tile(dh, n_chunks), pa.int64()),
+                "doc_hash": pa.array(np.tile(dh, len(combos)), pa.int64()),
                 "bkey": pa.array(np.concatenate(keys).view(np.int64), pa.int64()),
             }
         )
@@ -155,29 +199,35 @@ def simhash_clusters(
     # fingerprinter without an extra full-text object-store round-trip
     reps = distinct_reps(ing)
     fps = simhash_fingerprints(reps, cfg).materialize()
-    chunks = _chunk_rows(fps)
+    n_fp = fps.count()
+    chunks = _chunk_rows(
+        fps, *_block_scheme(n_fp, hamming_max, cfg.allpairs_bucket_max)
+    )
     pairs, chain = candidate_pairs(chunks, cfg)
     if len(chain):
         pairs = pairs.union(rd.from_arrow(chain))
 
-    # verify candidate pairs by exact Hamming distance (driver path — the
-    # candidate-involved set is small; mirror of verify.verify_pairs)
-    pt = collect_table(pairs)
+    # size-guarded verification: deduplicate the (band-repeated) pair
+    # stream in a narrow exchange first, then pick the tier by count —
+    # the driver path was previously unconditional, a corpus-shaped
+    # driver collect at scale
+    from .verify import dedup_pairs
+
+    deduped = dedup_pairs(pairs, n_buckets=cfg.join_buckets).materialize()
+    n_pairs = deduped.count()
     edges_a = np.empty(0, np.int64)
     edges_b = np.empty(0, np.int64)
-    if len(pt):
+    if n_pairs and n_pairs <= cfg.driver_verify_max:
+        pt = collect_table(deduped)
         a = pt.column("a").to_numpy(zero_copy_only=False)
         b = pt.column("b").to_numpy(zero_copy_only=False)
-        au, bu = a.view(U64), b.view(U64)
-        lo, hi = np.minimum(au, bu), np.maximum(au, bu)
-        keep = lo != hi
-        packed = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
-        a, b = packed[:, 0].view(np.int64), packed[:, 1].view(np.int64)
         cand = np.sort(np.unique(np.concatenate([a, b])))
         sub = collect_table(
             semi_filter(
                 fps.select_columns(["doc_hash", "simhash", "mset_hash"]),
                 "doc_hash", cand,
+                max_broadcast_rows=cfg.broadcast_max_rows,
+                n_buckets=cfg.join_buckets,
             )
         )
         ids = sub.column("doc_hash").to_numpy(zero_copy_only=False)
@@ -194,6 +244,53 @@ def simhash_clusters(
         if exact_multiset:
             keep &= ok & (msets[ia] == msets[ib])
         edges_a, edges_b = a[keep], b[keep]
+    elif n_pairs:
+        # distributed tier: fingerprints attach through two bucketed
+        # joins; Hamming checks run inside the exchange and only the
+        # (dup-bounded) verified edges ever reach the driver
+        from .exchange import bucketed_join
+
+        fa = fps.map_batches(
+            lambda t: pa.table(
+                {"__fa": t.column("doc_hash"), "__sa": t.column("simhash"),
+                 "__ma": t.column("mset_hash")}
+            ),
+            batch_format="pyarrow",
+        )
+        fb = fps.map_batches(
+            lambda t: pa.table(
+                {"__fb": t.column("doc_hash"), "__sb": t.column("simhash"),
+                 "__mb": t.column("mset_hash")}
+            ),
+            batch_format="pyarrow",
+        )
+        j = bucketed_join(
+            bucketed_join(deduped, fa, "a", "__fa", how="left",
+                          n_buckets=cfg.join_buckets),
+            fb, "b", "__fb", how="left", n_buckets=cfg.join_buckets,
+        )
+
+        def check(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            ok_m = pc.and_(
+                pc.is_valid(t.column("__sa")), pc.is_valid(t.column("__sb"))
+            )
+            t = t.filter(ok_m)
+            sa = t.column("__sa").to_numpy(zero_copy_only=False)
+            sb = t.column("__sb").to_numpy(zero_copy_only=False)
+            keep = _hamming(sa, sb) <= hamming_max
+            if exact_multiset:
+                ma = t.column("__ma").to_numpy(zero_copy_only=False)
+                mb = t.column("__mb").to_numpy(zero_copy_only=False)
+                keep &= ma == mb
+            t = t.filter(pa.array(keep))
+            return pa.table({"a": t.column("a"), "b": t.column("b")})
+
+        et = collect_table(j.map_batches(check, batch_format="pyarrow"))
+        if len(et):
+            edges_a = et.column("a").to_numpy(zero_copy_only=False)
+            edges_b = et.column("b").to_numpy(zero_copy_only=False)
 
     from .unionfind import components_np
 
@@ -202,13 +299,15 @@ def simhash_clusters(
     assigned = broadcast_map_i64(
         ing.select_columns(["url", "doc_hash"]),
         "doc_hash", keys, cids, "cluster_id", default_identity=True,
+        max_broadcast_rows=cfg.broadcast_max_rows, n_buckets=cfg.join_buckets,
     )
     # cluster sizes: only ids occurring >1 matter (singletons are dropped
     # below), so the size map is dup-bounded — never the corpus-cardinality
     # full count table — and ships through the guarded broadcast helper.
     dk, dc = dup_key_counts(assigned.select_columns(["cluster_id"]), "cluster_id")
     sized = broadcast_map_i64(
-        assigned, "cluster_id", dk, dc, "cluster_size", default_identity=False
+        assigned, "cluster_id", dk, dc, "cluster_size", default_identity=False,
+        max_broadcast_rows=cfg.broadcast_max_rows, n_buckets=cfg.join_buckets,
     )
 
     def finish(batch: pa.Table) -> pa.Table:

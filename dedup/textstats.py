@@ -178,7 +178,12 @@ def _segment_nunique(token_hashes: np.ndarray, counts: np.ndarray) -> np.ndarray
     if len(d) > 1:
         new[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
     out = np.zeros(n_docs, dtype=np.int64)
-    np.add.at(out, d, new)
+    if len(d):
+        # d is sorted post-lexsort, so this is a segment reduction:
+        # reduceat over run starts (np.add.at's unbuffered scatter is
+        # ~10x slower on this shape — same conversion as SimHasher's)
+        starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+        out[d[starts]] = np.add.reduceat(new, starts)
     return out
 
 
@@ -190,7 +195,10 @@ class TextStatser:
     integer quality flag.
     """
 
-    def __init__(self, id_col: str = "doc_id", shingle_k: int = 5):
+    def __init__(
+        self, id_col: str = "doc_id", shingle_k: int = 5,
+        flags_only: bool = False,
+    ):
         # identity-proxy hash for the per-doc distinct count only — never
         # persisted, never oracle-compared, so the fast polars Rust xxhash
         # (when present) is safe; same policy as jaccard/lines/substr.
@@ -198,19 +206,44 @@ class TextStatser:
 
         self.id_col = id_col
         self.k = shingle_k
+        # flags_only: compute ONLY what is_quality needs (token counts +
+        # stopword segment sums) — quality_filter discards everything
+        # else, and the skipped token hashing + global (doc, hash)
+        # lexsort are the kernel's dominant cost per batch
+        self.flags_only = flags_only
         self._hash = lambda flat: _hash_tokens(flat, DEFAULT_TOKEN_HASH)
         self.stop_arrays = {
             lang: pa.array(sorted(words)) for lang, words in STOPWORDS.items()
         }
 
+    def _quality(self, flat: pa.Array, counts: np.ndarray):
+        """(per-lang stopword score matrix, best-lang idx, best score,
+        quality mask) — the shared core of both output modes."""
+        scores = np.zeros((len(LANGS), len(counts)), dtype=np.int64)
+        for i, lang in enumerate(LANGS):
+            hit = pc.is_in(flat, value_set=self.stop_arrays[lang])
+            hits = hit.to_numpy(zero_copy_only=False).astype(bool)
+            scores[i] = _segment_sum(hits, counts)
+        best = np.argmax(scores, axis=0)  # first max = alphabetical tie-break
+        best_score = scores[best, np.arange(scores.shape[1])]
+        quality = (counts >= QUALITY_MIN_TOKENS) & (
+            best_score * QUALITY_STOP_DEN >= counts * QUALITY_STOP_NUM
+        )
+        return scores, best, best_score, quality
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch.column("text")
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
+        flat, counts = _tokenize(text)
+        if self.flags_only:
+            _, _, _, quality = self._quality(flat, counts)
+            return pa.table(
+                {"is_quality": pa.array(quality.astype(np.int64), pa.int64())}
+            )
         from .hashing import utf8_lengths
 
         n_bytes = utf8_lengths(text)
-        flat, counts = _tokenize(text)
         k = self.k
         n_shingles = np.where(
             counts >= k, counts - k + 1, np.where(counts > 0, 1, 0)
@@ -229,21 +262,12 @@ class TextStatser:
             "n_shingles": pa.array(n_shingles, pa.int64()),
             "n_distinct_tokens": pa.array(n_distinct, pa.int64()),
         }
-        scores = np.zeros((len(LANGS), len(counts)), dtype=np.int64)
+        scores, best, best_score, quality = self._quality(flat, counts)
         for i, lang in enumerate(LANGS):
-            hit = pc.is_in(flat, value_set=self.stop_arrays[lang])
-            hits = hit.to_numpy(zero_copy_only=False).astype(bool)
-            scores[i] = _segment_sum(hits, counts)
             cols[f"n_stop_{lang}"] = pa.array(scores[i], pa.int64())
-
-        best = np.argmax(scores, axis=0)  # first max = alphabetical tie-break
-        best_score = scores[best, np.arange(scores.shape[1])]
         pred = np.array(LANGS, dtype=object)[best]
         pred[best_score == 0] = "unknown"
         cols["pred_lang"] = pa.array(pred.tolist(), pa.string())
-        quality = (counts >= QUALITY_MIN_TOKENS) & (
-            best_score * QUALITY_STOP_DEN >= counts * QUALITY_STOP_NUM
-        )
         cols["is_quality"] = pa.array(quality.astype(np.int64), pa.int64())
         return pa.table(cols)
 
@@ -259,7 +283,7 @@ def quality_filter(ds: Dataset, id_col: str = "doc_id") -> Dataset:
     """Keep only quality rows (is_quality == 1), preserving all input
     columns — the same vectorized per-batch kernel as ``text_stats``,
     used as a row filter inside cleaning pipelines."""
-    st = TextStatser(id_col=id_col)
+    st = TextStatser(id_col=id_col, flags_only=True)
 
     def fn(batch: pa.Table) -> pa.Table:
         flags = st(batch).column("is_quality").to_numpy(zero_copy_only=False)

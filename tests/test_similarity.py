@@ -362,3 +362,70 @@ def test_ivf_sample_is_order_independent():
     a = sorted(s1.column("vec_id").to_pylist())
     b = sorted(s2.column("vec_id").to_pylist())
     assert a == b
+
+
+def test_simhash_block_scheme_ladder():
+    """The rung ladder picks the cheapest scheme whose expected bucket
+    occupancy keeps the all-pairs guarantee effective — the classic
+    4x16 trick only up to ~1M docs (its 16-bit key space collapses
+    recall past that), wider combination keys beyond."""
+    from dedup.simhash import _block_scheme
+
+    assert _block_scheme(10_000, 3, 64) == (4, 1)
+    assert _block_scheme(5_000_000, 3, 64) == (5, 2)
+    assert _block_scheme(10**9, 3, 64) == (6, 3)
+    assert _block_scheme(10**10, 3, 64) == (6, 3)
+
+
+def test_simhash_combination_rows_share_key_within_ball():
+    """Pigeonhole at every rung: two fingerprints within hamming_max
+    share at least one combination bucket key."""
+    import numpy as np
+    import ray.data as rd_
+
+    from dedup.simhash import _chunk_rows
+
+    rng = np.random.default_rng(3)
+    for n_blocks, choose in ((4, 1), (5, 2), (6, 3)):
+        for _ in range(20):
+            f1 = np.uint64(rng.integers(0, 2**63, dtype=np.int64))
+            bits = rng.choice(64, size=3, replace=False)
+            f2 = f1
+            for bit in bits:
+                f2 = f2 ^ (np.uint64(1) << np.uint64(int(bit)))
+            f1, f2 = np.int64(f1.view(np.int64)), np.int64(f2.view(np.int64))
+            fps = rd_.from_arrow(
+                pa.table(
+                    {
+                        "doc_hash": pa.array([1, 2], pa.int64()),
+                        "simhash": pa.array([int(f1), int(f2)], pa.int64()),
+                        "n_shingles": pa.array([5, 5], pa.int64()),
+                    }
+                )
+            )
+            t = _chunk_rows(fps, n_blocks, choose).to_pandas()
+            k1 = set(t[t["doc_hash"] == 1]["bkey"])
+            k2 = set(t[t["doc_hash"] == 2]["bkey"])
+            assert k1 & k2, (n_blocks, choose, bits)
+
+
+def test_simhash_distributed_verify_matches_driver():
+    """driver_verify_max=0 forces the bucketed-join Hamming tier; the
+    cluster partition must be identical to the driver tier's."""
+    pages_tbl, _ = make_pages(
+        n_exact_groups=4, n_near_groups=6, n_singletons=30,
+        n_negative_pairs=4, n_short_split_pairs=0,
+        edit_rate_range=(0.005, 0.01),
+    )
+
+    def part_of(cfg):
+        df = simhash_clusters(
+            rd.from_arrow(pages_tbl), cfg, hamming_max=3
+        ).to_pandas()
+        return sorted(
+            tuple(sorted(g["url"])) for _, g in df.groupby("cluster_id")
+        )
+
+    p_driver = part_of(DedupConfig())
+    p_dist = part_of(DedupConfig(driver_verify_max=0))
+    assert p_driver == p_dist and len(p_driver) > 0
