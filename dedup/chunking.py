@@ -76,8 +76,11 @@ def chunk_documents(
     chunks overlap by ``window - stride`` tokens. Token-less documents
     produce no chunks.
     """
-    stride = stride or window
+    if stride is None:
+        stride = window
     if window < 1 or stride < 1:
+        # validate BEFORE any defaulting: an explicit stride=0 must be
+        # rejected, not silently become non-overlapping chunking
         raise ValueError("window and stride must be >= 1")
     if stride > window:
         raise ValueError("stride > window would drop tokens")

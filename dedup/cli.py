@@ -219,8 +219,10 @@ def main(argv=None) -> int:
             "mode": args.mode,
             "input": args.input,
             "rows": stripped.count(),
-            "total_tokens": int(agg["sum(n_tokens)"]),
-            "dup_tokens_removed": int(agg["sum(dup_tokens)"]),
+            # empty corpus: Sum aggregates come back None (same guard
+            # as the consolidate mode)
+            "total_tokens": int(agg["sum(n_tokens)"] or 0),
+            "dup_tokens_removed": int(agg["sum(dup_tokens)"] or 0),
             "wall_sec": round(time.monotonic() - t0, 3),
             "config_fingerprint": cfg.fingerprint(),
         }
@@ -285,7 +287,10 @@ def main(argv=None) -> int:
         return 0
 
     if args.mode == "exact":
-        clusters = exact_clusters(pages, cfg)
+        # materialize BEFORE the redundant-bytes aggregate: computed on
+        # the lazy dataset it re-executed the whole cascade, and the
+        # write below then ran it a second time
+        clusters = exact_clusters(pages, cfg).materialize()
         extra = {"redundant_bytes": total_redundant_bytes(clusters)}
     elif args.mode == "simhash":
         clusters = simhash_clusters(pages, cfg)

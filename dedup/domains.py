@@ -179,14 +179,19 @@ def domain_cap(pages: Dataset, cfg: DedupConfig, cap: int) -> Dataset:
         return cold
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        hh = batch.column("host_hash").to_numpy(zero_copy_only=False)
-        urls = np.asarray(batch.column("url").to_pylist(), dtype=object)
-        order = np.lexsort((urls, hh))
-        hs = hh[order]
-        starts = np.concatenate([[0], np.flatnonzero(hs[1:] != hs[:-1]) + 1])
-        rank = np.arange(len(hs)) - np.repeat(starts, np.diff(np.append(starts, len(hs))))
-        keep = order[rank < cap]
-        return batch.take(pa.array(np.sort(keep)))
+        # Arrow C++ multi-key sort + boundary ranks (same kernel shape
+        # as final_topk below): this combiner runs on the over-cap HOT
+        # hosts — the highest-row-count slice of the corpus — so urls
+        # must never materialize as Python objects here
+        t = batch.sort_by([("host_hash", "ascending"), ("url", "ascending")])
+        hh = t.column("host_hash").to_numpy(zero_copy_only=False)
+        first = np.ones(len(hh), dtype=bool)
+        first[1:] = hh[1:] != hh[:-1]
+        starts = np.flatnonzero(first)
+        rank = np.arange(len(hh)) - np.repeat(
+            starts, np.diff(np.append(starts, len(hh)))
+        )
+        return t.filter(pa.array(rank < cap))
 
     def bucket(batch: pa.Table) -> pa.Table:
         hh = batch.column("host_hash").to_numpy(zero_copy_only=False)

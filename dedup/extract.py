@@ -64,34 +64,51 @@ EXTRACT_RULES: tuple[tuple[str, str, str, bool], ...] = (
 def decode_utf8_column(arr: pa.Array) -> tuple[pa.Array, np.ndarray]:
     """binary column → (string column, per-row utf8-valid bool mask).
 
-    Invalid rows are decoded with U+FFFD replacement; cost is
-    proportional to the number of invalid *sequences*, not rows.
+    Invalid rows are decoded with U+FFFD replacement. Fast path: one
+    Arrow cast when the whole column is valid; otherwise pure-ASCII
+    rows are proven valid vectorized and only rows containing a byte
+    >= 0x80 pay a per-row strict decode. Handles both 32-bit
+    (binary/string) and 64-bit (large_*) offset layouts.
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     arr = pc.fill_null(arr, b"")
     n = len(arr)
+    # offset width follows the layout: binary/string carry int32
+    # offsets, large_binary/large_string int64 — reading a large
+    # column's offsets as int32 yields garbage slice bounds (and an
+    # uncatchable std::length_error abort downstream)
+    is_large = pa.types.is_large_binary(arr.type) or pa.types.is_large_string(
+        arr.type
+    )
+    tgt = pa.large_string() if is_large else pa.string()
     try:
-        return arr.cast(pa.string()), np.ones(n, bool)
+        return arr.cast(tgt), np.ones(n, bool)
     except pa.ArrowInvalid:
         pass
-    off = np.frombuffer(arr.buffers()[1], np.int32)[arr.offset : arr.offset + n + 1]
+    odt = np.int64 if is_large else np.int32
+    off = np.frombuffer(arr.buffers()[1], odt)[arr.offset : arr.offset + n + 1]
     mv = memoryview(arr.buffers()[2])[off[0] : off[-1]]
     roff = (off - off[0]).astype(np.int64)
-    # walk invalid sequences: each strict-decode attempt either finishes
-    # the buffer or reports the next error position
-    bad_pos: list[int] = []
-    pos = 0
-    while pos < len(mv):
-        try:
-            codecs.utf_8_decode(mv[pos:], "strict", True)
-            break
-        except UnicodeDecodeError as e:
-            bad_pos.append(pos + e.start)
-            pos = pos + (e.end if e.end > e.start else e.start + 1)
-    bad_rows = np.unique(np.searchsorted(roff, np.array(bad_pos), "right") - 1)
+    # PER-ROW strict validation. Scanning the CONCATENATED buffer is
+    # unsound: a multibyte sequence split across a row boundary
+    # (b"ab\\xc3" | b"\\xa9cd") reads as valid bytes even though both
+    # rows are invalid. Pure-ASCII rows (the overwhelming majority)
+    # are proven valid vectorized; only rows containing a byte >= 0x80
+    # pay the per-row decode attempt.
+    raw0 = np.frombuffer(mv, np.uint8)
     valid = np.ones(n, bool)
-    valid[bad_rows] = False
+    if len(raw0):
+        nonempty = np.flatnonzero(np.diff(roff) > 0)
+        if len(nonempty):
+            hi = raw0 >= 0x80
+            has_hi = np.add.reduceat(hi, roff[nonempty]) > 0
+            for i in nonempty[has_hi]:
+                try:
+                    codecs.utf_8_decode(mv[roff[i] : roff[i + 1]], "strict", True)
+                except UnicodeDecodeError:
+                    valid[i] = False
+    bad_rows = np.flatnonzero(~valid)
     # splice: valid spans between bad rows stay as buffer slices; bad
     # rows are re-encoded with replacement chars (len may change)
     raw = np.frombuffer(mv, np.uint8)
@@ -109,11 +126,11 @@ def decode_utf8_column(arr: pa.Array) -> tuple[pa.Array, np.ndarray]:
     if prev < len(raw):
         segs.append(raw[prev:])
     new_values = np.concatenate(segs) if segs else np.empty(0, np.uint8)
-    new_off = np.empty(n + 1, np.int32)
+    new_off = np.empty(n + 1, np.int64 if is_large else np.int32)
     new_off[0] = 0
     np.cumsum(lens, out=new_off[1:])
     out = pa.Array.from_buffers(
-        pa.utf8(),
+        tgt,
         n,
         [None, pa.py_buffer(new_off.tobytes()), pa.py_buffer(new_values.tobytes())],
     )

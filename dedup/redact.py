@@ -25,7 +25,11 @@ from ray.data import Dataset
 
 # (name, RE2 pattern, replacement) — order matters; see module doc
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
-    ("email", r"[a-z0-9._%+\-]+@[a-z0-9.\-]+\.[a-z]{2,}", "<EMAIL>"),
+    # case-insensitive classes spelled out (no (?i): the pattern must
+    # parse identically under Arrow RE2 and DuckDB's regexp_replace) —
+    # redaction runs on RAW text, and a lowercase-only class left
+    # 'John.Doe@Example.com' unredacted in the released corpus
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
 )

@@ -52,7 +52,11 @@ CANON_RULES: tuple[tuple[str, str, str], ...] = (
     ("track_only", r"\?(?:utm_[a-z0-9_]+|gclid|fbclid)=[^&#]*$", ""),
     ("port_http", r"^(http://[^:/?#]*):80([/?#].*)?$", r"\1\2"),
     ("port_https", r"^(https://[^:/?#]*):443([/?#].*)?$", r"\1\2"),
-    ("slash_query", r"/\?", "?"),
+    # anchored to the FIRST '?' (the real path/query boundary):
+    # [^?#]* cannot cross it, so '/?' occurrences INSIDE query values
+    # (…?next=/foo/?bar) are left untouched — a bare /\? rewrote them,
+    # collapsing distinct urls into one canonical key
+    ("slash_query", r"^([^?#]*)/\?", r"\1?"),
     ("slash_end", r"^([^?#]*[^/?#])/$", r"\1"),
 )
 

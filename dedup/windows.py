@@ -41,7 +41,13 @@ def tumbling_aggregate(
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tcol = batch.column(ts_col)
+        # explicit µs normalization BEFORE the int cast (same hazard
+        # note as sessionize): a timestamp[ms]/[ns] column cast
+        # straight to int64 yields raw ms/ns and silently wrong windows
+        if pa.types.is_timestamp(tcol.type):
+            tcol = tcol.cast(pa.timestamp("us"))
+        ts = tcol.cast(pa.int64()).to_numpy(zero_copy_only=False)
         win = (ts // width_us) * width_us
         keyc = batch.column(key_col)
         if isinstance(keyc, pa.ChunkedArray):
@@ -58,10 +64,14 @@ def tumbling_aggregate(
         )
         # cents as int64 → associative integer sums, oracle-exact
         # (floor, not round: np.round is banker's, SQL ROUND is
-        # half-away — floor(x*100) is bit-identical on both sides)
-        cents = np.floor(
+        # half-away — floor(x*100) is bit-identical on both sides).
+        # NULL values: SQL SUM skips them while COUNT(*) keeps the row —
+        # contribute 0 cents (the NaN→int64 cast would otherwise inject
+        # INT64_MIN into the whole group's sum)
+        cents_f = np.floor(
             batch.column(value_col).to_numpy(zero_copy_only=False) * 100
-        ).astype(np.int64)
+        )
+        cents = np.where(np.isnan(cents_f), 0, cents_f).astype(np.int64)
         uw, inv = np.unique(np.stack([win, codes], axis=1), axis=0, return_inverse=True)
         pn = np.bincount(inv, minlength=len(uw)).astype(np.int64)
         # exact int64 segment sums (a float64 bincount is exact only below

@@ -76,3 +76,27 @@ def test_idempotent_normalization():
     once = apply_rules(pa.array(htmls)).to_pylist()
     twice = apply_rules(pa.array(once)).to_pylist()
     assert once == twice
+
+
+def test_decode_utf8_large_binary_and_split_sequences():
+    """Regression pair: (1) large_binary offsets are int64 — reading
+    them as int32 produced garbage slice bounds and a hard worker abort;
+    (2) a multibyte sequence SPLIT across row boundaries must mark both
+    rows invalid — the old concatenated-buffer scan read it as valid and
+    returned invalid bytes inside a utf8 array."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dedup.extract import decode_utf8_column
+
+    out, valid = decode_utf8_column(
+        pa.array([b"hello", b"bad\xffbyte", b"world"], pa.large_binary())
+    )
+    assert out.type == pa.large_string()
+    assert valid.tolist() == [True, False, True]
+    assert out.to_pylist() == ["hello", "bad�byte", "world"]
+
+    out2, valid2 = decode_utf8_column(pa.array([b"ab\xc3", b"\xa9cd"], pa.binary()))
+    assert valid2.tolist() == [False, False]
+    for s in out2.to_pylist():
+        s.encode("utf-8")  # round-trips: genuinely valid strings

@@ -64,3 +64,21 @@ def test_matches_python_re_reference():
 def test_bad_pattern_fails_fast():
     with pytest.raises(pa.lib.ArrowException):
         Redactor(patterns=(("bad", r"(?<=x)y", "<Z>"),))  # lookbehind ∉ RE2
+
+
+def test_uppercase_email_redacted():
+    """Redaction runs on RAW text; 'John.Doe@Example.com' must not
+    survive (the lowercase-only class leaked it)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup.redact import redact_pii
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["mail John.Doe@Example.COM today"])})
+    )
+    out = redact_pii(ds).to_pandas()
+    assert int(out["n_email"][0]) == 1
+    assert "<EMAIL>" in out["text_redacted"][0]
+    assert "Example" not in out["text_redacted"][0]

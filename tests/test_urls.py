@@ -93,3 +93,20 @@ def test_latest_snapshot_timestamp_type():
     )
     out = latest_snapshot(rd.from_arrow(t), "url", "warc_ts").to_pandas()
     assert len(out) == 1 and out["text"][0] == "new" and out["n_snapshots"][0] == 2
+
+
+def test_slash_query_rule_only_at_boundary():
+    """'/?' inside a query VALUE is data, not a boundary — the bare
+    /\\? rule rewrote it and collapsed distinct urls."""
+    import pyarrow as pa
+
+    from dedup.urls import canonicalize_array
+
+    got = canonicalize_array(
+        pa.array([
+            "https://e.com/p/?x=1",            # boundary: / dropped
+            "https://e.com/p?next=/foo/?bar",  # value: untouched
+        ])
+    ).to_pylist()
+    assert got[0] == "https://e.com/p?x=1"
+    assert got[1] == "https://e.com/p?next=/foo/?bar"

@@ -255,3 +255,30 @@ def test_url_exclude_regex_gate():
     assert rej.set_index("url")["reason"].to_dict() == {
         "u/drop9": "url", "u/also-drop9": "url",
     }
+
+
+def test_tumbling_null_value_and_ms_timestamps():
+    """NULL values contribute 0 cents while the row still counts
+    (SQL SUM/COUNT(*) semantics — the NaN int64 cast injected INT64_MIN
+    before); ms-unit timestamps normalize to µs before windowing."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup.windows import tumbling_aggregate
+
+    base_ms = 3_600_000 * 500
+    t = pa.table(
+        {
+            "ts": pa.array([base_ms, base_ms + 1000, base_ms + 2000],
+                           pa.timestamp("ms")),
+            "event_type": pa.array(["a", "a", "a"]),
+            "value": pa.array([1.25, None, 2.5], pa.float64()),
+        }
+    )
+    out = tumbling_aggregate(
+        rd.from_arrow(t), window_sec=3600, key_col="event_type"
+    ).to_pandas()
+    assert len(out) == 1
+    assert int(out["n_events"][0]) == 3
+    assert int(out["sum_cents"][0]) == 125 + 0 + 250
