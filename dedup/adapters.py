@@ -97,7 +97,13 @@ def expanded_pages(
     the default) expand into a planted near-dup cluster (half verbatim,
     half ~2% token edits); all other bases expand into *unique* pages
     (50% token replacement per copy — 5-gram Jaccard ≈ 0.03, below any
-    clustering threshold). Deterministic: seeded by (doc_id, copy).
+    clustering threshold). Edit POSITIONS are seeded by (doc_id, copy);
+    the appended filler text concatenates batch-relative neighbour
+    rows, so page BODIES also depend on the reader's block/batch
+    layout — deterministic for a fixed parquet file and reader
+    config (this sandbox), but not across layout changes. Bench
+    corpora are therefore pre-written once and reused across legs
+    (BENCH_CORPUS_DIR) rather than re-expanded per process.
     """
 
     def expand(batch: pa.Table) -> pa.Table:

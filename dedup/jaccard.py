@@ -19,7 +19,7 @@ convention, minhash.py:58-102); shingles are de-duplicated per doc.
 
 Skew note: a shingle shared by m docs costs O(m²) partial pairs — the
 boilerplate problem. ``max_group`` caps it (dropping pairs from mega
-groups, logged in the result metadata) exactly as hot LSH bands are
+groups, with a loud warning naming the dropped volume) exactly as hot LSH bands are
 capped; at web scale stopword-like shingles are the hot keys.
 """
 
@@ -51,7 +51,6 @@ def _shingle_doc_rows(batch: pa.Table, id_col: str, k: int) -> pa.Table:
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
     flat, counts = _tokenize(text)
     th = _hash_tokens(flat, DEFAULT_TOKEN_HASH) if len(flat) else np.empty(0, U64)
-    n_sh = np.maximum(counts - k + 1, 0)
     doc_start = np.cumsum(counts) - counts
     with np.errstate(over="ignore"):
         T = len(th)
@@ -66,7 +65,6 @@ def _shingle_doc_rows(batch: pa.Table, id_col: str, k: int) -> pa.Table:
     doc_col, sh_col = [], []
     if big.any():
         m = (counts - k + 1)[big]
-        row_of = np.repeat(np.nonzero(big)[0], m)
         pos = np.arange(int(m.sum()), dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
         src = np.repeat(doc_start[big], m) + pos
         doc_all = np.repeat(ids[big], m)
@@ -126,10 +124,25 @@ def jaccard_pairs(
     bucketed = rows.map_batches(bucketize, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # cap hot shingle groups (boilerplate guard)
+        # cap hot shingle groups (boilerplate guard) — LOUDLY: silent
+        # truncation reads as full coverage when it is not
         sizes = g.groupby("sh")["doc"].transform("size")
-        g = g[sizes <= max_group]
-        m = g.merge(g, on="sh")
+        over = sizes > max_group
+        if over.any():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard: dropping %d rows of %d over-cap shingle "
+                "groups (max_group=%d) — pairs sharing only these "
+                "shingles are not emitted",
+                int(over.sum()),
+                int(g.loc[over, "sh"].nunique()),
+                max_group,
+            )
+        g = g[~over]
+        # join on the key + row ids only; carrying the bucket column
+        # through the quadratic self-merge doubled the pair-frame width
+        m = g[["doc", "sh"]].merge(g[["doc", "sh"]], on="sh")
         m = m[m["doc_x"] < m["doc_y"]]
         if m.empty:
             return pd.DataFrame({"pa": pd.Series([], dtype="int64"),

@@ -56,15 +56,14 @@ def asof_join(
         pa.field(rnames[c], rschema.field(c).type) for c in rkeep if c != by
     ]
 
-    def tag(side: str, src_cols, rename=None):
+    def tag(side: str, rename=None):
+        inv = {v: k for k, v in rename.items()} if rename else {}
+
         def fn(batch: pa.Table) -> pa.Table:
             n = len(batch)
             cols = {}
             for f in fields:
-                src = f.name
-                if rename:
-                    inv = {v: k for k, v in rename.items()}
-                    src = inv.get(f.name, f.name)
+                src = inv.get(f.name, f.name)
                 if src in batch.column_names and (
                     (side == "l" and f.name in lcols)
                     or (side == "r" and f.name not in lcols)
@@ -81,11 +80,27 @@ def asof_join(
 
         return fn
 
-    both = lb.map_batches(tag("l", lcols), batch_format="pyarrow").union(
-        rb.map_batches(tag("r", rkeep, rnames), batch_format="pyarrow")
+    both = lb.map_batches(tag("l"), batch_format="pyarrow").union(
+        rb.map_batches(tag("r", rnames), batch_format="pyarrow")
     )
 
     out_r = [rnames[c] for c in rkeep if c != by]
+    out_fields = fields  # declared output schema — every block must match
+
+    def to_out_schema(m: pd.DataFrame) -> pa.Table:
+        """pandas → Arrow under the DECLARED schema. merge_asof promotes
+        int right columns to float64 in any group with an unmatched left
+        row, and the pandas round-trip rewrites timestamp[us] as [ns] —
+        per-group blocks then carry divergent schemas and concat/write
+        crashes. Nullable Int64 keeps int64-with-nulls exact."""
+        arrays = []
+        for f in out_fields:
+            s = m[f.name]
+            if pa.types.is_integer(f.type) and s.dtype.kind in ("f", "O"):
+                arrays.append(pa.Array.from_pandas(s.astype("Int64"), type=f.type))
+            else:
+                arrays.append(pa.Array.from_pandas(s, type=f.type))
+        return pa.Table.from_arrays(arrays, schema=pa.schema(out_fields))
 
     def merge(group: pa.Table) -> pa.Table:
         side = group.column("__side").to_numpy(zero_copy_only=False)
@@ -93,16 +108,28 @@ def asof_join(
         l = group.filter(lmask).select(lcols).to_pandas()
         r = group.filter(pa.compute.invert(lmask)).select([by] + out_r).to_pandas()
         if l.empty:
-            return pa.Table.from_pandas(
-                l.assign(**{c: pd.Series(dtype=r[c].dtype) for c in out_r}),
-                preserve_index=False,
+            return to_out_schema(
+                l.assign(**{c: pd.Series(dtype=r[c].dtype) for c in out_r})
             )
-        l = l.sort_values(left_ts, kind="stable")
         rts = rnames[right_ts]
-        r = r.sort_values(rts, kind="stable")
-        m = pd.merge_asof(
-            l, r, left_on=left_ts, right_on=rts, by=by, direction=direction
-        )
-        return pa.Table.from_pandas(m, preserve_index=False)
+        # SQL ASOF semantics for null keys: a null timestamp matches
+        # nothing — null-ts right rows can never match, null-ts left
+        # rows keep their row with null right columns (merge_asof would
+        # instead raise 'merge keys contain null values')
+        lnull = l[l[left_ts].isna()]
+        l = l[l[left_ts].notna()].sort_values(left_ts, kind="stable")
+        r = r[r[rts].notna()].sort_values(rts, kind="stable")
+        if l.empty:
+            m = l.assign(**{c: pd.Series(dtype=r[c].dtype) for c in out_r})
+        else:
+            m = pd.merge_asof(
+                l, r, left_on=left_ts, right_on=rts, by=by, direction=direction
+            )
+        if len(lnull):
+            m = pd.concat(
+                [m, lnull.assign(**{c: pd.NA for c in out_r})],
+                ignore_index=True,
+            )
+        return to_out_schema(m)
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")

@@ -95,7 +95,8 @@ CLUSTERS = pa.schema(
     [
         ("url", pa.string()),
         ("doc_hash", pa.int64()),
-        ("cluster_id", pa.int64()),  # min doc_hash in the component
+        ("cluster_id", pa.int64()),  # UINT64-min member of the component
+        # (int64 bit-pattern; NOT signed min — unionfind.py anchor rule)
         ("cluster_size", pa.int64()),  # urls in cluster
         ("size_bytes", pa.int64()),
     ]

@@ -26,36 +26,6 @@ from .hashing import U64
 _B = np.uint64(1000003)  # odd polynomial base (mod 2^64 wraparound)
 
 
-def _prefix_hash(data: "bytes | np.ndarray") -> np.ndarray:
-    """H[i] = hash of data[:i] under the rolling polynomial (uint64).
-
-    Accepts a raw uint8 ndarray too (zero-copy callers)."""
-    if isinstance(data, np.ndarray):
-        b = data.astype(U64)
-    else:
-        b = np.frombuffer(data, dtype=np.uint8).astype(U64)
-    H = np.empty(len(b) + 1, dtype=U64)
-    H[0] = 0
-    with np.errstate(over="ignore"):
-        # Horner prefix scan: H[i+1] = H[i]*B + b[i]; no vector scan for
-        # multiply-accumulate, so do it blockwise via cumulative powers
-        n = len(b)
-        if n:
-            pw = np.empty(n, dtype=U64)
-            pw[0] = 1
-            np.multiply.accumulate(np.full(n, _B, dtype=U64), out=pw[0:])
-            pw = np.concatenate([[U64(1)], pw[:-1]])  # B^0..B^(n-1)
-            # H[i] = sum_{j<i} b[j] * B^(i-1-j); compute via scaled cumsum:
-            # S[i] = sum_{j<i} b[j] * B^{-j} needs inverses — instead use
-            # S[i] = sum_{j<i} b[j] * B^{n-1-j}, then H[i] = S[i] / B^{n-i}.
-            # Division mod 2^64 needs odd-B inverse: B is odd → invertible.
-            scaled = b * pw[::-1]  # b[j] * B^(n-1-j)
-            S = np.concatenate([[U64(0)], np.cumsum(scaled, dtype=U64)])
-            inv = _pow_inv(_B, n)  # inv[i] = B^-(i) — precomputed powers of B^-1
-            H = S * inv[::-1]  # inv[n-i] for i=0..n is just the reversal
-    return H
-
-
 def _pow_inv(base: np.uint64, n: int) -> np.ndarray:
     """[B^0, B^-1, …, B^-n] mod 2^64 (odd base ⇒ invertible)."""
     # modular inverse of odd base via Newton iteration over 2^64
@@ -69,12 +39,6 @@ def _pow_inv(base: np.uint64, n: int) -> np.ndarray:
         if n:
             np.multiply.accumulate(np.full(n, invb, dtype=U64), out=out[1:])
     return out
-
-
-def _gram_hashes(H: np.ndarray, powL: np.uint64, L: int) -> np.ndarray:
-    """Hashes of all L-grams from a prefix-hash array."""
-    with np.errstate(over="ignore"):
-        return H[L:] - H[:-L] * powL
 
 
 def lcs_length(a: bytes, b: bytes) -> int:
@@ -110,8 +74,8 @@ def lcs_lengths(ta, tb) -> np.ndarray:
     Text bytes come straight from the Arrow string buffers (zero-copy,
     no ``to_pylist``), and the polynomial power + inverse-power tables
     are built ONCE for the whole batch — the two ``multiply.accumulate``
-    scans the old per-pair ``_prefix_hash`` re-ran for every text, now
-    sliced per pair. The binary search itself stays per PAIR (candidate
+    scans that the per-pair prefix-scan helper this replaced re-ran for
+    every text now run once and are sliced per pair. The binary search itself stays per PAIR (candidate
     pairs, already pruned — not corpus rows) with cache-resident arrays:
     measured faster than both a batch-global sort-based round (random
     probes into a batch-wide array miss cache) and per-pair

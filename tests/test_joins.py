@@ -76,3 +76,42 @@ def test_asof_matches_pandas_reference():
     got_rt = out["rt"].fillna(pd.Timestamp(0)).tolist()
     want_rt = want["rt"].fillna(pd.Timestamp(0)).tolist()
     assert got_rt == want_rt
+
+
+def test_asof_join_schema_stable_with_nulls_and_unmatched():
+    """Every per-group block must carry the DECLARED schema: merge_asof
+    float-promotes int right columns in groups with an unmatched left
+    row (mixed-schema blocks crashed concat/write), null-ts right rows
+    never match, and null-ts left rows keep their row with null right
+    columns instead of raising inside merge_asof."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedup.joins import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 2], pa.int64()),
+        "lts": pa.array([100, 5, 300, None], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2], pa.int64()),
+        "rts": pa.array([50, 250, None], pa.int64()),
+        "val": pa.array([7, 9, 11], pa.int64()),
+    }))
+    out = asof_join(left, right, by="k", left_ts="lts", right_ts="rts",
+                    right_cols=["val"], n_buckets=4)
+    schemas = {
+        str(b.schema)
+        for b in out.iter_batches(batch_size=16, batch_format="pyarrow")
+        if len(b)
+    }
+    assert len(schemas) == 1
+    rows = {
+        (r["k"], r["lts"]): (r["rts"], r["val"])
+        for b in out.iter_batches(batch_size=16, batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    assert rows[(1, 100)] == (50, 7)
+    assert rows[(1, 5)] == (None, None)     # unmatched: kept, nulls
+    assert rows[(2, 300)] == (250, 9)       # null-ts right row skipped
+    assert rows[(2, None)] == (None, None)  # null-ts left row kept
